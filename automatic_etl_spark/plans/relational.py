@@ -1,0 +1,519 @@
+"""BI/relational query pack (SURVEY.md §2.3-§2.6, §2.11).
+
+Each entry re-expresses one operator the reference issues as generated
+ClickHouse SQL (Metabase/Superset cards, audits, catalog probes) as an
+idiomatic DataFrame plan, paired with a DuckDB oracle.
+
+Determinism rules shared by every pair:
+- Aggregates over doubles are cast to DECIMAL before SUM in BOTH
+  engines: decimal addition is exact and order-independent, so the
+  value-hash cannot drift with partitioning/merge order.
+- Every top-N is ordered by a unique total order (tiebreakers pinned).
+- Computed columns share the same alias on both sides (driver compares
+  by column name).
+
+Scale notes: all plans below are single-shuffle where the semantics
+allow; dimension joins broadcast (region/nation/supplier are tiny and
+Catalyst broadcasts them under the configured threshold); filters and
+projections sit directly on the parquet scan so pushdown/pruning apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automatic_etl_spark.operators.dedup import latest_version
+from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.sources.parquet import table
+
+
+def dsum(expr: Column | str, alias: str, scale: int = 2) -> Column:
+    """Order-independent sum of a double expression (see module doc)."""
+    col = F.col(expr) if isinstance(expr, str) else expr
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+# --- A1: full-table COUNT (reference tools/ingest_runner.py:1880) -----------
+
+
+@register(
+    "count_star",
+    oracle="SELECT COUNT(*) AS cnt FROM lineitem",
+)
+def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Parquet scan answers this from footer metadata — no data read.
+    return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+# --- A3: grouped count, single key (reference tools/cdc_monitor.sh:48) ------
+
+
+@register(
+    "grouped_count",
+    oracle="SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
+)
+def grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- A2: grouped count, multi key (tools/multi_database_auditor.py:234) -----
+
+
+@register(
+    "grouped_count_multi",
+    oracle="""
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    """,
+)
+def grouped_count_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- A4: SUM aggregate (tools/recover_superset_metabase.py:63-66) -----------
+
+
+@register(
+    "sum_agg",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(dsum("o_totalprice", "total"), F.count("*").alias("cnt"))
+    )
+
+
+# --- A5: conditional aggregation / null-rate profiling ----------------------
+# (docs/SUPERSET_DATE_HANDLING.md:84-90 — SUM(isNull(c)) pattern)
+
+
+@register(
+    "conditional_agg",
+    oracle="""
+        SELECT event_type,
+               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_cnt,
+               SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS not_null_cnt,
+               SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS high_cnt
+        FROM events GROUP BY event_type
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    value = F.col("value")
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(value.isNull(), 1).otherwise(0)).alias("null_cnt"),
+            F.sum(F.when(value.isNotNull(), 1).otherwise(0)).alias("not_null_cnt"),
+            F.sum(F.when(value >= 100, 1).otherwise(0)).alias("high_cnt"),
+        )
+    )
+
+
+# --- O1: recent-N by time (tools/metabase_schema_discovery.py:196) ----------
+
+
+@register(
+    "recent_n",
+    oracle="""
+        SELECT event_id, ts, user_id, event_type
+        FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+    """,
+)
+def recent_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Catalyst plans TakeOrderedAndProject: per-partition top-N, then a
+    # single-partition merge of N·num_partitions rows — no full sort.
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(10)
+    )
+
+
+# --- O3: top-k by count (tools/identify_useful_tables.py:101-104) -----------
+
+
+@register(
+    "top_k_users",
+    oracle="""
+        SELECT user_id, COUNT(*) AS cnt
+        FROM events GROUP BY user_id
+        ORDER BY cnt DESC, user_id ASC LIMIT 10
+    """,
+)
+def top_k_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+# --- O4: UNION ALL with literal labels --------------------------------------
+# (tools/create_working_metabase_questions.py:101-120)
+
+
+@register(
+    "union_all_labels",
+    oracle="""
+        SELECT 'orders' AS category, COUNT(*) AS cnt FROM orders
+        UNION ALL
+        SELECT 'customers' AS category, COUNT(*) AS cnt FROM customer
+        UNION ALL
+        SELECT 'parts' AS category, COUNT(*) AS cnt FROM part
+    """,
+)
+def union_all_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def branch(name: str, label: str) -> DataFrame:
+        return table(spark, sf_dir, name).agg(
+            F.lit(label).alias("category"), F.count("*").alias("cnt")
+        )
+
+    return (
+        branch("orders", "orders")
+        .unionByName(branch("customer", "customers"))
+        .unionByName(branch("part", "parts"))
+    )
+
+
+# --- O5: sampling (tools/metabase_schema_discovery.py:197) ------------------
+# Engine-specific RNG → rows-only check (no oracle), like the
+# reference's own SAMPLE which is likewise nondeterministic.
+
+
+@register("sample_scan", oracle=None)
+def sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42).limit(20)
+
+
+# --- S4: row limit (tools/ingest_runner.py:1475-1477), pinned order ---------
+
+
+@register(
+    "limit_scan",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def limit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# --- J1: LEFT JOIN + GROUP BY (tools/verify_clean_state.py:41-46) -----------
+
+
+@register(
+    "left_join_group",
+    oracle="""
+        SELECT r_name, COUNT(n_nationkey) AS nations
+        FROM region LEFT JOIN nation ON r_regionkey = n_regionkey
+        GROUP BY r_name
+    """,
+)
+def left_join_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        region.join(
+            nation, region.r_regionkey == nation.n_regionkey, "left"
+        )
+        .groupBy("r_name")
+        .agg(F.count("n_nationkey").alias("nations"))
+    )
+
+
+# --- J2/Q1: row-count reconciliation (tools/ingest_runner.py:1874-1915) -----
+# Source vs sink counts paired by key, diff + verdict. The "sink" is a
+# deterministic subset (every 97th order dropped) to exercise non-zero
+# diffs, mirroring the audit fixture F8.
+
+
+@register(
+    "reconciliation",
+    oracle="""
+        WITH src AS (
+            SELECT o_orderstatus AS status, COUNT(*) AS src_cnt
+            FROM orders GROUP BY o_orderstatus
+        ), snk AS (
+            SELECT o_orderstatus AS status, COUNT(*) AS snk_cnt
+            FROM orders WHERE o_orderkey % 97 <> 0 GROUP BY o_orderstatus
+        )
+        SELECT COALESCE(src.status, snk.status) AS status,
+               COALESCE(src_cnt, 0) AS src_cnt,
+               COALESCE(snk_cnt, 0) AS snk_cnt,
+               COALESCE(src_cnt, 0) - COALESCE(snk_cnt, 0) AS diff,
+               CASE WHEN COALESCE(src_cnt, 0) = COALESCE(snk_cnt, 0)
+                    THEN 'OK' ELSE 'MISMATCH' END AS verdict
+        FROM src FULL OUTER JOIN snk ON src.status = snk.status
+    """,
+)
+def reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from automatic_etl_spark.operators.audit import reconcile_counts
+
+    orders = table(spark, sf_dir, "orders")
+    sink = orders.filter(F.col("o_orderkey") % 97 != 0)
+    return reconcile_counts(orders, sink, key="o_orderstatus", key_alias="status")
+
+
+# --- P6: JSON field extraction --------------------------------------------
+# (tools/create_working_metabase_questions.py:81-100 — JSONExtractString)
+
+
+@register(
+    "json_extract_group",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    """,
+)
+def json_extract_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn(
+            "k_bucket",
+            F.get_json_object(F.col("props"), "$.k").cast("bigint") % 10,
+        )
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- P7: JSON key enumeration (tools/metabase_schema_discovery.py:202-210) --
+
+
+@register(
+    "json_keys_freq",
+    oracle="""
+        SELECT array_to_string(json_keys(props), ',') AS keyset, COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    """,
+)
+def json_keys_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn(
+            "keyset", F.array_join(F.json_object_keys(F.col("props")), ",")
+        )
+        .groupBy("keyset")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- W1 flagship: ranked dedup + daily rollup -------------------------------
+# (tools/ingest_runner.py:1576-1588 — the reference's signature operator)
+
+_DEDUP_LATEST_ORACLE = """
+    WITH ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC NULLS LAST, event_id ASC
+        ) AS rn
+        FROM events
+    ), latest AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM latest GROUP BY 1, 2
+"""
+
+
+def flagship_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan → window dedup → date-helper projection → agg, one pipeline.
+
+    Single shuffle on (user_id, event_type) for the window; the rollup
+    re-shuffles on (event_date, event_type) with map-side partial agg.
+    """
+    events = table(spark, sf_dir, "events")
+    latest = latest_version(
+        events,
+        keys=("user_id", "event_type"),
+        version_cols=("ts",),
+        tiebreaker=("event_id",),
+    )
+    return (
+        latest.withColumn("event_date", F.to_date("ts"))  # P2 date helper
+        .groupBy("event_date", "event_type")
+        .agg(F.count("*").alias("cnt"), dsum("value", "total_value"))
+    )
+
+
+register("dedup_latest", oracle=_DEDUP_LATEST_ORACLE)(flagship_dedup_rollup)
+
+
+# --- W3: subset dedup keeping newest (tools/ingest_runner.py:1395-1401) -----
+
+
+@register(
+    "dedup_subset",
+    oracle="""
+        WITH ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id ASC
+            ) AS rn
+            FROM events
+        )
+        SELECT event_id, ts, user_id, event_type, value
+        FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return latest_version(
+        events, keys=("user_id",), version_cols=("ts",), tiebreaker=("event_id",)
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# --- Extension: ROLLUP (free via Spark; reference §2.4 note) ----------------
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("cnt"))
+    )
+
+
+# --- Headline join: revenue per nation (TPC-H Q5-shaped) --------------------
+# The BI layer the reference delegates to runs arbitrary star joins
+# (README.md:220-246); this is the representative heavy plan for bench.
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+        SELECT n_name, r_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS line_cnt
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderstatus <> 'F'
+        GROUP BY n_name, r_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    revenue = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("line_cnt"),
+        )
+    )
+
+
+# --- Extension: window frame (moving average) -------------------------------
+# Frame-spec windows are in Spark's extension space (§2.5 note). Sum is
+# decimal (exact under any frame-evaluation algorithm); the average is
+# derived as double division of identical operands on both sides.
+
+
+@register(
+    "daily_moving_avg",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS rev
+            FROM events GROUP BY 1
+        )
+        SELECT d,
+               CAST(rev AS DOUBLE) AS day_value,
+               CAST(SUM(rev) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w AS moving_avg_7d
+        FROM daily
+        WINDOW w AS (ORDER BY d ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.orderBy(F.asc("d")).rowsBetween(-6, 0)
+    return daily.select(
+        "d",
+        F.col("rev").cast("double").alias("day_value"),
+        (F.sum("rev").over(w).cast("double") / F.count("*").over(w)).alias(
+            "moving_avg_7d"
+        ),
+    )
+
+
+# --- A7/Q2: column profiling (tools/data_cleaner_robust.py:456-462) ---------
+
+
+@register(
+    "column_profile",
+    oracle="""
+        SELECT COUNT(*) AS row_cnt,
+               COUNT(DISTINCT c_mktsegment) AS segment_nunique,
+               SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                   AS segment_nulls,
+               COUNT(DISTINCT c_nationkey) AS nation_nunique,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS acctbal_total
+        FROM customer
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg = F.col("c_mktsegment")
+    return table(spark, sf_dir, "customer").agg(
+        F.count("*").alias("row_cnt"),
+        F.countDistinct(seg).alias("segment_nunique"),
+        F.sum(F.when(seg.isNull(), 1).otherwise(0)).alias("segment_nulls"),
+        F.countDistinct("c_nationkey").alias("nation_nunique"),
+        dsum("c_acctbal", "acctbal_total"),
+    )

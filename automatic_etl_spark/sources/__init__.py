@@ -1,0 +1,3 @@
+from automatic_etl_spark.sources.parquet import TABLES, load_tables, table
+
+__all__ = ["TABLES", "load_tables", "table"]
