@@ -1,0 +1,79 @@
+"""Encoding detection/repair — the engine's ONLY pandas UDF (C13).
+
+The reference detects encodings per value with chardet and a fallback
+chain utf-8 → latin-1 → cp1252 → iso-8859-1 → ascii
+(reference tools/data_cleaner_robust.py:39-41,67-123). This is
+inherently per-value Python, so it is the one operator allowed off the
+JVM — Arrow-batched (pandas UDF), never row-at-a-time, and kept off hot
+paths (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+try:  # optional dependency — not in the container; detection degrades
+    import chardet  # type: ignore
+except ImportError:  # pragma: no cover
+    chardet = None
+
+_FALLBACK_ENCODINGS = ("utf-8", "latin-1", "cp1252", "iso-8859-1", "ascii")
+_CONFIDENCE_THRESHOLD = 0.7
+
+
+def _decode_bytes(raw: bytes) -> str:
+    if chardet is not None:
+        guess = chardet.detect(raw)
+        if guess.get("confidence", 0) > _CONFIDENCE_THRESHOLD and guess.get(
+            "encoding"
+        ):
+            try:
+                return raw.decode(guess["encoding"])
+            except (UnicodeDecodeError, LookupError):
+                pass
+    for enc in _FALLBACK_ENCODINGS:
+        try:
+            return raw.decode(enc)
+        except UnicodeDecodeError:
+            continue
+    return raw.decode("utf-8", errors="replace")
+
+
+def _repair_str(s: str) -> str:
+    """Round-trip repair: if the text looks like utf-8 bytes mis-read
+    as latin-1 (mojibake), re-decode it properly."""
+    try:
+        roundtrip = s.encode("latin-1").decode("utf-8")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return s
+    # Accept only if the round trip actually removed mojibake markers.
+    return roundtrip if ("Ã" in s or "Â" in s) and len(roundtrip) < len(s) else s
+
+
+def _decode_series(series: pd.Series) -> pd.Series:
+    return series.map(lambda v: None if v is None else _decode_bytes(bytes(v)))
+
+
+def _repair_series(series: pd.Series) -> pd.Series:
+    return series.map(lambda v: None if v is None else _repair_str(v))
+
+
+# UDFs are created lazily: decorating at module scope breaks when the
+# worker re-imports this module without an active SparkSession.
+_UDF_CACHE: dict[str, object] = {}
+
+
+def decode_binary(c: Column | str) -> Column:
+    """binary → str via detection + fallback chain (C11 + C13)."""
+    if "decode" not in _UDF_CACHE:
+        _UDF_CACHE["decode"] = pandas_udf(_decode_series, "string")
+    return _UDF_CACHE["decode"](c)
+
+
+def repair_text_encoding(c: Column | str) -> Column:
+    """str → str mojibake round-trip repair (C12's Python half)."""
+    if "repair" not in _UDF_CACHE:
+        _UDF_CACHE["repair"] = pandas_udf(_repair_series, "string")
+    return _UDF_CACHE["repair"](c)

@@ -1,0 +1,432 @@
+"""Oracle-checked plans for the cleaning library (SURVEY.md §2.7).
+
+Pattern: build a deterministic "dirty" column from fixture data inside
+the query (both engines construct it identically), clean it with the
+REAL library expressions on the Spark side, and encode the expected
+semantics as CASE/try_cast SQL on the DuckDB side. This gives the
+driver's value-hash gate full coverage of C1-C18 without bespoke
+fixture files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automatic_etl_spark.functions import cleaning as cl
+from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import dsum
+from automatic_etl_spark.sources.parquet import table
+
+_SENTINELS_SQL = ", ".join(f"'{s}'" for s in cl.NULL_SENTINELS + cl.ZERO_DATES)
+
+
+# --- C1/C18: temporal sanitation --------------------------------------------
+
+
+@register(
+    "clean_dates",
+    oracle=f"""
+        WITH dirty AS (
+            SELECT o_orderstatus,
+                   CASE o_orderkey % 7
+                     WHEN 0 THEN '0000-00-00'
+                     WHEN 1 THEN ''
+                     WHEN 2 THEN '1899-03-05'
+                     WHEN 3 THEN '2150-01-01'
+                     WHEN 4 THEN 'NULL'
+                     WHEN 5 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                     ELSE strftime(o_orderdate, '%Y-%m-%d')
+                   END AS s
+            FROM orders
+        ), cleaned AS (
+            SELECT o_orderstatus,
+                   CASE WHEN s IN ({_SENTINELS_SQL}) THEN NULL
+                        WHEN year(TRY_CAST(s AS TIMESTAMP)) BETWEEN 1901 AND 2099
+                        THEN TRY_CAST(s AS TIMESTAMP)
+                   END AS ts
+            FROM dirty
+        )
+        SELECT o_orderstatus,
+               SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_cnt,
+               SUM(CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END) AS valid_cnt,
+               MIN(ts) AS min_ts, MAX(ts) AS max_ts
+        FROM cleaned GROUP BY o_orderstatus
+    """,
+)
+def clean_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 7
+    dirty = (
+        F.when(k == 0, F.lit("0000-00-00"))
+        .when(k == 1, F.lit(""))
+        .when(k == 2, F.lit("1899-03-05"))
+        .when(k == 3, F.lit("2150-01-01"))
+        .when(k == 4, F.lit("NULL"))
+        .when(k == 5, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    ts = cl.sanitize_dates(dirty)
+    return (
+        orders.select("o_orderstatus", ts.alias("ts"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("ts").isNull().cast("int")).alias("null_cnt"),
+            F.sum(F.col("ts").isNotNull().cast("int")).alias("valid_cnt"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
+# --- C5/C6: integer cleaning -------------------------------------------------
+
+_CLEAN_INT_SENTINELS = ", ".join(f"'{s}'" for s in cl.NULL_SENTINELS)
+
+
+@register(
+    "clean_integers",
+    oracle=f"""
+        WITH dirty AS (
+            SELECT c_nationkey,
+                   CASE c_custkey % 8
+                     WHEN 0 THEN 'null'
+                     WHEN 1 THEN 'NaN'
+                     WHEN 2 THEN ''
+                     WHEN 3 THEN 'na'
+                     WHEN 4 THEN CAST(c_custkey AS VARCHAR) || '.0'
+                     WHEN 5 THEN '12.7'
+                     WHEN 6 THEN '99999999999999999999999'
+                     ELSE CAST(c_custkey AS VARCHAR)
+                   END AS s
+            FROM customer
+        ), parsed AS (
+            SELECT c_nationkey,
+                   TRY_CAST(CASE WHEN trim(s) IN ({_CLEAN_INT_SENTINELS})
+                                 THEN NULL ELSE trim(s) END AS DOUBLE) AS d
+            FROM dirty
+        ), cleaned AS (
+            SELECT c_nationkey,
+                   CASE WHEN d = floor(d) THEN TRY_CAST(d AS BIGINT) END AS v
+            FROM parsed
+        )
+        SELECT c_nationkey,
+               SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS null_cnt,
+               SUM(v) AS total,
+               SUM(COALESCE(v, 0)) AS total_pk_filled
+        FROM cleaned GROUP BY c_nationkey
+    """,
+)
+def clean_integers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey") % 8
+    dirty = (
+        F.when(k == 0, F.lit("null"))
+        .when(k == 1, F.lit("NaN"))
+        .when(k == 2, F.lit(""))
+        .when(k == 3, F.lit("na"))
+        .when(k == 4, F.concat(F.col("c_custkey").cast("string"), F.lit(".0")))
+        .when(k == 5, F.lit("12.7"))
+        .when(k == 6, F.lit("99999999999999999999999"))
+        .otherwise(F.col("c_custkey").cast("string"))
+    )
+    v = cl.clean_integers(dirty)
+    v_pk = cl.clean_integers(dirty, pk=True)
+    return (
+        customer.select("c_nationkey", v.alias("v"), v_pk.alias("v_pk"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.col("v").isNull().cast("int")).alias("null_cnt"),
+            F.sum("v").alias("total"),
+            F.sum("v_pk").alias("total_pk_filled"),
+        )
+    )
+
+
+# --- C14: string normalization ----------------------------------------------
+
+
+@register(
+    "normalize_strings",
+    oracle=r"""
+        WITH dirty AS (
+            SELECT '  ' || c_name || chr(13) || chr(10) || chr(9)
+                   || c_mktsegment || '   ' AS s
+            FROM customer
+        ), cleaned AS (
+            SELECT NULLIF(trim(regexp_replace(regexp_replace(
+                       s, '[\x00-\x1f\x7f-\x9f]', ' ', 'g'),
+                       '\s+', ' ', 'g')), '') AS v
+            FROM dirty
+        )
+        SELECT COUNT(*) AS row_cnt,
+               COUNT(DISTINCT v) AS distinct_cnt,
+               SUM(length(v)) AS total_len
+        FROM cleaned
+    """,
+)
+def normalize_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    dirty = F.concat(
+        F.lit("  "),
+        F.col("c_name"),
+        F.lit("\r\n\t"),
+        F.col("c_mktsegment"),
+        F.lit("   "),
+    )
+    v = cl.normalize_strings(dirty)
+    return customer.select(v.alias("v")).agg(
+        F.count("*").alias("row_cnt"),
+        F.countDistinct("v").alias("distinct_cnt"),
+        F.sum(F.length("v")).alias("total_len"),
+    )
+
+
+# --- C12: mojibake repair ----------------------------------------------------
+
+
+def _nested_replace_sql(inner: str) -> str:
+    expr = inner
+    for broken, fixed in cl.MOJIBAKE_REPAIRS:
+        expr = f"replace({expr}, '{broken}', '{fixed}')"
+    return expr
+
+
+@register(
+    "mojibake_repair",
+    oracle=f"""
+        WITH dirty AS (
+            SELECT p_partkey,
+                   replace(replace(p_name, 'a', 'Ã¡'), 'o', 'Ã³') AS s,
+                   replace(replace(p_name, 'a', 'á'), 'o', 'ó') AS expected
+            FROM part
+        )
+        SELECT SUM(CASE WHEN {_nested_replace_sql('s')} = expected
+                        THEN 1 ELSE 0 END) AS repaired_cnt,
+               COUNT(*) AS row_cnt,
+               SUM(length({_nested_replace_sql('s')})) AS total_len
+        FROM dirty
+    """,
+)
+def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    dirty = F.replace(
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("Ã¡")),
+        F.lit("o"),
+        F.lit("Ã³"),
+    )
+    expected = F.replace(
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("á")),
+        F.lit("o"),
+        F.lit("ó"),
+    )
+    repaired = cl.fix_mojibake(dirty)
+    return part.select(
+        repaired.alias("repaired"), expected.alias("expected")
+    ).agg(
+        F.sum((F.col("repaired") == F.col("expected")).cast("int")).alias(
+            "repaired_cnt"
+        ),
+        F.count("*").alias("row_cnt"),
+        F.sum(F.length("repaired")).alias("total_len"),
+    )
+
+
+# --- C4: time formatting -----------------------------------------------------
+
+
+@register(
+    "time_format",
+    oracle=r"""
+        WITH dirty AS (
+            SELECT CASE event_id % 3
+                     WHEN 0 THEN '0 days ' || strftime(ts, '%H:%M:%S')
+                     WHEN 1 THEN strftime(ts, '%H:%M:%S')
+                     ELSE 'not-a-time'
+                   END AS s
+            FROM events
+        ), cleaned AS (
+            SELECT NULLIF(regexp_extract(
+                       s, '(\d{1,2}:\d{2}:\d{2})', 1), '') AS t
+            FROM dirty
+        )
+        SELECT substr(t, 1, 2) AS hh,
+               COUNT(*) AS cnt
+        FROM cleaned GROUP BY 1
+    """,
+)
+def time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    k = F.col("event_id") % 3
+    dirty = (
+        F.when(k == 0, F.concat(F.lit("0 days "), F.date_format("ts", "HH:mm:ss")))
+        .when(k == 1, F.date_format("ts", "HH:mm:ss"))
+        .otherwise(F.lit("not-a-time"))
+    )
+    t = cl.format_time(dirty)
+    return (
+        events.select(F.substring(t, 1, 2).alias("hh"))
+        .groupBy("hh")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- C7: numeric clamping ----------------------------------------------------
+
+
+@register(
+    "numeric_clamp",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(greatest(least(c_acctbal, 127), -128)
+                             AS DECIMAL(18,2))) AS DOUBLE) AS clamped_total,
+               SUM(CASE WHEN c_acctbal > 127 OR c_acctbal < -128
+                        THEN 1 ELSE 0 END) AS clamped_cnt
+        FROM customer GROUP BY c_mktsegment
+    """,
+)
+def numeric_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    clamped = cl.clamp_numeric(bal, "Int8")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            dsum(clamped, "clamped_total"),
+            F.sum(((bal > 127) | (bal < -128)).cast("int")).alias("clamped_cnt"),
+        )
+    )
+
+
+# --- C6: Int32 overflow guard ------------------------------------------------
+
+
+@register(
+    "overflow_guard",
+    oracle="""
+        WITH scaled AS (
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey
+                        ELSE o_orderkey * 1000000000 END AS v
+            FROM orders
+        ), guarded AS (
+            SELECT CASE WHEN v BETWEEN -2147483648 AND 2147483647
+                        THEN v END AS v
+            FROM scaled
+        )
+        SELECT SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS overflow_cnt,
+               SUM(v) AS safe_total
+        FROM guarded
+    """,
+)
+def overflow_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    scaled = F.when(
+        F.col("o_orderkey") % 2 == 0, F.col("o_orderkey")
+    ).otherwise(F.col("o_orderkey") * 1000000000)
+    guarded = cl.int32_overflow_guard(scaled)
+    return orders.select(guarded.alias("v")).agg(
+        F.sum(F.col("v").isNull().cast("int")).alias("overflow_cnt"),
+        F.sum("v").alias("safe_total"),
+    )
+
+
+# --- C15: NOT-NULL default fill ----------------------------------------------
+
+
+@register(
+    "fill_defaults",
+    oracle="""
+        WITH dirty AS (
+            SELECT CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_brand END AS b,
+                   CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_size END AS sz
+            FROM part
+        )
+        SELECT COALESCE(b, 'N/A') AS brand, COUNT(*) AS cnt,
+               SUM(COALESCE(sz, 0)) AS size_total
+        FROM dirty GROUP BY 1
+    """,
+)
+def fill_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    b = F.when(F.col("p_partkey") % 5 != 0, F.col("p_brand"))
+    sz = F.when(F.col("p_partkey") % 7 != 0, F.col("p_size"))
+    return (
+        part.select(
+            cl.fill_not_null_default(b, "string", "brand").alias("brand"),
+            cl.fill_not_null_default(sz, "integer", "size").alias("sz"),
+        )
+        .groupBy("brand")
+        .agg(F.count("*").alias("cnt"), F.sum("sz").alias("size_total"))
+    )
+
+
+# --- §3.1 pipeline shape: schema-driven whole-table clean --------------------
+
+
+@register(
+    "clean_table_pipeline",
+    oracle=f"""
+        WITH dirty AS (
+            SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'null'
+                        ELSE CAST(o_orderkey AS VARCHAR) END AS id,
+                   CASE WHEN o_orderkey % 11 = 0 THEN '0000-00-00'
+                        ELSE strftime(o_orderdate, '%Y-%m-%d') END AS f,
+                   '  ' || o_orderpriority || chr(9) || ' ' AS prio,
+                   CASE WHEN o_orderkey % 9 = 0 THEN 'NaN'
+                        ELSE CAST(o_totalprice AS VARCHAR) END AS price
+            FROM orders
+        ), cleaned AS (
+            SELECT COALESCE(CASE WHEN trim(id) IN ({_CLEAN_INT_SENTINELS}) THEN NULL
+                                 WHEN TRY_CAST(id AS DOUBLE) = floor(TRY_CAST(id AS DOUBLE))
+                                 THEN TRY_CAST(TRY_CAST(id AS DOUBLE) AS BIGINT) END,
+                            0) AS id,
+                   CASE WHEN f IN ({_SENTINELS_SQL}) THEN NULL
+                        WHEN year(TRY_CAST(f AS TIMESTAMP)) BETWEEN 1901 AND 2099
+                        THEN TRY_CAST(f AS TIMESTAMP) END AS f,
+                   NULLIF(trim(regexp_replace(regexp_replace(
+                       prio, '[\\x00-\\x1f\\x7f-\\x9f]', ' ', 'g'),
+                       '\\s+', ' ', 'g')), '') AS prio,
+                   CASE WHEN isnan(TRY_CAST(price AS DOUBLE))
+                          OR TRY_CAST(price AS DOUBLE) = 'inf'::DOUBLE
+                          OR TRY_CAST(price AS DOUBLE) = '-inf'::DOUBLE
+                        THEN NULL ELSE TRY_CAST(price AS DOUBLE) END AS price
+            FROM dirty
+        )
+        SELECT prio,
+               SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS pk_filled_cnt,
+               SUM(id) AS id_total,
+               SUM(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS date_nulls,
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_total
+        FROM cleaned GROUP BY prio
+    """,
+)
+def clean_table_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    dirty = orders.select(
+        F.when(okey % 13 == 0, F.lit("null"))
+        .otherwise(okey.cast("string"))
+        .alias("id"),
+        F.when(okey % 11 == 0, F.lit("0000-00-00"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("f"),
+        F.concat(F.lit("  "), F.col("o_orderpriority"), F.lit("\t ")).alias(
+            "prio"
+        ),
+        F.when(okey % 9 == 0, F.lit("NaN"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("price"),
+    )
+    specs = {
+        "id": {"kind": "integer", "pk": True, "nullable": False},
+        "f": {"kind": "temporal"},
+        "prio": {"kind": "string"},
+        "price": {"kind": "float"},
+    }
+    cleaned = cl.clean_table(dirty, specs)
+    return cleaned.groupBy("prio").agg(
+        F.sum((F.col("id") == 0).cast("int")).alias("pk_filled_cnt"),
+        F.sum("id").alias("id_total"),
+        F.sum(F.col("f").isNull().cast("int")).alias("date_nulls"),
+        dsum("price", "price_total"),
+    )
