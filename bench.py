@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}``.
+
+Headliners cover the engine's hot paths: the star join, window dedup,
+whole-table cleaning pipeline, grouped aggregation, rollup, top-N —
+the plans whose shape dominates at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (
+    "revenue_by_nation",
+    "dedup_latest",
+    "clean_table_pipeline",
+    "grouped_count_multi",
+    "rollup_agg",
+    "recent_n",
+    "daily_moving_avg",
+    "reconciliation",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(match.group(1).rstrip(".")) if match else -1.0
+
+    from automatic_etl_spark.session import get_spark
+    from automatic_etl_spark.plans.all_plans import REGISTRY
+
+    spark = get_spark(app_name="automatic-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen once on the smallest fixture so measured
+    # times reflect execution, not first-query initialization.
+    REGISTRY["count_star"][0](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _oracle = REGISTRY[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
