@@ -1,0 +1,133 @@
+"""Text-analysis functions for training-data pipelines (SURVEY.md §7
+Phase 7 — beyond-reference scale ops over the ``documents`` table).
+
+All pure ``Column`` expressions (JVM-side, codegen-friendly): language
+ID via marker-word heuristic, quality scoring, token counting,
+fingerprinting, shingling. Every function here has a 1:1 ANSI-SQL
+mirror used by the oracle plans, so semantics stay locked across
+engines.
+
+Scale notes: everything is per-row (embarrassingly parallel, no
+shuffle); shingling explodes ~tokens-per-doc rows per document, so
+downstream aggregations use map-side partial min/sum combines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker words per language — whole-word presence scored 0..4. Chosen
+# to be disjoint across languages so the argmax is stable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "with"),
+    "es": ("el", "que", "los", "una"),
+    "de": ("der", "und", "nicht", "das"),
+    "fr": ("et", "les", "dans", "une"),
+    "zh": ("的", "是", "在", "了"),
+}
+# Precedence for argmax ties (first wins) — pinned for determinism.
+LANG_ORDER = ("en", "es", "de", "fr", "zh")
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens of the lowercased text; empty text → []."""
+    t = F.trim(F.lower(_col(c)))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count (the reference-free baseline tokenizer)."""
+    t = F.trim(_col(c))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    """BPE-ish token count: letter runs, single digits, punctuation —
+    a cheap, deterministic proxy for subword tokenizers."""
+    return F.regexp_count(_col(c), F.lit(BPE_ISH_PATTERN))
+
+
+def _marker_hit(c: Column, word: str) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    return (F.instr(padded, f" {word} ") > 0).cast("int")
+
+
+def lang_score(c: Column | str, lang: str) -> Column:
+    """0..4: how many of the language's marker words appear."""
+    col = _col(c)
+    score = F.lit(0)
+    for word in LANG_MARKERS[lang]:
+        score = score + _marker_hit(col, word)
+    return score
+
+
+def lang_id(c: Column | str) -> Column:
+    """Argmax language over marker scores; all-zero → 'unknown'.
+
+    Ties resolve by LANG_ORDER precedence (deterministic).
+    """
+    col = _col(c)
+    scores = {lang: lang_score(col, lang) for lang in LANG_ORDER}
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    # Build the CASE from lowest precedence up so earlier languages win.
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_count(c: Column | str) -> Column:
+    return F.regexp_count(_col(c), F.lit(r"[^\w\s]"))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: length, stopword ratio,
+    punctuation density. Rounded to 6 decimals (both engines compute
+    identical doubles; rounding removes any residual risk)."""
+    col = _col(c)
+    n_tok = token_count(col).cast("double")
+    stop_hits = lang_score(col, "en").cast("double")
+    punct = punct_count(col).cast("double")
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (stop_hits / F.lit(4.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.least(punct / F.greatest(n_tok, F.lit(1.0)), F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def md5_hex(c: Column | str) -> Column:
+    """md5 over UTF-8 bytes — explicit encode keeps ANSI happy and
+    matches DuckDB's md5(VARCHAR)."""
+    return F.md5(F.encode(_col(c), "UTF-8"))
+
+
+def doc_fingerprint(c: Column | str, length: int = 16) -> Column:
+    """Content fingerprint: md5-prefix of the normalized text."""
+    normalized = F.regexp_replace(F.trim(F.lower(_col(c))), r"\s+", " ")
+    return F.substring(md5_hex(normalized), 1, length)
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram (word) shingles as an array column."""
+    toks = tokens(c)
+    count = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), count - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(count >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -1,0 +1,170 @@
+"""Near-duplicate detection operators for document corpora
+(SURVEY.md §7 Phase 7 — the training-data dedup suite).
+
+Four strategies over the ``documents`` table, all built from portable
+primitives (md5-prefix hex strings) so a DuckDB oracle can mirror them
+exactly:
+
+- exact: hash-groupBy on content fingerprint (one shuffle).
+- n-gram Jaccard: shingle self-join → |∩| / |∪|.
+- MinHash + LSH: K min-hashes per doc → band keys → bucket join →
+  candidate pairs, then exact Jaccard verification on candidates only.
+- SimHash: per-token hash digit parity votes → 16-bit signature;
+  identical signatures bucket near-dups.
+
+Scale notes (100 TB): the all-pairs Jaccard join is quadratic in
+bucket size and exists as the verifier / small-corpus baseline; the
+scale path is LSH — shuffle cost is O(docs × bands), and candidate
+verification touches only bucket-mates. Skewed buckets (boilerplate
+shingles) are handled by AQE skew-join locally; at cluster scale
+add a bucket-size cap before the pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from automatic_etl_spark.functions import text as tx
+
+
+def shingle_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle) rows, shingles distinct within a doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tx.shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def hex_hash(c: Column | str, salt: str = "", length: int = 8) -> Column:
+    """Portable hash: md5-prefix hex string. Lexicographic MIN over
+    fixed-width lowercase hex == numeric MIN over the hash value, and
+    both engines agree byte-for-byte."""
+    col = F.col(c) if isinstance(c, str) else c
+    payload = F.concat(F.lit(f"{salt}|"), col) if salt else col
+    return F.substring(tx.md5_hex(payload), 1, length)
+
+
+def minhash_signatures(shingles_df: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """One row per doc with columns h0..h{K-1} — the MinHash signature.
+
+    Single groupBy (one shuffle) computing all K mins with map-side
+    partial aggregation; no per-hash passes.
+    """
+    aggs = [
+        F.min(hex_hash("shingle", salt=str(k))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return shingles_df.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_keys(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Melt signatures into (doc_id, band, key) rows — docs sharing a
+    (band, key) are LSH candidates."""
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "doc_id", F.explode(F.array(*entries)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Distinct (a_id, b_id) pairs sharing at least one band bucket."""
+    keys = lsh_band_keys(signatures, bands, rows_per_band)
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles_df: DataFrame, candidates: DataFrame | None = None
+) -> DataFrame:
+    """(a_id, b_id, jaccard) for doc pairs sharing ≥1 shingle.
+
+    ``candidates`` (from LSH) restricts the pair space — without it
+    this is the exact quadratic baseline.
+    """
+    sizes = shingles_df.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles_df.alias("a")
+    b = shingles_df.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a_id", "b_id"], "left_semi")
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _hex_digit_parity(digit: Column) -> Column:
+    """Parity of a lowercase hex digit's value, via ascii arithmetic
+    (portable: no conv()/from_hex divergence between engines)."""
+    return F.when(
+        digit.between("0", "9"), (F.ascii(digit) - 48) % 2
+    ).otherwise((F.ascii(digit) - 87) % 2)
+
+
+def simhash16(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """16-bit SimHash over distinct tokens: per bit, +1/-1 votes from
+    the parity of one hex digit of the token's md5; sign → bit.
+
+    One explode + one groupBy with 16 sum aggregates (single shuffle).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tx.tokens(text_col))).alias("tok"),
+    )
+    h = tx.md5_hex(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(_hex_digit_parity(F.substring(h, d, 1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{d}")
+        for d in range(1, 17)
+    ]
+    sums = toks.groupBy("doc_id").agg(*votes)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"v{d}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for d in range(1, 17)
+        ]
+    )
+    return sums.select("doc_id", bits.alias("simhash"))

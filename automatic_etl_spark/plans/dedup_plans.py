@@ -1,0 +1,269 @@
+"""Oracle-checked plans for the near-dup dedup suite.
+
+Each plan builds a corpus with PLANTED duplicates (every 10th doc
+re-appended, near-dups with a 3-token suffix) so dup detection is
+non-trivial, then runs the real operators. The DuckDB oracle mirrors
+tokenization → shingling → hashing step-for-step; SQL is generated
+from the same constants so the engines cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automatic_etl_spark.functions import text as tx
+from automatic_etl_spark.operators import text_dedup as td
+from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.sources.parquet import table
+
+NEAR_DUP_SUFFIX = " zyx wvu tsr"
+NUM_HASHES = 8
+BANDS = 4
+ROWS_PER_BAND = 2
+JACCARD_THRESHOLD = 0.5
+
+# --- shared corpus construction ---------------------------------------------
+
+
+def _corpus(spark: SparkSession, sf_dir: str, near_dups: bool) -> DataFrame:
+    """Every 5th doc, plus planted copies of every 10th doc (exact or
+    3-token-suffix near-dups) under doc_id+1000000."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = docs.filter(F.col("doc_id") % 5 == 0)
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (
+            F.concat(F.col("text"), F.lit(NEAR_DUP_SUFFIX))
+            if near_dups
+            else F.col("text")
+        ).alias("text"),
+        "lang",
+    )
+    return base.unionByName(planted)
+
+
+def _sql_corpus(near_dups: bool) -> str:
+    text_expr = f"text || '{NEAR_DUP_SUFFIX}'" if near_dups else "text"
+    return f"""
+        corpus AS (
+            SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, {text_expr} AS text, lang
+            FROM documents WHERE doc_id % 10 = 0
+        )
+    """
+
+
+_SQL_SHINGLES = """
+        toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM corpus
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   )) AS shingle
+            FROM toks
+        )
+"""
+
+_SQL_JACCARD = """
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jac AS (
+            SELECT i.a_id, i.b_id,
+                   i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a_id
+            JOIN sizes sb ON sb.doc_id = i.b_id
+        )
+"""
+
+_SIG_COLS = ", ".join(
+    f"min(substr(md5('{k}|' || shingle), 1, 8)) AS h{k}"
+    for k in range(NUM_HASHES)
+)
+_SQL_SIGNATURES = f"""
+        sig AS (
+            SELECT doc_id, {_SIG_COLS}
+            FROM sh GROUP BY doc_id
+        )
+"""
+
+_BAND_MATCH = " OR ".join(
+    " AND ".join(
+        f"a.h{b * ROWS_PER_BAND + r} = b.h{b * ROWS_PER_BAND + r}"
+        for r in range(ROWS_PER_BAND)
+    )
+    for b in range(BANDS)
+)
+
+
+# --- exact dedup (hash groupBy, W1-style keep-first) -------------------------
+
+
+@register(
+    "exact_dedup",
+    oracle=f"""
+        WITH {_sql_corpus(near_dups=False)},
+        hashed AS (SELECT doc_id, lang, md5(text) AS h FROM corpus),
+        kept AS (
+            SELECT doc_id, lang FROM hashed
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id ASC) = 1
+        )
+        SELECT lang, COUNT(*) AS kept_cnt, SUM(doc_id) AS keeper_id_total
+        FROM kept GROUP BY lang
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir, near_dups=False)
+    w = Window.partitionBy(tx.md5_hex("text")).orderBy(F.asc("doc_id"))
+    kept = (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("kept_cnt"), F.sum("doc_id").alias("keeper_id_total")
+    )
+
+
+# --- n-gram Jaccard (exact quadratic baseline) -------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+        WITH {_sql_corpus(near_dups=True)},
+        {_SQL_SHINGLES},
+        {_SQL_JACCARD}
+        SELECT COUNT(*) AS pair_cnt,
+               SUM(a_id) AS a_id_total,
+               SUM(b_id) AS b_id_total,
+               CAST(SUM(CAST(round(jaccard, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS jaccard_total
+        FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir, near_dups=True)
+    pairs = td.jaccard_pairs(td.shingle_rows(corpus)).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    return pairs.agg(
+        F.count("*").alias("pair_cnt"),
+        F.sum("a_id").alias("a_id_total"),
+        F.sum("b_id").alias("b_id_total"),
+        F.sum(F.round("jaccard", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("jaccard_total"),
+    )
+
+
+# --- MinHash + LSH (the scale path) ------------------------------------------
+
+
+@register(
+    "minhash_lsh_dedup",
+    oracle=f"""
+        WITH {_sql_corpus(near_dups=True)},
+        {_SQL_SHINGLES},
+        {_SQL_SIGNATURES},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM sig a JOIN sig b
+              ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+        ),
+        {_SQL_JACCARD},
+        verified AS (
+            SELECT jac.* FROM jac
+            JOIN cand ON jac.a_id = cand.a_id AND jac.b_id = cand.b_id
+            WHERE jac.jaccard >= {JACCARD_THRESHOLD}
+        )
+        SELECT (SELECT COUNT(*) FROM cand) AS candidate_cnt,
+               COUNT(*) AS verified_cnt,
+               SUM(a_id) AS a_id_total,
+               CAST(SUM(CAST(round(jaccard, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS jaccard_total
+        FROM verified
+    """,
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir, near_dups=True)
+    sh = td.shingle_rows(corpus)
+    signatures = td.minhash_signatures(sh, NUM_HASHES)
+    candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)
+    verified = td.jaccard_pairs(sh, candidates=candidates).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    cand_cnt = candidates.agg(F.count("*").alias("candidate_cnt"))
+    stats = verified.agg(
+        F.count("*").alias("verified_cnt"),
+        F.sum("a_id").alias("a_id_total"),
+        F.sum(F.round("jaccard", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("jaccard_total"),
+    )
+    return cand_cnt.crossJoin(stats)
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def _sql_parity(digit: str) -> str:
+    return (
+        f"CASE WHEN {digit} BETWEEN '0' AND '9' "
+        f"THEN (ascii({digit}) - 48) % 2 "
+        f"ELSE (ascii({digit}) - 87) % 2 END"
+    )
+
+
+_VOTE_COLS = ", ".join(
+    f"SUM(CASE WHEN {_sql_parity(f'substr(md5(tok), {d}, 1)')} = 1 "
+    f"THEN 1 ELSE -1 END) AS v{d}"
+    for d in range(1, 17)
+)
+_BIT_CONCAT = " || ".join(
+    f"CASE WHEN v{d} > 0 THEN '1' ELSE '0' END" for d in range(1, 17)
+)
+
+
+@register(
+    "simhash_buckets",
+    oracle=f"""
+        WITH {_sql_corpus(near_dups=True)},
+        tokd AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+            FROM corpus
+        ),
+        votes AS (SELECT doc_id, {_VOTE_COLS} FROM tokd GROUP BY doc_id),
+        sig AS (SELECT doc_id, {_BIT_CONCAT} AS simhash FROM votes),
+        buckets AS (
+            SELECT simhash, COUNT(*) AS sz FROM sig GROUP BY simhash
+        )
+        SELECT COUNT(*) AS distinct_sigs,
+               SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS dup_buckets,
+               SUM(sz - 1) AS removable_rows,
+               MAX(sz) AS max_bucket
+        FROM buckets
+    """,
+)
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir, near_dups=True)
+    sig = td.simhash16(corpus)
+    buckets = sig.groupBy("simhash").agg(F.count("*").alias("sz"))
+    return buckets.agg(
+        F.count("*").alias("distinct_sigs"),
+        F.sum((F.col("sz") > 1).cast("int")).alias("dup_buckets"),
+        F.sum(F.col("sz") - 1).alias("removable_rows"),
+        F.max("sz").alias("max_bucket"),
+    )
