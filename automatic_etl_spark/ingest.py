@@ -1,0 +1,83 @@
+"""Batch ingestion pipeline (SURVEY.md §3.1 — the reference's main
+entry point, re-expressed as one lazy Spark plan per table).
+
+Reference shape (tools/ingest_runner.py:1598-1787): reflect schema →
+ensure sink table → read in 50k-row pandas chunks → per-chunk clean
+(C1-C19) → intra-chunk dedup (W3) → insert → post-pass staging dedup +
+atomic rename (W1+W2) → count audit (Q1) → status JSON (Q6).
+
+Spark collapses the chunk loop, the three per-chunk cleaning passes
+and the post-pass dedup into ONE plan: scan → single cleaning
+projection → window dedup → atomic overwrite write → audit. Partition
+boundaries replace chunks; the staging-table + RENAME swap becomes the
+write's atomic overwrite commit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automatic_etl_spark.functions.cleaning import clean_table
+from automatic_etl_spark.operators.audit import grand_total, reconcile_counts
+from automatic_etl_spark.operators.dedup import latest_version
+
+
+@dataclass
+class IngestSpec:
+    """Per-table ingestion config — the engine-side analog of the
+    reference's CLI flags (--dedup, unique key, version column;
+    ingest_runner.py:2054-2069)."""
+
+    clean_specs: dict[str, dict] | None = None
+    dedup_keys: tuple[str, ...] = ()
+    version_cols: tuple[str, ...] = ()
+    tiebreaker: tuple[str, ...] = ()
+    audit_key: str | None = None
+    partition_by: tuple[str, ...] = field(default_factory=tuple)
+
+
+def transform(source: DataFrame, spec: IngestSpec) -> DataFrame:
+    """The lazy clean→dedup plan (no write) — W3/W1 share one window."""
+    out = source
+    if spec.clean_specs:
+        out = clean_table(out, spec.clean_specs)
+    if spec.dedup_keys:
+        out = latest_version(
+            out, spec.dedup_keys, list(spec.version_cols), spec.tiebreaker
+        )
+    return out
+
+
+def ingest_table(
+    spark: SparkSession,
+    source: DataFrame,
+    target_path: str,
+    spec: IngestSpec,
+) -> DataFrame:
+    """Full pipeline for one table; returns the audit report DataFrame
+    (per-key counts + verdict, Q1). The write is an atomic overwrite —
+    the Spark analog of the reference's tmp-table + RENAME swap (W2).
+    """
+    writer = transform(source, spec).write.mode("overwrite")
+    if spec.partition_by:
+        writer = writer.partitionBy(*spec.partition_by)
+    writer.parquet(target_path)
+
+    sink = spark.read.parquet(target_path)
+    key = spec.audit_key or (spec.dedup_keys[0] if spec.dedup_keys else None)
+    if key is None:
+        src_cnt = source.count()
+        snk_cnt = sink.count()
+        return spark.createDataFrame(
+            [(src_cnt, snk_cnt, src_cnt - snk_cnt)],
+            "src_cnt long, snk_cnt long, diff long",
+        )
+    return reconcile_counts(source, sink, key=key, key_alias=key)
+
+
+def ingest_status(audit: DataFrame) -> DataFrame:
+    """Q6 status rollup: totals + overall verdict."""
+    return grand_total(audit)

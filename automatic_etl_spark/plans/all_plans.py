@@ -31,6 +31,10 @@ try:
     from automatic_etl_spark.plans import ingest_plans  # noqa: F401
 except ImportError:
     pass
+try:
+    from automatic_etl_spark.plans import multimodal_plans  # noqa: F401
+except ImportError:
+    pass
 
 from automatic_etl_spark.plans.registry import REGISTRY  # noqa: E402
 

@@ -1,0 +1,194 @@
+"""Oracle-checked CDC plans (SURVEY.md §2.9, §3.2).
+
+``cdc_unwrap_dedup`` drives the FULL envelope path in Spark — build
+Debezium JSON, parse with from_json, SMT-style unwrap with delete
+rewrite, last-writer-wins dedup — while the oracle computes the
+expected END STATE directly from ``events`` (no JSON), proving the
+roundtrip is lossless.
+
+``streaming_hourly_counts`` is genuine Structured Streaming (file
+source → watermark → tumbling window → memory sink, availableNow);
+bounded input makes the result deterministic, so even the streaming
+path gets a value-hash oracle instead of a rows-only check.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.sources.parquet import table
+from automatic_etl_spark.streaming import cdc
+
+
+def stage_stream_dir(sf_dir: str, name: str = "events") -> str:
+    """Spark's file stream source wants a DIRECTORY; stage the fixture
+    file into a temp dir (tiny — the stream tables don't scale with sf)."""
+    import os
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+    shutil.copy(os.path.join(sf_dir, f"{name}.parquet"), d)
+    return d
+
+# Debezium op per event_type — 'error' events play the deletes.
+_OP_MAP = {"signup": "c", "purchase": "u", "click": "u", "view": "r", "error": "d"}
+
+_PAYLOAD = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("tipo", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+_SQL_OP = (
+    "CASE WHEN event_type = 'signup' THEN 'c' "
+    "WHEN event_type IN ('purchase', 'click') THEN 'u' "
+    "WHEN event_type = 'view' THEN 'r' ELSE 'd' END"
+)
+
+
+@register(
+    "cdc_unwrap_dedup",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, user_id, event_type AS tipo, value,
+                   {_SQL_OP} AS op,
+                   epoch_ms(ts) AS ts_ms
+            FROM events
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY ts_ms DESC NULLS LAST, event_id DESC NULLS LAST
+            ) AS rn
+            FROM base
+        ),
+        latest AS (SELECT * FROM ranked WHERE rn = 1)
+        SELECT (op = 'd') AS __deleted,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total,
+               SUM(user_id) AS user_total,
+               MAX(ts_ms) AS max_ts_ms
+        FROM latest GROUP BY 1
+    """,
+)
+def cdc_unwrap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    op = F.lit(None).cast("string")
+    expr = F.lit("d")
+    for etype, opcode in _OP_MAP.items():
+        if opcode != "d":
+            expr = F.when(F.col("event_type") == etype, F.lit(opcode)).otherwise(expr)
+    op = expr
+    payload = F.struct(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type").alias("tipo"),
+        F.col("value"),
+    )
+    envelope = F.struct(
+        F.when(op == "d", payload).alias("before"),
+        F.when(op != "d", payload).alias("after"),
+        F.struct(F.lit("events").alias("table")).alias("source"),
+        op.alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    raw = events.select(F.to_json(envelope).alias("value"))  # the Kafka wire form
+    parsed = cdc.parse_envelope(raw, _PAYLOAD)
+    unwrapped = cdc.unwrap_envelope(parsed)
+    latest = cdc.cdc_microbatch_dedup(
+        unwrapped, keys=["user_id"], version_cols=[F.col("_ts_ms"), F.col("event_id")]
+    )
+    return latest.groupBy("__deleted").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_total"),
+        F.sum("user_id").alias("user_total"),
+        F.max("_ts_ms").alias("max_ts_ms"),
+    )
+
+
+@register(
+    "streaming_hourly_counts",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
+        FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation run to completion with
+    Trigger.AvailableNow — T5 extension semantics on real
+    ``readStream``."""
+    path = stage_stream_dir(sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema  # ts arrives as int64 nanos
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "value_total",
+        )
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "cdc_bronze_stamp",
+    oracle="SELECT COUNT(*) AS cnt, COUNT(*) AS valid_json_cnt FROM events",
+)
+def cdc_bronze_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/T3 bronze landing: raw JSON + processing-time stamp. The
+    stamp itself is wall-clock (excluded from output); the oracle pins
+    row conservation + JSON validity."""
+    events = table(spark, sf_dir, "events")
+    raw = events.select(
+        F.to_json(F.struct(*[F.col(c) for c in events.columns])).alias("value")
+    )
+    bronze = cdc.stamp_bronze(raw)
+    parsed = bronze.withColumn(
+        "k", F.get_json_object(F.col("value"), "$.event_id")
+    )
+    return parsed.agg(
+        F.count("*").alias("cnt"),
+        F.count("k").alias("valid_json_cnt"),
+    )

@@ -1,0 +1,126 @@
+"""CDC stream processing — Debezium envelope semantics on Spark
+(SURVEY.md §2.9, §3.2).
+
+The reference's CDC path: Debezium (MySQL binlog) → Kafka topics →
+ClickHouse Kafka-engine table → MV → ``*_raw`` landing tables, with
+envelope unwrap done either by the ExtractNewRecordState SMT
+(``delete.handling.mode=rewrite`` adds ``__deleted``; reference
+tools/discover_mysql_tables.py:239-242) or a Python consumer taking
+``msg['after']`` (tools/kafka_to_clickhouse.py:56-110).
+
+Spark-first mapping:
+- Kafka-engine table + MV  →  ``readStream`` → ``writeStream.toTable``
+- raw landing table (S9)   →  :func:`stamp_bronze` (ingested_at)
+- SMT unwrap + rewrite (P8/P9/T8) → :func:`unwrap_envelope`
+- ReplacingMergeTree reconciliation (T4) → window dedup per micro-batch
+  via :func:`automatic_etl_spark.operators.dedup.latest_version` inside
+  ``foreachBatch``
+
+Scale notes: unwrap is stateless (no shuffle); the micro-batch dedup
+shuffles on the table key only within the batch, and cross-batch
+last-writer-wins is the MERGE in the silver sink. Watermark + key
+dedup handles duplicate delivery (at-least-once Kafka, T1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def envelope_schema(payload: StructType) -> StructType:
+    """Debezium envelope: {before, after, source, op, ts_ms}."""
+    return StructType(
+        [
+            StructField("before", payload, True),
+            StructField("after", payload, True),
+            StructField(
+                "source",
+                StructType([StructField("table", StringType(), True)]),
+                True,
+            ),
+            StructField("op", StringType(), True),
+            StructField("ts_ms", LongType(), True),
+        ]
+    )
+
+
+def payload_schema_from_sample(spark, sample_json: str) -> StructType:
+    """D6: infer the payload schema from one sample message — the
+    reference's first-message probe (tools/kafka_to_clickhouse.py:53-95)
+    done with Spark's JSON inference."""
+    df = spark.read.json(spark.sparkContext.parallelize([sample_json]))
+    return df.schema
+
+
+def stamp_bronze(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """S9 raw landing shape: (ingested_at, value) with processing-time
+    stamping (T3 — `ingested_at DateTime DEFAULT now()`)."""
+    return raw.select(
+        F.current_timestamp().alias("ingested_at"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+
+
+def parse_envelope(raw: DataFrame, payload: StructType, value_col: str = "value") -> DataFrame:
+    """Kafka value string → typed envelope struct."""
+    return raw.withColumn(
+        "_env", F.from_json(F.col(value_col).cast("string"), envelope_schema(payload))
+    )
+
+
+def unwrap_envelope(parsed: DataFrame, env_col: str = "_env") -> DataFrame:
+    """ExtractNewRecordState with delete rewrite (P9/T8): deletes keep
+    the ``before`` image and get ``__deleted = true``; everything else
+    takes ``after``. Adds ``_op`` and ``_ts_ms`` metadata columns."""
+    env = F.col(env_col)
+    is_delete = env.getField("op") == "d"
+    record = F.when(is_delete, env.getField("before")).otherwise(
+        env.getField("after")
+    )
+    return (
+        parsed.withColumn("_rec", record)
+        .withColumn("__deleted", is_delete)
+        .withColumn("_op", env.getField("op"))
+        .withColumn("_ts_ms", env.getField("ts_ms"))
+        .select("_rec.*", "__deleted", "_op", "_ts_ms")
+    )
+
+
+def cdc_microbatch_dedup(
+    unwrapped: DataFrame, keys: list[str], version_cols: list[str | Column]
+) -> DataFrame:
+    """T4 last-writer-wins within a micro-batch (the reference defers
+    this to ReplacingMergeTree; we do it eagerly per batch)."""
+    from automatic_etl_spark.operators.dedup import latest_version
+
+    return latest_version(unwrapped, keys, version_cols)
+
+
+def foreach_batch_upsert(
+    target_path: str, keys: list[str], version_cols: list[str]
+):
+    """foreachBatch sink: dedup the batch, then last-writer-wins merge
+    into a parquet silver table (T6). Parquet has no MERGE, so the
+    merge is read-modify-overwrite of the union — at scale this is the
+    Delta MERGE INTO path; the semantics here are identical."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        deduped = cdc_microbatch_dedup(batch_df, keys, version_cols)
+        try:
+            existing = spark.read.parquet(target_path)
+            merged = cdc_microbatch_dedup(
+                existing.unionByName(deduped), keys, version_cols
+            )
+        except Exception:
+            merged = deduped
+        merged.write.mode("overwrite").parquet(target_path)
+
+    return _apply

@@ -1,0 +1,119 @@
+"""Structured Streaming tests: envelope unwrap semantics, schema
+inference from sample, and an end-to-end foreachBatch upsert pipeline
+(the reference's CDC path, SURVEY.md §3.2)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from automatic_etl_spark.streaming import cdc
+
+PAYLOAD = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("nombre", StringType(), True),
+    ]
+)
+
+
+def _env(op, before, after, ts_ms):
+    return json.dumps(
+        {"before": before, "after": after, "source": {"table": "t"}, "op": op, "ts_ms": ts_ms}
+    )
+
+
+def test_unwrap_envelope_delete_rewrite(spark):
+    rows = [
+        (_env("c", None, {"id": 1, "nombre": "a"}, 100),),
+        (_env("u", {"id": 1, "nombre": "a"}, {"id": 1, "nombre": "b"}, 200),),
+        (_env("d", {"id": 1, "nombre": "b"}, None, 300),),
+        (_env("r", None, {"id": 2, "nombre": "x"}, 50),),
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    out = cdc.unwrap_envelope(cdc.parse_envelope(raw, PAYLOAD)).collect()
+    by_op = {r["_op"]: r for r in out}
+    assert by_op["d"]["__deleted"] is True
+    assert by_op["d"]["nombre"] == "b"  # delete keeps the before-image
+    assert by_op["u"]["__deleted"] is False and by_op["u"]["nombre"] == "b"
+    assert by_op["r"]["id"] == 2
+
+
+def test_cdc_last_writer_wins(spark):
+    rows = [
+        (_env("c", None, {"id": 1, "nombre": "v1"}, 100),),
+        (_env("u", None, {"id": 1, "nombre": "v2"}, 200),),
+        (_env("u", None, {"id": 2, "nombre": "w1"}, 150),),
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    unwrapped = cdc.unwrap_envelope(cdc.parse_envelope(raw, PAYLOAD))
+    latest = cdc.cdc_microbatch_dedup(unwrapped, ["id"], [F.col("_ts_ms")])
+    state = {r.id: r.nombre for r in latest.collect()}
+    assert state == {1: "v2", 2: "w1"}
+
+
+def test_payload_schema_from_sample(spark):
+    schema = cdc.payload_schema_from_sample(
+        spark, '{"id": 3000000000, "nombre": "x", "tamano": 2.5}'
+    )
+    fields = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert fields["id"] == "bigint"
+    assert fields["nombre"] == "string"
+    assert fields["tamano"] == "double"
+
+
+def test_streaming_foreach_batch_upsert(spark, sf_dir):
+    """events replayed as a file stream → unwrap-less upsert: latest
+    row per user lands in the silver table (T4/T6 end to end)."""
+    from automatic_etl_spark.plans.cdc_plans import stage_stream_dir
+    from automatic_etl_spark.sources.parquet import table
+
+    silver = tempfile.mkdtemp(prefix="silver_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        path = stage_stream_dir(sf_dir, "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = spark.read.parquet(path).schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        query = (
+            stream.writeStream.foreachBatch(
+                cdc.foreach_batch_upsert(silver, ["user_id"], ["ts", "event_id"])
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+        got = {
+            r.user_id: r.event_id
+            for r in spark.read.parquet(silver).collect()
+        }
+        from automatic_etl_spark.operators.dedup import latest_version
+
+        expected = {
+            r.user_id: r.event_id
+            for r in latest_version(
+                table(spark, sf_dir, "events"),
+                ["user_id"],
+                ["ts", "event_id"],
+            ).collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(silver, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
