@@ -1,0 +1,133 @@
+"""Pipeline orchestration: phase DAG with dependencies, retries and
+validators (SURVEY.md §2.9/§3.1 — reference
+tools/master_orchestrator.py:60-229,552-630).
+
+The reference runs phases as subprocesses in containers with
+per-phase timeouts, retries (≤3) and validation scripts. Here a phase
+is a Python callable over a SparkSession; dependency ordering is a
+topological sort; failures isolate per phase (RecoverableError →
+retry, anything else → mark failed, skip dependents) — the same
+fault-tolerance policy as ingest_runner's per-table isolation
+(tools/ingest_runner.py:1749-1759,2211-2224).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+
+class RecoverableError(Exception):
+    """Transient failure — retry the phase (reference
+    tools/ingest_runner.py:190-197)."""
+
+
+@dataclass
+class Phase:
+    name: str
+    run: Callable[..., object]
+    depends_on: tuple[str, ...] = ()
+    validate: Callable[[object], bool] | None = None
+    max_retries: int = 3
+    critical: bool = True  # failed critical phase skips dependents
+
+
+@dataclass
+class PhaseResult:
+    name: str
+    status: str  # 'success' | 'failed' | 'skipped'
+    attempts: int = 0
+    elapsed_sec: float = 0.0
+    error: str | None = None
+    output: object = None
+
+
+@dataclass
+class Orchestrator:
+    phases: list[Phase] = field(default_factory=list)
+
+    def add(self, phase: Phase) -> "Orchestrator":
+        self.phases.append(phase)
+        return self
+
+    def _ordered(self) -> list[Phase]:
+        by_name = {p.name: p for p in self.phases}
+        seen: dict[str, int] = {}  # 0=visiting, 1=done
+        order: list[Phase] = []
+
+        def visit(name: str) -> None:
+            state = seen.get(name)
+            if state == 1:
+                return
+            if state == 0:
+                raise ValueError(f"dependency cycle at {name}")
+            seen[name] = 0
+            for dep in by_name[name].depends_on:
+                if dep not in by_name:
+                    raise ValueError(f"unknown dependency {dep} of {name}")
+                visit(dep)
+            seen[name] = 1
+            order.append(by_name[name])
+
+        for p in self.phases:
+            visit(p.name)
+        return order
+
+    def run(self, context: object = None) -> dict[str, PhaseResult]:
+        results: dict[str, PhaseResult] = {}
+        for phase in self._ordered():
+            failed_dep = any(
+                results[d].status != "success" for d in phase.depends_on
+            )
+            if failed_dep:
+                results[phase.name] = PhaseResult(phase.name, "skipped")
+                continue
+            results[phase.name] = self._run_phase(phase, context)
+        return results
+
+    def _run_phase(self, phase: Phase, context: object) -> PhaseResult:
+        start = time.perf_counter()
+        last_error: str | None = None
+        for attempt in range(1, phase.max_retries + 1):
+            try:
+                output = phase.run(context)
+                if phase.validate is not None and not phase.validate(output):
+                    last_error = "validation failed"
+                    continue
+                return PhaseResult(
+                    phase.name,
+                    "success",
+                    attempts=attempt,
+                    elapsed_sec=time.perf_counter() - start,
+                    output=output,
+                )
+            except RecoverableError as exc:
+                last_error = str(exc)
+                continue
+            except Exception as exc:
+                last_error = str(exc)
+                break
+        return PhaseResult(
+            phase.name,
+            "failed",
+            attempts=phase.max_retries,
+            elapsed_sec=time.perf_counter() - start,
+            error=last_error,
+        )
+
+
+def status_report(results: dict[str, PhaseResult]) -> dict:
+    """Q6 status JSON shape (reference tools/ingest_runner.py:2250-2268)."""
+    return {
+        "success": all(r.status == "success" for r in results.values()),
+        "phases": {
+            name: {
+                "status": r.status,
+                "attempts": r.attempts,
+                "elapsed_sec": round(r.elapsed_sec, 3),
+                "error": r.error,
+            }
+            for name, r in results.items()
+        },
+    }

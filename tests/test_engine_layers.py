@@ -1,0 +1,190 @@
+"""Unit tests: schema mapping, JDBC option building, DDL layout
+heuristics, profiling, orchestrator DAG (SURVEY.md §1.3, §2.1, §2.8,
+§2.11)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    BooleanType,
+    DecimalType,
+    IntegerType,
+    LongType,
+    StringType,
+    TimestampType,
+)
+
+from automatic_etl_spark.operators import ddl, profile
+from automatic_etl_spark.orchestrator import (
+    Orchestrator,
+    Phase,
+    RecoverableError,
+    status_report,
+)
+from automatic_etl_spark.sources import jdbc, schema as sch
+
+
+def test_mysql_type_mapping():
+    assert isinstance(sch.mysql_type_to_spark("tinyint(1)"), BooleanType)
+    assert isinstance(sch.mysql_type_to_spark("int(11)"), IntegerType)
+    assert isinstance(sch.mysql_type_to_spark("bigint unsigned"), LongType)
+    assert sch.mysql_type_to_spark("decimal(10,2)") == DecimalType(10, 2)
+    assert sch.mysql_type_to_spark("decimal") == DecimalType(18, 6)
+    assert isinstance(sch.mysql_type_to_spark("datetime(3)"), TimestampType)
+    assert isinstance(sch.mysql_type_to_spark("mediumtext"), StringType)
+    assert isinstance(sch.mysql_type_to_spark("whatever"), StringType)
+
+
+def test_reflect_to_struct_pk_not_nullable():
+    cols = [
+        {"name": "id", "mysql_type": "int", "nullable": True, "primary_key": True},
+        {"name": "nombre", "mysql_type": "varchar(50)", "nullable": True},
+    ]
+    st = sch.reflect_to_struct(cols)
+    assert st.fields[0].nullable is False  # PK forced NOT NULL
+    assert st.fields[1].nullable is True
+
+
+def test_clean_specs_from_columns():
+    specs = sch.clean_specs_from_columns(
+        [
+            {"name": "id", "mysql_type": "int", "primary_key": True, "nullable": False},
+            {"name": "f", "mysql_type": "datetime", "nullable": True},
+            {"name": "t", "mysql_type": "time", "nullable": True},
+        ]
+    )
+    assert specs["id"] == {"kind": "integer", "nullable": False, "pk": True}
+    assert specs["f"]["kind"] == "temporal"
+    assert specs["t"]["kind"] == "time"
+
+
+def test_jdbc_scan_options_partitioned():
+    src = jdbc.JdbcSource(url="jdbc:mysql://h:3306/db", user="u", password="p")
+    opts = jdbc.scan_options(
+        src, "db.t", partition_column="id", lower_bound=0, upper_bound=1000,
+        num_partitions=8,
+    )
+    assert opts["dbtable"] == "db.t"
+    assert opts["numPartitions"] == "8"
+    assert opts["fetchsize"] == "50000"
+    limited = jdbc.scan_options(src, "db.t", limit=100)
+    assert "LIMIT 100" in limited["dbtable"]
+
+
+def test_jdbc_filter_tables_system_guard():
+    tables = [("mysql", "user"), ("app", "orders"), ("app", "tmp")]
+    assert jdbc.filter_tables(tables) == [("app", "orders"), ("app", "tmp")]
+    assert jdbc.filter_tables(tables, include=["orders"]) == [("app", "orders")]
+    assert jdbc.filter_tables(tables, exclude=["app.tmp"]) == [("app", "orders")]
+    assert ("mysql", "user") in jdbc.filter_tables(tables, allow_system_schemas=True)
+
+
+def test_ddl_layout_heuristics(spark):
+    from automatic_etl_spark.sources.parquet import table
+
+    events_schema = table(spark, "/root/testdata/sf0.001", "events").schema
+    layout = ddl.choose_layout("user_events_log", events_schema, ("event_id",))
+    assert layout.table_kind == "log"
+    assert layout.partition_column == "ts"
+    assert layout.version_column == "ts"
+
+    ref_layout = ddl.choose_layout("catalogo_tipos", events_schema)
+    assert ref_layout.table_kind == "reference" and ref_layout.upsert
+
+    plain = ddl.choose_layout("plain", events_schema)
+    assert plain.table_kind == "default"
+
+
+def test_ddl_write_with_layout_partitions(spark, tmp_path):
+    from automatic_etl_spark.sources.parquet import table
+
+    events = table(spark, "/root/testdata/sf0.001", "events")
+    layout = ddl.choose_layout("events_log", events.schema, ("event_id",))
+    target = str(tmp_path / "events_log")
+    ddl.write_with_layout(events, target, layout)
+    back = spark.read.parquet(target)
+    assert back.count() == events.count()
+    assert "ts_month" in back.columns  # partition column materialized
+    # partition pruning: only one month dir read for a month filter
+    pruned = back.filter(back.ts_month == "202401")
+    assert pruned.count() > 0
+
+
+def test_create_table_sql():
+    from automatic_etl_spark.sources.schema import reflect_to_struct
+
+    st = reflect_to_struct(
+        [{"name": "id", "mysql_type": "int", "primary_key": True},
+         {"name": "fcreacion", "mysql_type": "datetime"}]
+    )
+    layout = ddl.TableLayout("log", ("id",), partition_column="fcreacion")
+    sql = ddl.create_table_sql("db.t", st, layout)
+    assert "CREATE TABLE IF NOT EXISTS db.t" in sql
+    assert "PARTITIONED BY (`fcreacion_month`)" in sql
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "id int, s string"
+    )
+    rows = {r.column: r for r in profile.profile_columns(df).collect()}
+    assert rows["id"].distinct_cnt == 2 and rows["id"].null_cnt == 0
+    assert rows["s"].null_cnt == 1 and rows["s"].min_value == "a"
+
+
+def test_observe_cleaning_stats(spark):
+    df = spark.createDataFrame([(None,), ("2020-01-01",)], "f string")
+    from automatic_etl_spark.functions.cleaning import sanitize_dates
+
+    cleaned = df.select(sanitize_dates("f").alias("f"))
+    observed, obs = profile.observed_cleaning_stats(cleaned, ["f"])
+    observed.collect()
+    assert obs.get["rows"] == 2 and obs.get["f_nulls"] == 1
+
+
+def test_validate_source_isolation(spark):
+    ok = profile.validate_source(
+        lambda: spark.createDataFrame([(1,)], "x int")
+    )
+    assert ok["ok"] and ok["columns"] == ["x"]
+    bad = profile.validate_source(lambda: spark.read.parquet("/nonexistent"))
+    assert bad["ok"] is False and bad["error"]
+
+
+def test_orchestrator_dag_retries_and_skip():
+    calls = {"flaky": 0}
+
+    def flaky(_):
+        calls["flaky"] += 1
+        if calls["flaky"] < 3:
+            raise RecoverableError("transient")
+        return "ok"
+
+    def boom(_):
+        raise RuntimeError("fatal")
+
+    orch = (
+        Orchestrator()
+        .add(Phase("a", lambda _: 1))
+        .add(Phase("flaky", flaky, depends_on=("a",)))
+        .add(Phase("bad", boom, depends_on=("a",)))
+        .add(Phase("child_of_bad", lambda _: 2, depends_on=("bad",)))
+        .add(Phase("b", lambda _: 3, depends_on=("flaky",), validate=lambda v: v == 3))
+    )
+    results = orch.run()
+    assert results["flaky"].status == "success" and results["flaky"].attempts == 3
+    assert results["bad"].status == "failed"
+    assert results["child_of_bad"].status == "skipped"
+    assert results["b"].status == "success"
+    report = status_report(results)
+    assert report["success"] is False
+
+
+def test_orchestrator_cycle_detection():
+    orch = (
+        Orchestrator()
+        .add(Phase("x", lambda _: 1, depends_on=("y",)))
+        .add(Phase("y", lambda _: 1, depends_on=("x",)))
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        orch.run()
