@@ -137,6 +137,13 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``readStream``."""
     path = stage_stream_dir(sf_dir, "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Stateful-stream shuffle partition count is baked into the
+    # checkpoint at first batch; on a default session that is 200 tiny
+    # tasks. Pin it to the CPU budget (fresh checkpoint per call).
+    from automatic_etl_spark.session import default_parallelism
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
     raw_schema = spark.read.parquet(path).schema  # ts arrives as int64 nanos
     stream = (
         spark.readStream.schema(raw_schema)
@@ -169,6 +176,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.table(name)
 
 

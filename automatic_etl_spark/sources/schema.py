@@ -104,6 +104,41 @@ def reflect_to_struct(columns: list[dict]) -> StructType:
     return StructType(fields)
 
 
+def infer_numeric_types(df, columns: list[str] | None = None) -> dict[str, str]:
+    """C16: auto type inference for untyped string columns — the
+    reference probes with pd.to_numeric (all-integral → int, else
+    float, else string; tools/ingest_runner.py:658-685). One aggregate
+    pass instead of a pandas probe."""
+    from pyspark.sql import functions as F
+
+    cols = columns or [
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+    ]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        d = F.col(c).try_cast("double")
+        aggs.extend(
+            [
+                F.count(F.col(c)).alias(f"{c}__n"),
+                F.count(d).alias(f"{c}__numeric"),
+                F.count(F.when(d == F.floor(d), 1)).alias(f"{c}__integral"),
+            ]
+        )
+    row = df.agg(*aggs).first()
+    out = {}
+    for c in cols:
+        n, numeric, integral = row[f"{c}__n"], row[f"{c}__numeric"], row[f"{c}__integral"]
+        if n == 0 or numeric < n:
+            out[c] = "string"
+        elif integral == n:
+            out[c] = "long"
+        else:
+            out[c] = "double"
+    return out
+
+
 def clean_specs_from_columns(columns: list[dict]) -> dict[str, dict]:
     """Reflection rows → clean_table specs (the §3.1 pipeline glue)."""
     return {

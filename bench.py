@@ -22,14 +22,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = (
+    # relational / BI hot paths
     "revenue_by_nation",
     "dedup_latest",
-    "clean_table_pipeline",
     "grouped_count_multi",
     "rollup_agg",
     "recent_n",
     "daily_moving_avg",
     "reconciliation",
+    # cleaning pipeline (whole-table single projection)
+    "clean_table_pipeline",
+    # CDC path (JSON envelope roundtrip + last-writer-wins)
+    "cdc_unwrap_dedup",
+    # streaming (availableNow windowed agg)
+    "streaming_hourly_counts",
+    # analytics view layer
+    "analytics_view_dates",
+    # training-data ops
+    "token_stats",
+    "minhash_lsh_dedup",
+    "simhash_buckets",
+    "ann_bruteforce_topk",
+    "multimodal_features",
 )
 
 

@@ -188,3 +188,23 @@ def test_orchestrator_cycle_detection():
     )
     with pytest.raises(ValueError, match="cycle"):
         orch.run()
+
+
+def test_kafka_stream_options():
+    from automatic_etl_spark.sources import kafka
+
+    opts = kafka.stream_options(
+        "broker:9092", kafka.topic_pattern("dbz", "conn1"),
+        max_offsets_per_trigger=1000,
+    )
+    assert opts["subscribePattern"] == "dbz_conn1\\..*"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "1000"
+
+
+def test_infer_numeric_types(spark):
+    df = spark.createDataFrame(
+        [("1", "1.5", "abc"), ("2", "2", "3")], "a string, b string, c string"
+    )
+    inferred = sch.infer_numeric_types(df)
+    assert inferred == {"a": "long", "b": "double", "c": "string"}
