@@ -100,3 +100,101 @@ def lsh_bucketed_topk(
         "q_id", "n_id", F.round(vec.cosine("q_vec", "n_vec"), 6).alias("score")
     )
     return _topk(scored, k)
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    planes: tuple[tuple[int, ...], ...] = DEFAULT_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: block on the
+    sign-projection bucket, score in-bucket pairs, keep
+    ``score >= threshold`` → (a_id, b_id, score).
+
+    Input is a :func:`prepare`-shaped frame (``n_id``, ``n_vec``).
+    The bucket join replaces the quadratic all-pairs cross join with
+    per-bucket pair generation — the same blocking policy as the text
+    MinHash-LSH dedup (operators/text_dedup.py). Scale notes: both
+    sides shuffle once on the bucket key; with B planes there are 2^B
+    buckets, so at cluster scale use ≥16 planes and cap bucket size
+    before the pair join to bound the quadratic term.
+    """
+    b = corpus.withColumn("bucket", projection_bucket(F.col("n_vec"), planes))
+    left = b.select(
+        F.col("n_id").alias("a_id"), F.col("n_vec").alias("a_vec"), "bucket"
+    )
+    right = b.select(
+        F.col("n_id").alias("b_id"), F.col("n_vec").alias("b_vec"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(vec.cosine("a_vec", "b_vec"), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """IVF coarse quantization: assign every corpus vector to its
+    nearest centroid (argmax cosine, ties → smallest centroid id) →
+    (n_id, list_id, n_vec).
+
+    Centroids are broadcast; the argmax is ONE groupBy with map-side
+    partial ``max(struct(score, -c_id, n_vec))`` — no window shuffle
+    over the N×C scored pairs. ``-c_id`` is unique per centroid so the
+    struct comparison never reaches the vector payload.
+    """
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        "n_id",
+        "n_vec",
+        vec.cosine("n_vec", "c_vec").alias("cscore"),
+        (-F.col("c_id")).alias("neg_c"),
+    )
+    best = scored.groupBy("n_id").agg(
+        F.max(F.struct("cscore", "neg_c", "n_vec")).alias("m")
+    )
+    return best.select(
+        "n_id",
+        (-F.col("m.neg_c")).alias("list_id"),
+        F.col("m.n_vec").alias("n_vec"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are partitioned into
+    centroid lists (:func:`ivf_assign`); each query probes its
+    ``nprobe`` nearest lists and scores only those candidates.
+
+    Scale notes (100 TB): the inverted index is written once,
+    partitioned by ``list_id``; queries × nprobe is a tiny broadcast
+    side, so serving touches only the probed partitions — the classic
+    IVF pruning, expressed as partition pruning + broadcast join.
+    Deterministic throughout: fixed centroids, pinned tiebreakers.
+    """
+    inverted = ivf_assign(corpus, centroids)
+    qscored = queries.crossJoin(F.broadcast(centroids)).select(
+        "q_id", "q_vec", "c_id", vec.cosine("q_vec", "c_vec").alias("cscore")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cscore"), F.asc("c_id"))
+    probe = (
+        qscored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_vec", F.col("c_id").alias("list_id"))
+    )
+    cand = inverted.join(F.broadcast(probe), "list_id").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = cand.select(
+        "q_id", "n_id", F.round(vec.cosine("q_vec", "n_vec"), 6).alias("score")
+    )
+    return _topk(scored, k)

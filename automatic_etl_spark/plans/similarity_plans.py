@@ -94,6 +94,103 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucketed_topk(corpus, queries, k=K)
 
 
+DEDUP_THRESHOLD = 0.35
+CENTROID_MOD = 67  # vec_id % 67 == 3 → the fixed IVF coarse centroids
+NPROBE = 2
+
+
+@register(
+    "embedding_cosine_dedup",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT a_id, b_id, score FROM pairs WHERE score >= {DEDUP_THRESHOLD}
+    """,
+)
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, sign-projection blocked."""
+    emb = table(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(
+        sim.prepare(emb, role="n"), threshold=DEDUP_THRESHOLD
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id AS c_id, v AS cv FROM e
+            WHERE vec_id % {CENTROID_MOD} = 3
+        ),
+        assign AS (
+            SELECT n_id, c_id AS list_id, nv FROM (
+                SELECT n.vec_id AS n_id, n.v AS nv, c.c_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY list_dot_product(n.v, c.cv)
+                                    / (sqrt(list_dot_product(n.v, n.v))
+                                       * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                    c.c_id ASC
+                       ) AS rn
+                FROM e n CROSS JOIN c
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT q_id, c_id AS list_id, qv FROM (
+                SELECT q.vec_id AS q_id, q.v AS qv, c.c_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(q.v, c.cv)
+                                    / (sqrt(list_dot_product(q.v, q.v))
+                                       * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                    c.c_id ASC
+                       ) AS rn
+                FROM e q CROSS JOIN c WHERE q.vec_id % {QUERY_MOD} = 0
+            ) WHERE rn <= {NPROBE}
+        ),
+        scored AS (
+            SELECT p.q_id, a.n_id,
+                   round(list_dot_product(p.qv, a.nv)
+                         / (sqrt(list_dot_product(p.qv, p.qv))
+                            * sqrt(list_dot_product(a.nv, a.nv))), 6) AS score
+            FROM probe p JOIN assign a USING (list_id)
+            WHERE a.n_id <> p.q_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY score DESC, n_id ASC
+            ) AS rank
+            FROM scored
+        )
+        SELECT q_id, n_id, score, rank FROM ranked WHERE rank <= {K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: fixed coarse centroids (vec_id % 67 == 3), nprobe=2."""
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = sim.prepare(emb, role="n")
+    queries = sim.prepare(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0), role="q"
+    )
+    centroids = sim.prepare(
+        emb.filter(F.col("vec_id") % CENTROID_MOD == 3), role="c"
+    )
+    return sim.ivf_topk(corpus, queries, centroids, k=K, nprobe=NPROBE)
+
+
 @register(
     "embedding_norm_stats",
     oracle="""

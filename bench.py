@@ -43,6 +43,8 @@ HEADLINE = (
     "minhash_lsh_dedup",
     "simhash_buckets",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "embedding_cosine_dedup",
     "multimodal_features",
 )
 

@@ -202,6 +202,46 @@ def test_kafka_stream_options():
     assert opts["maxOffsetsPerTrigger"] == "1000"
 
 
+def test_ivf_assign_tie_breaks_to_smallest_centroid(spark):
+    from automatic_etl_spark.operators import similarity as sim
+
+    # Two centroids pointing the same way: every vector ties on cosine
+    # and must land in the lower-id list.
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [0.0, 1.0])],
+        "n_id long, n_vec array<double>",
+    )
+    centroids = spark.createDataFrame(
+        [(10, [1.0, 1.0]), (20, [2.0, 2.0])],
+        "c_id long, c_vec array<double>",
+    )
+    got = {
+        r["n_id"]: r["list_id"]
+        for r in sim.ivf_assign(corpus, centroids).collect()
+    }
+    assert got == {1: 10, 2: 10, 3: 10}
+
+
+def test_cosine_near_dup_blocks_cross_bucket_pairs(spark):
+    from automatic_etl_spark.operators import similarity as sim
+
+    dim = 64
+    up = [(1.0 if i % 2 == 0 else 0.01) for i in range(dim)]
+    down = [-x for x in up]
+    corpus = spark.createDataFrame(
+        [(1, up), (2, up), (3, down), (4, down)],
+        "n_id long, n_vec array<double>",
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): r["score"]
+        for r in sim.cosine_near_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    # identical vectors pair up inside their bucket; opposite-sign
+    # vectors land in a different bucket and are never scored
+    assert set(pairs) == {(1, 2), (3, 4)}
+    assert all(s == 1.0 for s in pairs.values())
+
+
 def test_infer_numeric_types(spark):
     df = spark.createDataFrame(
         [("1", "1.5", "abc"), ("2", "2", "3")], "a string, b string, c string"
