@@ -198,6 +198,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir, near_dups=True)
+    # The shingle table feeds the signature build, both sides of the
+    # verification self-join, and the size aggregate. Recomputing it is
+    # measurably cheaper than persist() at bench scale (A/B: caching
+    # adds ~0.5-1s via memory-store writes and blocking AQE through
+    # InMemoryRelation); at 100 TB the LSH pipeline would instead
+    # WRITE the shingle/signature tables once and verify from disk.
     sh = td.shingle_rows(corpus)
     signatures = td.minhash_signatures(sh, NUM_HASHES)
     candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)

@@ -56,7 +56,38 @@ def _nanos_ts_columns(path: str) -> list[str]:
     return _NANOS_TS_CACHE[path]
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Fixture files are written as ONE parquet row group, so a scan can
+# never parallelize past one task per file no matter how small
+# maxPartitionBytes is. Below this size we leave the table alone (dims
+# like region/nation/supplier should stay broadcast-cheap); above it we
+# repartition to the CPU budget so downstream per-row work (cleaning
+# regexes, shingle md5s, from_json, cosine folds, mapInPandas) uses
+# every core. At cluster scale files exceed cores × maxPartitionBytes,
+# the scan already has enough splits, and this is a no-op — the
+# decision is made from file size alone, no job is triggered.
+_FAN_OUT_MIN_BYTES = 256 * 1024
+
+
+_SIZE_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(value: str) -> int:
+    v = value.strip().lower().removesuffix("b")
+    if v and v[-1] in _SIZE_UNITS:
+        return int(v[:-1]) * _SIZE_UNITS[v[-1]]
+    return int(v)
+
+
+def _scan_splits(spark: SparkSession, path: str) -> int:
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    return max(1, os.path.getsize(path) // max_bytes)
+
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
+) -> DataFrame:
     """Load one fixture table lazily (scan node only, no action)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_ts_columns(path)
@@ -67,6 +98,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if fan_out and os.path.isfile(path):
+        from automatic_etl_spark.session import default_parallelism
+
+        target = default_parallelism()
+        if (
+            os.path.getsize(path) >= _FAN_OUT_MIN_BYTES
+            and _scan_splits(spark, path) < target
+        ):
+            df = df.repartition(target)
     return df
 
 
