@@ -181,6 +181,65 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stateful_running_totals",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               SUM(CAST(floor(value * 100) AS BIGINT)) AS cents_total
+        FROM events GROUP BY user_id
+    """,
+)
+def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState over a genuine multi-batch stream: events
+    split into 2 files, maxFilesPerTrigger=1 → per-user GroupState
+    accumulates across batches; the last emission per user (the row
+    with the highest n_events — counts strictly increase) must equal
+    the plain batch aggregate. Integer-cents state keeps accumulation
+    exact under ANY file→batch assignment."""
+    import os
+
+    from automatic_etl_spark.session import default_parallelism
+    from automatic_etl_spark.streaming.stateful import running_user_totals
+
+    events = table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.col("value") * 100).alias("cents")
+    )
+    stage = tempfile.mkdtemp(prefix="stateful_stage_")
+    data_dir = os.path.join(stage, "data")
+    events.coalesce(2).write.mode("overwrite").parquet(data_dir)
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    stream = (
+        spark.readStream.schema("user_id long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    query = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stateful_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "cents_total")
+    )
+
+
+@register(
     "cdc_bronze_stamp",
     oracle="SELECT COUNT(*) AS cnt, COUNT(*) AS valid_json_cnt FROM events",
 )

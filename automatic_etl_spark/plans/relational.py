@@ -482,6 +482,11 @@ def daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("ts").alias("d"))
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
     )
+    # Unpartitioned window is intentional and bounded: its input is the
+    # DAILY rollup (one row per distinct day — thousands of rows even at
+    # 100 TB of events), not the raw table. The heavy reduction happens
+    # in the partial-agg groupBy above; the single-partition window then
+    # touches only the tiny rollup.
     w = Window.orderBy(F.asc("d")).rowsBetween(-6, 0)
     return daily.select(
         "d",

@@ -1,0 +1,82 @@
+"""Oracle-checked plans for the skew-salting operators.
+
+``event_type`` has ~5 distinct values over the whole events table —
+exactly the hot-key shape where an unsalted shuffle concentrates each
+key on one reducer. The oracles run the PLAIN join/agg SQL: salting
+must be result-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automatic_etl_spark.operators import skew
+from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.sources.parquet import table
+
+EVENT_WEIGHTS = (
+    ("click", 1),
+    ("view", 2),
+    ("signup", 5),
+    ("purchase", 10),
+    ("error", 0),
+)
+
+_SQL_WEIGHTS = ", ".join(f"('{t}', {w})" for t, w in EVENT_WEIGHTS)
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,4)")
+    )
+    out = skew.salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "cnt": ("count", "*"),
+            "total_value": ("sum", "value_dec"),
+            "max_value": ("max", "value"),
+        },
+        buckets=16,
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+@register(
+    "skew_salted_join",
+    oracle=f"""
+        SELECT e.event_type,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(e.value * w.weight AS DECIMAL(18,4))) AS DOUBLE)
+                   AS weighted_value
+        FROM events e
+        JOIN (VALUES {_SQL_WEIGHTS}) AS w(event_type, weight)
+          ON e.event_type = w.event_type
+        GROUP BY e.event_type
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    # shuffle_hash hint models the cluster case where dim × buckets is
+    # past the broadcast threshold — the shape salting exists for.
+    dim = spark.createDataFrame(
+        list(EVENT_WEIGHTS), "event_type string, weight int"
+    ).hint("shuffle_hash")
+    joined = skew.salted_join(events, dim, "event_type", buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum((F.col("value") * F.col("weight")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("weighted_value"),
+    )

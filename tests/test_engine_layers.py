@@ -5,6 +5,7 @@ heuristics, profiling, orchestrator DAG (SURVEY.md §1.3, §2.1, §2.8,
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     DecimalType,
@@ -240,6 +241,38 @@ def test_cosine_near_dup_blocks_cross_bucket_pairs(spark):
     # vectors land in a different bucket and are never scored
     assert set(pairs) == {(1, 2), (3, 4)}
     assert all(s == 1.0 for s in pairs.values())
+
+
+def test_salted_ops_match_plain(spark):
+    from automatic_etl_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(50)] + [("b", 1, 2.0), (None, 3, 4.0)],
+        "k string, n long, v double",
+    )
+    plain = {
+        (r["k"],): (r["cnt"], r["sv"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("cnt"), F.sum("v").alias("sv"), F.max("n").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["k"],): (r["cnt"], r["sv"], r["mx"])
+        for r in skew.salted_agg(
+            df, ["k"], {"cnt": ("count", "*"), "sv": ("sum", "v"), "mx": ("max", "n")}
+        ).collect()
+    }
+    assert salted == plain
+
+    dim = spark.createDataFrame([("a", 10), ("b", 20)], "k string, w int")
+    plain_join = sorted(
+        (r["k"], r["n"], r["w"]) for r in df.join(dim, "k").collect()
+    )
+    salted_join = sorted(
+        (r["k"], r["n"], r["w"])
+        for r in skew.salted_join(df, dim, "k", buckets=4).collect()
+    )
+    assert salted_join == plain_join
 
 
 def test_infer_numeric_types(spark):
