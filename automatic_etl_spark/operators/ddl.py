@@ -114,6 +114,37 @@ def write_with_layout(df: DataFrame, path: str, layout: TableLayout) -> None:
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_columns: tuple[str, ...],
+    num_buckets: int,
+    path: str | None = None,
+    sort_columns: tuple[str, ...] = (),
+) -> None:
+    """Hash-bucketed table write — the co-located-join layout.
+
+    Both sides of a recurring join written with the SAME bucket spec
+    join WITHOUT a shuffle: the scan exposes its bucketing as the
+    join's required distribution, so the Exchange disappears from the
+    plan. This is the Spark analog of the reference's fixed MergeTree
+    ORDER BY locality, upgraded to actually co-locate join keys — at
+    100 TB it converts every fact-fact join on the bucket key from a
+    full shuffle into a local zip of bucket files.
+
+    One repartition to ``num_buckets`` on the bucket columns up front
+    gives one file per bucket, which also lets the sorted-scan path
+    kick in when ``sort_columns`` match the join keys.
+    """
+    out = df.repartition(num_buckets, *[F.col(c) for c in bucket_columns])
+    writer = out.write.mode("overwrite").bucketBy(num_buckets, *bucket_columns)
+    if sort_columns:
+        writer = writer.sortBy(*sort_columns)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def create_table_sql(
     name: str, schema: StructType, layout: TableLayout, location: str | None = None
 ) -> str:

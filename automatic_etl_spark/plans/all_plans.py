@@ -43,6 +43,10 @@ try:
     from automatic_etl_spark.plans import skew_plans  # noqa: F401
 except ImportError:
     pass
+try:
+    from automatic_etl_spark.plans import storage_plans  # noqa: F401
+except ImportError:
+    pass
 
 from automatic_etl_spark.plans.registry import REGISTRY  # noqa: E402
 

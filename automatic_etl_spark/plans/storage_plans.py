@@ -1,0 +1,142 @@
+"""Oracle-checked plans for physical-layout and file-format sources:
+bucketed co-located join (D1 extension) and CSV / JSON-lines readers.
+
+The bucketed join writes both sides with the same bucket spec and then
+joins WITHOUT a shuffle — tests/test_engine_layers.py asserts the
+executed plan has no Exchange above the scans. The file-source plans
+round-trip real data through the format and must reproduce the
+parquet-derived aggregate exactly.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automatic_etl_spark.operators.ddl import write_bucketed
+from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.sources import files
+from automatic_etl_spark.sources.parquet import table
+
+BUCKETS = 8
+
+
+def build_bucketed_join(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Write lineitem+orders bucketed by order key, return (joined
+    pre-agg frame, aggregated result). Shared by the plan and the
+    no-Exchange plan test."""
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    lt, ot = f"li_bkt_{run}", f"od_bkt_{run}"
+    write_bucketed(
+        li, lt, ("l_orderkey",), BUCKETS,
+        path=f"{base}/{lt}", sort_columns=("l_orderkey",),
+    )
+    write_bucketed(
+        od, ot, ("o_orderkey",), BUCKETS,
+        path=f"{base}/{ot}", sort_columns=("o_orderkey",),
+    )
+    # merge hint: model the fact-fact case where neither side
+    # broadcasts — the shape bucketing exists for.
+    joined = spark.table(lt).join(
+        spark.table(ot).hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("line_cnt"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+    return joined, agg
+
+
+@register(
+    "bucketed_join_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS line_cnt,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_bucketed_join(spark, sf_dir)[1]
+
+
+@register(
+    "csv_source_agg",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               SUM(CAST(floor(value * 100) AS BIGINT)) AS cents_total,
+               SUM(user_id) AS user_total
+        FROM events GROUP BY event_type
+    """,
+)
+def csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV on disk → explicit-schema read-back → aggregate.
+    Integer cents pre-computed before the text roundtrip so the
+    aggregate is representation-exact."""
+    events = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="csv_src_") + "/events_csv"
+    files.write_csv(events, path)
+    back = files.read_csv(
+        spark,
+        path,
+        schema="event_id long, user_id long, event_type string, cents long",
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("cents").alias("cents_total"),
+        F.sum("user_id").alias("user_total"),
+    )
+
+
+@register(
+    "json_source_agg",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               SUM(CAST(floor(value * 100) AS BIGINT)) AS cents_total,
+               MAX(event_id) AS max_event_id
+        FROM events GROUP BY event_type
+    """,
+)
+def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON lines on disk → schema read-back → aggregate."""
+    events = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="json_src_") + "/events_json"
+    files.write_json(events, path)
+    back = files.read_json(
+        spark, path, schema="event_id long, event_type string, cents long"
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("cents").alias("cents_total"),
+        F.max("event_id").alias("max_event_id"),
+    )

@@ -275,6 +275,15 @@ def test_salted_ops_match_plain(spark):
     assert salted_join == plain_join
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    from automatic_etl_spark.plans.storage_plans import build_bucketed_join
+
+    joined, _ = build_bucketed_join(spark, "/root/testdata/sf0.001")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket co-location removed the shuffle
+
+
 def test_infer_numeric_types(spark):
     df = spark.createDataFrame(
         [("1", "1.5", "abc"), ("2", "2", "3")], "a string, b string, c string"
