@@ -24,6 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = (
     # relational / BI hot paths
     "revenue_by_nation",
+    "pricing_summary",
+    "shipping_priority",
     "dedup_latest",
     "grouped_count_multi",
     "rollup_agg",
