@@ -105,6 +105,18 @@ def jaccard_pairs(
     this is the exact quadratic baseline.
     """
     sizes = shingles_df.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if candidates is not None:
+        # Prune BEFORE the quadratic pair join: only shingles of docs
+        # that appear in some candidate pair can contribute — this is
+        # what makes LSH verification sub-quadratic at scale (without
+        # it the full self-join runs and candidates only filter its
+        # output).
+        cand_docs = (
+            candidates.select(F.col("a_id").alias("doc_id"))
+            .unionByName(candidates.select(F.col("b_id").alias("doc_id")))
+            .distinct()
+        )
+        shingles_df = shingles_df.join(cand_docs, "doc_id", "left_semi")
     a = shingles_df.alias("a")
     b = shingles_df.alias("b")
     inter = (
@@ -116,6 +128,8 @@ def jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     if candidates is not None:
+        # candidate docs can still pair with non-candidates or each
+        # other outside any shared band — keep candidate PAIRS only
         inter = inter.join(candidates, ["a_id", "b_id"], "left_semi")
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
