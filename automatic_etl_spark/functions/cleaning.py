@@ -40,6 +40,17 @@ from pyspark.sql import functions as F
 # C5: null-sentinel strings (ingest_runner.py:506-574).
 NULL_SENTINELS = ("null", "NULL", "nan", "NaN", "None", "", "na", "NA")
 
+# C14: the reference's whitespace handling is Python 3 (``\s`` and
+# ``str.strip`` are Unicode-aware — NBSP etc. count as whitespace);
+# Java's ``\s`` and ``trim`` are ASCII-only. This literal class lists
+# the Unicode space characters explicitly with ``\x{...}`` escapes,
+# which BOTH Java regex (Spark) and RE2 (DuckDB oracles) accept —
+# found by the hypothesis property tests (U+00A0 survived trim).
+UNICODE_WS_CLASS = (
+    r"[\s\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}"
+    r"\x{205f}\x{3000}]"
+)
+
 # C1/C18: MySQL zero-dates (ingest_runner.py:266-267,891-895).
 ZERO_DATES = ("0000-00-00", "0000-00-00 00:00:00")
 
@@ -196,7 +207,7 @@ def normalize_strings(c: Column | str) -> Column:
     control-char strip :39-41)."""
     col = _col(c).cast("string")
     col = F.regexp_replace(col, r"[\x00-\x1f\x7f-\x9f]", " ")
-    col = F.regexp_replace(col, r"\s+", " ")
+    col = F.regexp_replace(col, UNICODE_WS_CLASS + "+", " ")
     col = F.trim(col)
     return F.when(col != "", col)
 

@@ -148,7 +148,7 @@ def clean_integers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "normalize_strings",
-    oracle=r"""
+    oracle=rf"""
         WITH dirty AS (
             SELECT '  ' || c_name || chr(13) || chr(10) || chr(9)
                    || c_mktsegment || '   ' AS s
@@ -156,7 +156,7 @@ def clean_integers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), cleaned AS (
             SELECT NULLIF(trim(regexp_replace(regexp_replace(
                        s, '[\x00-\x1f\x7f-\x9f]', ' ', 'g'),
-                       '\s+', ' ', 'g')), '') AS v
+                       '{cl.UNICODE_WS_CLASS}+', ' ', 'g')), '') AS v
             FROM dirty
         )
         SELECT COUNT(*) AS row_cnt,

@@ -46,3 +46,94 @@ def ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit_key="event_type",
     )
     return ingest_table(spark, events, target, spec)
+
+
+@register(
+    "pipeline_e2e",
+    oracle="""
+        WITH latest AS (
+            SELECT user_id, event_type, ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC NULLS LAST, event_id ASC
+            ) AS rn
+            FROM events
+        ),
+        snk AS (
+            SELECT event_type, COUNT(*) AS snk_cnt
+            FROM latest WHERE rn = 1 GROUP BY event_type
+        ),
+        src AS (
+            SELECT event_type, COUNT(*) AS src_cnt FROM events GROUP BY 1
+        )
+        SELECT src.event_type, src_cnt, snk_cnt,
+               src_cnt - snk_cnt AS diff,
+               CASE WHEN src_cnt = snk_cnt THEN 'OK' ELSE 'MISMATCH' END
+                   AS verdict
+        FROM src JOIN snk USING (event_type)
+    """,
+)
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.1 phase DAG end-to-end through the orchestrator:
+    schema_discovery → data_ingestion (clean+dedup+write) →
+    analytics_views → full_audit, with per-phase validation — the
+    reference's master_orchestrator flow (tools/master_orchestrator.py:
+    60-229) collapsed onto Spark phases. Returns the final audit
+    report; any failed phase raises."""
+    import os
+
+    from automatic_etl_spark.operators.views import create_analytics_views
+    from automatic_etl_spark.orchestrator import Orchestrator, Phase, status_report
+
+    base = tempfile.mkdtemp(prefix="pipeline_e2e_")
+    state: dict = {}
+
+    def discovery(_):
+        tables = [
+            f.removesuffix(".parquet")
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        ]
+        state["tables"] = tables
+        return tables
+
+    def ingestion(_):
+        events = table(spark, sf_dir, "events")
+        spec = IngestSpec(
+            dedup_keys=("user_id",),
+            version_cols=("ts",),
+            tiebreaker=("event_id",),
+            audit_key="event_type",
+        )
+        state["audit"] = ingest_table(
+            spark, events, f"{base}/events_silver", spec
+        )
+        return state["audit"]
+
+    def views(_):
+        silver = spark.read.parquet(f"{base}/events_silver")
+        created = create_analytics_views(spark, {"pipeline_e2e_silver": silver})
+        state["views"] = created
+        return created
+
+    def audit(_):
+        return state["audit"]
+
+    dag = (
+        Orchestrator()
+        .add(Phase("schema_discovery", discovery, validate=lambda t: "events" in t))
+        .add(
+            Phase(
+                "data_ingestion",
+                ingestion,
+                depends_on=("schema_discovery",),
+                validate=lambda df: df is not None,
+            )
+        )
+        .add(Phase("analytics_views", views, depends_on=("data_ingestion",)))
+        .add(Phase("full_audit", audit, depends_on=("data_ingestion",)))
+    )
+    results = dag.run(spark)
+    report = status_report(results)
+    if not report["success"]:
+        raise RuntimeError(f"pipeline failed: {report}")
+    return results["full_audit"].output
