@@ -106,31 +106,37 @@ def jaccard_pairs(
     """
     sizes = shingles_df.groupBy("doc_id").agg(F.count("*").alias("n"))
     if candidates is not None:
-        # Prune BEFORE the quadratic pair join: only shingles of docs
-        # that appear in some candidate pair can contribute — this is
-        # what makes LSH verification sub-quadratic at scale (without
-        # it the full self-join runs and candidates only filter its
-        # output).
-        cand_docs = (
-            candidates.select(F.col("a_id").alias("doc_id"))
-            .unionByName(candidates.select(F.col("b_id").alias("doc_id")))
-            .distinct()
+        # Candidate-driven intersection — NOT a filtered self-join.
+        # Expand each candidate pair with the a-side's shingles, then
+        # probe the b-side's (doc, shingle) set: cost is linear in
+        # |candidates| × shingles-per-doc, immune to hot-shingle skew
+        # (join keys are (doc, shingle), ~unique per side), and never
+        # touches non-candidate docs. This is what makes LSH verify
+        # sub-quadratic at 100 TB; the self-join below stays as the
+        # exact all-pairs baseline.
+        a_sh = candidates.join(
+            shingles_df.select(F.col("doc_id").alias("a_id"), "shingle"),
+            "a_id",
         )
-        shingles_df = shingles_df.join(cand_docs, "doc_id", "left_semi")
-    a = shingles_df.alias("a")
-    b = shingles_df.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        inter = (
+            a_sh.join(
+                shingles_df.select(F.col("doc_id").alias("b_id"), "shingle"),
+                ["b_id", "shingle"],
+            )
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("inter"))
         )
-        .agg(F.count("*").alias("inter"))
-    )
-    if candidates is not None:
-        # candidate docs can still pair with non-candidates or each
-        # other outside any shared band — keep candidate PAIRS only
-        inter = inter.join(candidates, ["a_id", "b_id"], "left_semi")
+    else:
+        a = shingles_df.alias("a")
+        b = shingles_df.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+            )
+            .agg(F.count("*").alias("inter"))
+        )
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     return (
