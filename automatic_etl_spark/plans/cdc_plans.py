@@ -181,6 +181,59 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_replay_dedup",
+    oracle="""
+        SELECT event_type, COUNT(*) AS cnt, SUM(user_id) AS user_total
+        FROM events GROUP BY event_type
+    """,
+)
+def streaming_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 at-least-once semantics made exact: the staged stream carries
+    every event TWICE (replayed delivery); streaming ``dropDuplicates``
+    on the event key holds seen-keys state across batches, so the sink
+    equals the exactly-once result. Scale notes: dedup state shuffles
+    on the key; in production bound it with
+    ``dropDuplicatesWithinWatermark`` so state ages out with the
+    delivery-replay horizon."""
+    import os
+
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    doubled = events.unionByName(events)  # the replayed delivery
+    stage = tempfile.mkdtemp(prefix="replay_stage_")
+    data_dir = os.path.join(stage, "data")
+    doubled.coalesce(2).write.mode("overwrite").parquet(data_dir)
+
+    from automatic_etl_spark.session import default_parallelism
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    name = f"replay_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        stream.dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="replay_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("user_id").alias("user_total"))
+    )
+
+
+@register(
     "stateful_running_totals",
     oracle="""
         SELECT user_id,

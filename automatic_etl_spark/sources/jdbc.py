@@ -75,6 +75,41 @@ def read_table(spark: SparkSession, source: JdbcSource, table: str, **kwargs) ->
     return reader.load()
 
 
+def write_options(
+    source: JdbcSource,
+    table: str,
+    batchsize: int = 50_000,
+    truncate: bool = False,
+    isolation_level: str = "READ_COMMITTED",
+) -> dict[str, str]:
+    """S11/S12 sink options: ``batchsize`` mirrors the reference's
+    50k-row insert chunks (tools/ingest_runner.py:2054); ``truncate``
+    with mode('overwrite') reproduces TRUNCATE-before-load (S12,
+    :1722-1727) without dropping the table DDL."""
+    opts = source.base_options()
+    opts.pop("fetchsize", None)
+    opts.update(
+        dbtable=table,
+        batchsize=str(batchsize),
+        isolationLevel=isolation_level,
+        truncate=str(truncate).lower(),
+    )
+    return opts
+
+
+def write_table(
+    df: DataFrame,
+    source: JdbcSource,
+    table: str,
+    mode: str = "append",
+    **kwargs,
+) -> None:
+    writer = df.write.format("jdbc").mode(mode)
+    for key, value in write_options(source, table, **kwargs).items():
+        writer = writer.option(key, value)
+    writer.save()
+
+
 def discovery_query(schema_filter: str | None = None) -> str:
     """S2 table discovery: BASE TABLEs from information_schema
     (reference tools/gen_pipeline.py:43-56)."""

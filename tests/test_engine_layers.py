@@ -191,6 +191,16 @@ def test_orchestrator_cycle_detection():
         orch.run()
 
 
+def test_jdbc_write_options():
+    src = jdbc.JdbcSource(url="jdbc:mysql://h:3306/db", user="u", password="p")
+    opts = jdbc.write_options(src, "db.t", truncate=True)
+    assert opts["dbtable"] == "db.t"
+    assert opts["batchsize"] == "50000"  # reference CHUNKSIZE parity
+    assert opts["truncate"] == "true"
+    assert opts["isolationLevel"] == "READ_COMMITTED"
+    assert "fetchsize" not in opts  # read-side only
+
+
 def test_kafka_stream_options():
     from automatic_etl_spark.sources import kafka
 
