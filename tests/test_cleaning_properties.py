@@ -127,3 +127,65 @@ def test_zero_dates_and_sentinels_always_null(spark, values):
     for v, ts in zip(payload, got):
         if v.strip() in cl.ZERO_DATES or v.strip() in cl.NULL_SENTINELS:
             assert ts is None
+
+
+# --- dedup: latest_version vs a pure-Python model ----------------------------
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),        # key
+        st.one_of(st.none(), st.integers(min_value=0, max_value=20)),  # version
+        st.integers(min_value=0, max_value=10**6),     # tiebreak id (unique-ish)
+        st.text(max_size=5),                           # payload
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+def _expected_latest(rows):
+    best = {}
+    for k, v, i, p in rows:
+        cur = best.get(k)
+        # DESC NULLS LAST on version, then ASC on id
+        cand_rank = ((v is None), -(v if v is not None else 0), i)
+        if cur is None or cand_rank < cur[0]:
+            best[k] = (cand_rank, (k, v, i, p))
+    return sorted(r for _, r in best.values())
+
+
+@PROP
+@given(rows=rows_strategy)
+def test_latest_version_matches_python_model(spark, rows):
+    from automatic_etl_spark.operators.dedup import latest_version
+
+    # make tiebreak ids unique so the expected winner is well-defined
+    rows = [(k, v, i * 100 + n, p) for n, (k, v, i, p) in enumerate(rows)]
+    df = spark.createDataFrame(
+        rows, "k long, version long, id long, payload string"
+    )
+    got = sorted(
+        (r["k"], r["version"], r["id"], r["payload"])
+        for r in latest_version(df, ["k"], ["version"], ("id",)).collect()
+    )
+    assert got == _expected_latest(rows)
+
+
+# --- text: token_count / fingerprint determinism ------------------------------
+
+
+@PROP
+@given(values=st.lists(st.text(max_size=30), min_size=1, max_size=50))
+def test_token_count_matches_python_split(spark, values):
+    from automatic_etl_spark.functions import text as tx
+
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    got = [
+        r["c"] for r in df.select(tx.token_count("raw").alias("c")).collect()
+    ]
+    for v, n in zip(values, got):
+        expected = len([t for t in v.strip().lower().split() if t])
+        # tokens() splits on ASCII \s+ after trim/lower; python split()
+        # is unicode-aware, so only assert on ASCII-space inputs
+        if all((not ch.isspace()) or ch in " \t\n\r\x0b\x0c" for ch in v):
+            assert n == expected, (v, n, expected)
