@@ -37,17 +37,20 @@ def _col(c: Column | str) -> Column:
 
 
 def tokens(c: Column | str) -> Column:
-    """Whitespace tokens of the lowercased text; empty text → []."""
+    """Whitespace tokens of the lowercased text; empty/blank text → [].
+
+    Empty strings from leading/trailing separators are dropped so the
+    semantics match Python's ``str.split()`` (``trim`` strips only
+    0x20; a leading ``\\t`` would otherwise yield a phantom ''
+    token — found by the hypothesis property tests)."""
     t = F.trim(F.lower(_col(c)))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    return F.array_remove(F.split(t, r"\s+"), "")
 
 
 def token_count(c: Column | str) -> Column:
     """Whitespace token count (the reference-free baseline tokenizer)."""
     t = F.trim(_col(c))
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.size(F.array_remove(F.split(t, r"\s+"), ""))
 
 
 def bpe_token_count(c: Column | str) -> Column:

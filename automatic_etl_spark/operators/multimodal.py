@@ -89,3 +89,80 @@ def extract_features(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, fmt string, width long, height long, "
+    "resized_width long, resized_height long, payload binary"
+)
+
+
+def resize_media(blobs: DataFrame, max_side: int = 64) -> DataFrame:
+    """mapInPandas resize: scale the (fake-decoded) dimensions so the
+    longest side is ``max_side``, preserving aspect ratio with
+    integer-floor math. The payload passthrough keeps the Spark-side
+    shape production-real (a real impl would re-encode via PIL here —
+    see :func:`decode_media` for the stub policy)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            widths, heights, rws, rhs, payloads = [], [], [], [], []
+            for payload in batch["payload"]:
+                raw = bytes(payload)
+                _, w, h = _fake_dims(raw)
+                scale_num, scale_den = max_side, max(w, h)
+                widths.append(w)
+                heights.append(h)
+                rws.append(w * scale_num // scale_den)
+                rhs.append(h * scale_num // scale_den)
+                payloads.append(raw)  # re-encode goes here in production
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "fmt": batch["fmt"],
+                    "width": widths,
+                    "height": heights,
+                    "resized_width": rws,
+                    "resized_height": rhs,
+                    "payload": payloads,
+                }
+            )
+
+    return blobs.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_offset long, frame_md5 string"
+
+
+def sample_frames(blobs: DataFrame, num_frames: int = 4) -> DataFrame:
+    """mapInPandas frame sampling: one output row per sampled frame
+    (the video→rows fan-out shape). Frames are evenly-spaced byte
+    offsets into the payload with an md5 over a window at each offset —
+    a deterministic stand-in for keyframe extraction (pyav/ffmpeg in
+    production). Emitting multiple rows per input through mapInPandas
+    is exactly how a real frame sampler scales: the fan-out happens
+    executor-side, batch by batch, never on the driver."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, offsets, hashes = [], [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                raw = bytes(payload)
+                n = max(len(raw), 1)
+                for i in range(num_frames):
+                    off = (i * n) // num_frames
+                    window = raw[off : off + 16]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offsets.append(off)
+                    hashes.append(hashlib.md5(window).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_offset": offsets,
+                    "frame_md5": hashes,
+                }
+            )
+
+    return blobs.mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -57,7 +57,9 @@ def _sql_corpus(near_dups: bool) -> str:
 
 _SQL_SHINGLES = """
         toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x <> '') AS t
             FROM corpus
         ),
         sh AS (
@@ -248,7 +250,8 @@ _BIT_CONCAT = " || ".join(
         WITH {_sql_corpus(near_dups=True)},
         tokd AS (
             SELECT DISTINCT doc_id,
-                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+                   unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                          '\\s+'), x -> x <> '')) AS tok
             FROM corpus
         ),
         votes AS (SELECT doc_id, {_VOTE_COLS} FROM tokd GROUP BY doc_id),

@@ -57,3 +57,74 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fake_height").alias("height_total"),
         F.countDistinct("payload_md5").alias("distinct_payloads"),
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   64 + {_sql_hexval("substr(md5(text), 1, 1)")} * 8 AS w,
+                   64 + {_sql_hexval("substr(md5(text), 2, 1)")} * 8 AS h
+            FROM documents
+        ),
+        resized AS (
+            SELECT doc_id, w, h,
+                   (w * 64) // GREATEST(w, h) AS rw,
+                   (h * 64) // GREATEST(w, h) AS rh
+            FROM dims
+        )
+        SELECT COUNT(*) AS cnt,
+               SUM(w) AS width_total,
+               SUM(rw) AS resized_width_total,
+               SUM(rh) AS resized_height_total,
+               MAX(GREATEST(rw, rh)) AS max_resized_side
+        FROM resized
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from automatic_etl_spark.operators.multimodal import resize_media
+
+    docs = table(spark, sf_dir, "documents")
+    resized = resize_media(make_blob_table(docs), max_side=64)
+    return resized.agg(
+        F.count("*").alias("cnt"),
+        F.sum("width").alias("width_total"),
+        F.sum("resized_width").alias("resized_width_total"),
+        F.sum("resized_height").alias("resized_height_total"),
+        F.max(F.greatest("resized_width", "resized_height")).alias(
+            "max_resized_side"
+        ),
+    )
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+        WITH docs AS (
+            SELECT doc_id, text, GREATEST(length(text), 1) AS n FROM documents
+        ),
+        frames AS (
+            SELECT doc_id,
+                   i AS frame_idx,
+                   (i * n) // 4 AS frame_offset,
+                   md5(substring(text, ((i * n) // 4) + 1, 16)) AS frame_md5
+            FROM docs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+        )
+        SELECT frame_idx,
+               COUNT(*) AS cnt,
+               SUM(frame_offset) AS offset_total,
+               COUNT(DISTINCT frame_md5) AS distinct_frames
+        FROM frames GROUP BY frame_idx
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from automatic_etl_spark.operators.multimodal import sample_frames
+
+    docs = table(spark, sf_dir, "documents")
+    frames = sample_frames(make_blob_table(docs), num_frames=4)
+    return frames.groupBy("frame_idx").agg(
+        F.count("*").alias("cnt"),
+        F.sum("frame_offset").alias("offset_total"),
+        F.countDistinct("frame_md5").alias("distinct_frames"),
+    )

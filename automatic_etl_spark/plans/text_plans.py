@@ -18,9 +18,10 @@ from automatic_etl_spark.sources.parquet import table
 
 
 def _sql_token_count(col: str) -> str:
+    # empty tokens dropped, mirroring functions/text.py tokens()
     return (
-        f"CASE WHEN trim({col}) = '' THEN 0 "
-        f"ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END"
+        f"len(list_filter(regexp_split_to_array(trim({col}), '\\s+'),"
+        f" x -> x <> ''))"
     )
 
 
