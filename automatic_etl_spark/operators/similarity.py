@@ -164,6 +164,35 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def mean_centroid_stats(inverted: DataFrame) -> DataFrame:
+    """The IVF training step: per-list mean centroid, computed as a
+    distributed array aggregation — ``posexplode`` fans each vector
+    into (list_id, pos, val) rows, a single groupBy produces exact
+    per-dimension decimal sums (map-side partial agg collapses the
+    64× row blow-up before the shuffle), and a second tiny groupBy
+    folds dimensions into the centroid norm.
+
+    Returns (list_id, n_members, centroid_norm) with the norm rounded
+    at 1e-6 over exact decimal intermediates, so the result is
+    identical under any partitioning (and to the DuckDB oracle).
+    """
+    ex = inverted.select(
+        "list_id", F.posexplode("n_vec").alias("pos", "val")
+    )
+    dims = ex.groupBy("list_id", "pos").agg(
+        F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+        F.count("*").alias("c"),
+    )
+    mean = F.round(F.col("s").cast("double") / F.col("c"), 6).cast(
+        "decimal(18,6)"
+    )
+    per_dim = dims.select("list_id", (mean * mean).alias("sq"), "c")
+    return per_dim.groupBy("list_id").agg(
+        F.max("c").alias("n_members"),
+        F.round(F.sqrt(F.sum("sq").cast("double")), 6).alias("centroid_norm"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

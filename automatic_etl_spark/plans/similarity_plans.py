@@ -218,3 +218,69 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("norm_total"),
         )
     )
+
+
+_SQL_ASSIGN = f"""
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id AS c_id, v AS cv FROM e
+            WHERE vec_id % {CENTROID_MOD} = 3
+        ),
+        assign AS (
+            SELECT n_id, c_id AS list_id, nv FROM (
+                SELECT n.vec_id AS n_id, n.v AS nv, c.c_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY list_dot_product(n.v, c.cv)
+                                    / (sqrt(list_dot_product(n.v, n.v))
+                                       * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                    c.c_id ASC
+                       ) AS rn
+                FROM e n CROSS JOIN c
+            ) WHERE rn = 1
+        )
+"""
+
+
+@register(
+    "ivf_mean_centroids",
+    oracle=f"""
+        WITH {_SQL_ASSIGN},
+        ex AS (
+            SELECT list_id,
+                   unnest(nv) AS val,
+                   unnest(range(1, len(nv) + 1)) AS ord
+            FROM assign
+        ),
+        dims AS (
+            SELECT list_id, ord,
+                   SUM(CAST(val AS DECIMAL(28,12))) AS s,
+                   COUNT(*) AS c
+            FROM ex GROUP BY 1, 2
+        ),
+        sq AS (
+            SELECT list_id,
+                   CAST(round(CAST(s AS DOUBLE) / c, 6) AS DECIMAL(18,6)) AS m,
+                   c
+            FROM dims
+        )
+        SELECT list_id,
+               MAX(c) AS n_members,
+               round(sqrt(CAST(SUM(m * m) AS DOUBLE)), 6) AS centroid_norm
+        FROM sq GROUP BY list_id
+    """,
+)
+def ivf_mean_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF training step: assign to seed centroids, then compute each
+    list's MEAN centroid distributed (the k-means update — at scale
+    this loop is: assign → mean → reassign, all shuffle-bounded by
+    (list, dim) keys)."""
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = sim.prepare(emb, role="n")
+    centroids = sim.prepare(
+        emb.filter(F.col("vec_id") % CENTROID_MOD == 3), role="c"
+    )
+    inverted = sim.ivf_assign(corpus, centroids)
+    return sim.mean_centroid_stats(inverted)
