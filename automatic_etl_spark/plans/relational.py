@@ -629,3 +629,53 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# --- Extension: as-of (point-in-time) join ----------------------------------
+# The canonical missing-from-Spark operator (composed from union +
+# keyed window, operators/asof.py); the oracle runs DuckDB's NATIVE
+# ASOF JOIN, cross-validating the construction against an independent
+# implementation of the semantics.
+
+
+@register(
+    "asof_join_lag",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        s AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'signup'
+        ),
+        j AS (
+            SELECT p.event_id, p.ts AS pts, s.ts AS sts
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+        )
+        SELECT COUNT(*) AS purchase_cnt,
+               COUNT(sts) AS matched_cnt,
+               SUM(epoch_ms(pts) - epoch_ms(sts)) AS lag_ms_total
+        FROM j
+    """,
+)
+def asof_join_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's latest signup at-or-before
+    it; reports match coverage and total signup→purchase lag."""
+    from automatic_etl_spark.operators.asof import as_of_join
+
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts"
+    )
+    joined = as_of_join(purchases, signups, keys=["user_id"])
+    return joined.agg(
+        F.count("*").alias("purchase_cnt"),
+        F.count("right_ts").alias("matched_cnt"),
+        F.sum(F.unix_millis("ts") - F.unix_millis("right_ts")).alias(
+            "lag_ms_total"
+        ),
+    )

@@ -285,6 +285,27 @@ def test_salted_ops_match_plain(spark):
     assert salted_join == plain_join
 
 
+def test_as_of_join_semantics(spark):
+    from automatic_etl_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 7, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 15, 150), (2, 99, 990)],
+        "k long, ts long, val long",
+    )
+    got = {
+        r["tag"]: (r["right_ts"], r["right_val"])
+        for r in as_of_join(left, right, keys=["k"]).collect()
+    }
+    assert got["a"] == (None, None)  # before any right row
+    assert got["b"] == (10, 100)  # inclusive match at equal ts
+    assert got["c"] == (15, 150)  # latest preceding, not first
+    assert got["d"] == (None, None)  # right row is in the future
+
+
 def test_bucketed_join_has_no_exchange(spark):
     from automatic_etl_spark.plans.storage_plans import build_bucketed_join
 
