@@ -679,3 +679,60 @@ def asof_join_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag_ms_total"
         ),
     )
+
+
+# --- Extension: range (interval) join ----------------------------------------
+# Points-in-intervals with NO equi-key: binned equi-join construction
+# (operators/rangejoin.py) versus the oracle's plain BETWEEN join.
+
+
+@register(
+    "range_join_windows",
+    oracle="""
+        WITH iv AS (
+            SELECT event_id AS window_id,
+                   epoch_ms(ts) AS start_ms,
+                   epoch_ms(ts) + 21600000 AS end_ms
+            FROM events WHERE event_id % 199 = 0
+        ),
+        pts AS (
+            SELECT event_id, value, epoch_ms(ts) AS ts_ms FROM events
+        ),
+        j AS (
+            SELECT * FROM pts JOIN iv
+              ON ts_ms >= start_ms AND ts_ms < end_ms
+        )
+        SELECT COUNT(*) AS match_cnt,
+               COUNT(DISTINCT event_id) AS matched_events,
+               COUNT(DISTINCT window_id) AS matched_intervals,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
+        FROM j
+    """,
+)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events landing inside 6-hour windows opened by a deterministic
+    event sample — a pure interval-containment join with no equi-key,
+    executed as the binned equi-join (1-hour bins)."""
+    from automatic_etl_spark.operators.rangejoin import range_join
+
+    hour_ms = 3_600_000
+    events = table(spark, sf_dir, "events")
+    points = events.select(
+        "event_id", "value", F.unix_millis("ts").alias("ts_ms")
+    )
+    intervals = events.filter(F.col("event_id") % 199 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.unix_millis("ts").alias("start_ms"),
+        (F.unix_millis("ts") + 6 * hour_ms).alias("end_ms"),
+    )
+    joined = range_join(
+        points, intervals, "ts_ms", "start_ms", "end_ms", bin_width=hour_ms
+    )
+    return joined.agg(
+        F.count("*").alias("match_cnt"),
+        F.countDistinct("event_id").alias("matched_events"),
+        F.countDistinct("window_id").alias("matched_intervals"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("value_total"),
+    )

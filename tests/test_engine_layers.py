@@ -306,6 +306,23 @@ def test_as_of_join_semantics(spark):
     assert got["d"] == (None, None)  # right row is in the future
 
 
+def test_range_join_boundaries(spark):
+    from automatic_etl_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, 9), (2, 10), (3, 15), (4, 25), (5, 26)], "pid long, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(100, 10, 26)], "iid long, s long, e long"  # [10, 26)
+    )
+    got = sorted(
+        r["pid"]
+        for r in range_join(points, intervals, "p", "s", "e", bin_width=7).collect()
+    )
+    # inclusive start, exclusive end, matches across bin boundaries
+    assert got == [2, 3, 4]
+
+
 def test_bucketed_join_has_no_exchange(spark):
     from automatic_etl_spark.plans.storage_plans import build_bucketed_join
 
