@@ -48,6 +48,11 @@ try:
 except ImportError:
     pass
 
+try:
+    from automatic_etl_spark.plans import sketch_plans  # noqa: F401
+except ImportError:
+    pass
+
 from automatic_etl_spark.plans.registry import REGISTRY  # noqa: E402
 
 __all__ = ["REGISTRY"]

@@ -736,3 +736,41 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_total"),
     )
+
+
+# --- Extension: hypertable-style time rollup --------------------------------
+# Multi-granularity continuous aggregate (month ⊃ day ⊃ hour) in ONE
+# pass — the timescale "hypertable rollup" shape. At 100 TB the
+# month/day/hour hierarchy materializes as the silver→gold rollup
+# cascade; ROLLUP computes every level with a single shuffle.
+
+
+@register(
+    "time_rollup",
+    oracle="""
+        SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_b,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_b,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_b,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
+        FROM events
+        GROUP BY ROLLUP (date_trunc('month', ts),
+                         date_trunc('day', ts),
+                         date_trunc('hour', ts))
+    """,
+)
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return (
+        events.rollup(
+            F.date_trunc("month", "ts").alias("month_b"),
+            F.date_trunc("day", "ts").alias("day_b"),
+            F.date_trunc("hour", "ts").alias("hour_b"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_total"),
+        )
+    )
