@@ -40,6 +40,10 @@ HEADLINE = (
     "streaming_hourly_counts",
     # analytics view layer
     "analytics_view_dates",
+    # custom operators (Spark-lacking surface)
+    "asof_join_lag",
+    "range_join_windows",
+    "time_rollup",
     # training-data ops
     "token_stats",
     "minhash_lsh_dedup",
