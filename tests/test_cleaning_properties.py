@@ -189,3 +189,70 @@ def test_token_count_matches_python_split(spark, values):
         # is unicode-aware, so only assert on ASCII-space inputs
         if all((not ch.isspace()) or ch in " \t\n\r\x0b\x0c" for ch in v):
             assert n == expected, (v, n, expected)
+
+
+# --- as-of join vs a pure-Python model ---------------------------------------
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key
+        st.integers(min_value=0, max_value=50),  # ts
+        st.integers(min_value=0, max_value=99),  # val
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@PROP
+@given(left=asof_rows, right=asof_rows)
+def test_as_of_join_matches_python_model(spark, left, right):
+    from automatic_etl_spark.operators.asof import as_of_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t, _) in enumerate(left)], "k long, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "k long, ts long, val long")
+    got = {
+        r["lid"]: (r["right_ts"], r["right_val"])
+        for r in as_of_join(ldf, rdf, keys=["k"]).collect()
+    }
+
+    def model(k, t):
+        cand = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        # ties on ts resolve to the max payload (struct-order tiebreak)
+        return max(cand) if cand else (None, None)
+
+    for i, (k, t, _) in enumerate(left):
+        assert got[i] == model(k, t), (i, k, t, got[i], model(k, t))
+
+
+# --- count-min sketch: never undercounts, mass conserved ----------------------
+
+
+@PROP
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=120)
+)
+def test_countmin_never_undercounts(spark, keys):
+    from collections import Counter
+
+    from automatic_etl_spark.operators import sketch as sk
+
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    cms = sk.build_sketch(df, "user_id")
+    # per-row mass conservation: every sketch row holds all |keys| rows
+    per_row = {
+        r["row"]: r["total"]
+        for r in cms.groupBy("row").agg(F.sum("cnt").alias("total")).collect()
+    }
+    assert all(v == len(keys) for v in per_row.values())
+
+    probes = df.distinct()
+    est = {
+        r["user_id"]: r["est_cnt"]
+        for r in sk.estimate_counts(cms, probes, "user_id").collect()
+    }
+    true = Counter(keys)
+    for k, t in true.items():
+        assert est[k] >= t  # the CMS guarantee
