@@ -774,3 +774,76 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_total"),
         )
     )
+
+
+# --- BI delegate: subquery shapes -------------------------------------------
+# Scalar subqueries, HAVING, and EXISTS are everyday BI-SQL shapes the
+# reference's users write against ClickHouse; Catalyst plans all three
+# natively (scalar subquery → broadcast scalar, EXISTS → left-semi).
+
+
+@register(
+    "scalar_subquery_filter",
+    oracle="""
+        SELECT o_orderstatus, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+    """,
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price — the scalar-subquery
+    filter, as a broadcast of a 1-row aggregate (no driver collect)."""
+    orders = table(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        orders.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"), dsum("o_totalprice", "total"))
+    )
+
+
+@register(
+    "having_filter",
+    oracle="""
+        SELECT user_id, COUNT(*) AS cnt
+        FROM events GROUP BY user_id HAVING COUNT(*) >= 60
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 60)
+    )
+
+
+@register(
+    "exists_semi_join",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS cnt
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        )
+        GROUP BY c_mktsegment
+    """,
+)
+def exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join — Catalyst's native decorrelation."""
+    customer = table(spark, sf_dir, "customer")
+    finished = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return (
+        customer.join(
+            finished, customer.c_custkey == finished.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
