@@ -306,6 +306,17 @@ def test_as_of_join_semantics(spark):
     assert got["d"] == (None, None)  # right row is in the future
 
 
+def test_csv_reader_permissive_tolerates_bad_rows(spark, tmp_path):
+    from automatic_etl_spark.sources import files
+
+    p = tmp_path / "bad.csv"
+    p.write_text("id,n\n1,10\n2,not_a_number\n3,30\n")
+    df = files.read_csv(spark, str(p), schema="id long, n long")
+    rows = {r["id"]: r["n"] for r in df.collect()}
+    # reference-style tolerance: bad cell → NULL, row survives
+    assert rows == {1: 10, 2: None, 3: 30}
+
+
 def test_range_join_boundaries(spark):
     from automatic_etl_spark.operators.rangejoin import range_join
 
