@@ -440,8 +440,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
     ).cast("decimal(18,4)")
     return (
+        # broadcast() pinned ONLY for fixed-cardinality dims (nation=25,
+        # region=5 rows at ANY scale factor). customer/orders scale with
+        # the data — AQE broadcasts them when they fit and falls back to
+        # shuffle joins at 100 TB; a forced hint would OOM the driver.
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name", "r_name")
@@ -600,9 +604,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dims broadcast into the fact scan,
-    grouped revenue, ranked top-N (TakeOrderedAndProject — no global
-    sort materializes). Deterministic tiebreak on l_orderkey."""
+    """TPC-H Q3 shape: selective filtered sides joined into the fact
+    scan (AQE broadcasts them when they fit), grouped revenue, ranked
+    top-N (TakeOrderedAndProject — no global sort materializes).
+    Deterministic tiebreak on l_orderkey."""
     cust = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -613,8 +618,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-06-15 00:00:00").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # orders/customer scale with the data — no forced broadcast
+        # (AQE picks broadcast locally, shuffle joins at cluster scale)
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(
