@@ -124,3 +124,63 @@ def foreach_batch_upsert(
         merged.write.mode("overwrite").parquet(target_path)
 
     return _apply
+
+
+def foreach_batch_upsert_partitioned(
+    target_path: str,
+    keys: list[str],
+    version_cols: list[str],
+    partition_col: str,
+):
+    """Partition-pruned MERGE: the scale path for the silver sink.
+
+    :func:`foreach_batch_upsert` rewrites the whole table per batch —
+    fine for tests, quadratic over time at 100 TB. Here the target is
+    directory-partitioned on ``partition_col`` (which must be stable
+    per key — e.g. a month bucket of the entity's creation date, the
+    D3 layout) and each batch:
+
+    1. collects the batch's distinct partition values (tiny driver
+       list — bounded by partitions-per-batch, not data),
+    2. reads ONLY those partitions back (directory pruning),
+    3. merges last-writer-wins within them,
+    4. overwrites ONLY those partitions
+       (``partitionOverwriteMode=dynamic``).
+
+    Untouched partitions are never read or written — per-batch cost is
+    proportional to the batch's partition footprint, exactly the Delta
+    ``MERGE INTO`` cost model, expressed with plain parquet.
+    """
+    import os
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        deduped = cdc_microbatch_dedup(batch_df, keys, version_cols)
+        touched = [
+            r[0] for r in deduped.select(partition_col).distinct().collect()
+        ]
+        if not touched:
+            return
+        if os.path.isdir(target_path):
+            existing = spark.read.parquet(target_path).filter(
+                F.col(partition_col).isin(touched)
+            )
+            merged = cdc_microbatch_dedup(
+                existing.unionByName(deduped), keys, version_cols
+            )
+        else:
+            merged = deduped
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(target_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return _apply

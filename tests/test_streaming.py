@@ -117,3 +117,50 @@ def test_streaming_foreach_batch_upsert(spark, sf_dir):
     finally:
         shutil.rmtree(silver, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_foreach_batch_upsert_partitioned_prunes(spark):
+    import glob
+    import os
+
+    target = tempfile.mkdtemp(prefix="part_upsert_") + "/silver"
+    base = spark.createDataFrame(
+        [(1, "a1", 100, "2024-01"), (2, "b1", 100, "2024-02")],
+        "id long, nombre string, _ts_ms long, month string",
+    )
+    apply_fn = cdc.foreach_batch_upsert_partitioned(
+        target, keys=["id"], version_cols=["_ts_ms"], partition_col="month"
+    )
+    apply_fn(base, 0)
+
+    jan_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{target}/month=2024-01/*.parquet")
+    }
+    feb_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{target}/month=2024-02/*.parquet")
+    }
+    assert jan_files and feb_files
+
+    # second batch touches ONLY February
+    batch2 = spark.createDataFrame(
+        [(2, "b2", 200, "2024-02"), (3, "c1", 150, "2024-02")],
+        "id long, nombre string, _ts_ms long, month string",
+    )
+    apply_fn(batch2, 1)
+
+    state = {
+        r["id"]: r["nombre"] for r in spark.read.parquet(target).collect()
+    }
+    assert state == {1: "a1", 2: "b2", 3: "c1"}  # LWW merge applied
+
+    # January partition untouched: same files, same mtimes
+    jan_after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{target}/month=2024-01/*.parquet")
+    }
+    assert jan_after == jan_files
+    # February was rewritten
+    feb_after = set(glob.glob(f"{target}/month=2024-02/*.parquet"))
+    assert feb_after != set(feb_files)
