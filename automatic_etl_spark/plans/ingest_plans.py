@@ -137,3 +137,34 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not report["success"]:
         raise RuntimeError(f"pipeline failed: {report}")
     return results["full_audit"].output
+
+
+@register(
+    "ingest_partitioned_e2e",
+    oracle="""
+        SELECT strftime(ts, '%Y%m') AS ts_month,
+               COUNT(*) AS cnt,
+               SUM(user_id) AS user_total
+        FROM events GROUP BY 1
+    """,
+)
+def ingest_partitioned_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 layout end-to-end: events classifies as a log table
+    (name match + temporal column), gets month partitioning from
+    `choose_layout`, is written through `write_with_layout`, and the
+    read-back proves partition-directory integrity (counts per month
+    partition == counts per source month)."""
+    from automatic_etl_spark.operators.ddl import choose_layout, write_with_layout
+
+    events = table(spark, sf_dir, "events")
+    layout = choose_layout("events_log", events.schema)
+    assert layout.table_kind == "log" and layout.partition_column == "ts"
+    target = tempfile.mkdtemp(prefix="ingest_part_") + "/events_by_month"
+    write_with_layout(events, target, layout)
+    back = spark.read.parquet(target)
+    from pyspark.sql import functions as F
+
+    return back.groupBy(F.col("ts_month").cast("string").alias("ts_month")).agg(
+        F.count("*").alias("cnt"),
+        F.sum("user_id").alias("user_total"),
+    )

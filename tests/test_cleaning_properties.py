@@ -256,3 +256,42 @@ def test_countmin_never_undercounts(spark, keys):
     true = Counter(keys)
     for k, t in true.items():
         assert est[k] >= t  # the CMS guarantee
+
+
+# --- range join vs a pure-Python model ---------------------------------------
+
+
+@PROP
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=40),
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    width=st.integers(min_value=1, max_value=20),
+)
+def test_range_join_matches_python_model(spark, points, intervals, width):
+    from automatic_etl_spark.operators.rangejoin import range_join
+
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid long, p long"
+    )
+    idf = spark.createDataFrame(
+        [(j, s, s + ln) for j, (s, ln) in enumerate(intervals)],
+        "iid long, s long, e long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pdf, idf, "p", "s", "e", bin_width=width).collect()
+    )
+    expected = sorted(
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (s, ln) in enumerate(intervals)
+        if s <= p < s + ln
+    )
+    assert got == expected
