@@ -883,3 +883,40 @@ def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --- BI delegate: the raw-SQL front door ------------------------------------
+# The reference's BI layer (Superset SQL Lab / Metabase cards) issues
+# SQL strings; our engine serves the same surface via register_views +
+# spark.sql — this entry runs a pure SQL text, no DataFrame calls.
+
+
+@register(
+    "sql_surface",
+    oracle="""
+        SELECT e.event_type,
+               COUNT(*) AS cnt,
+               COUNT(DISTINCT e.user_id) AS users,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS value_total
+        FROM events e
+        WHERE e.value IS NOT NULL
+        GROUP BY e.event_type
+    """,
+)
+def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from automatic_etl_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        SELECT e.event_type,
+               COUNT(*) AS cnt,
+               COUNT(DISTINCT e.user_id) AS users,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS value_total
+        FROM events e
+        WHERE e.value IS NOT NULL
+        GROUP BY e.event_type
+        """
+    )
