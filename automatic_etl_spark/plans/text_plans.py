@@ -194,3 +194,78 @@ def fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("sz") - 1).alias("removable_rows"),
         F.sum("keeper").alias("keeper_id_total"),
     )
+
+
+# --- the curation funnel (end-to-end training-data pipeline) ----------------
+
+QUALITY_THRESHOLD = 0.5
+
+
+@register(
+    "curation_funnel",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, lang, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, lang, text
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        scored AS (
+            SELECT doc_id, lang, text,
+                   {_sql_quality_score('text')} AS q,
+                   {_SQL_FINGERPRINT} AS fp
+            FROM corpus
+        ),
+        quality AS (
+            SELECT * FROM scored WHERE q >= {QUALITY_THRESHOLD}
+        ),
+        deduped AS (
+            SELECT * FROM quality
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY fp ORDER BY doc_id ASC
+            ) = 1
+        )
+        SELECT lang,
+               COUNT(*) AS kept_docs,
+               SUM({_sql_token_count('text')}) AS ws_tokens,
+               SUM(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}')))
+                   AS bpe_tokens,
+               CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS quality_total
+        FROM deduped GROUP BY lang
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pipeline as ONE lazy plan:
+    corpus (with planted duplicates) → quality-score filter → exact
+    near-dup removal (fingerprint, keep lowest doc_id) → per-language
+    token accounting. Scale shape: one scan, one window shuffle on the
+    fingerprint, one final aggregation — the funnel never materializes
+    intermediates."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text"
+    )
+    corpus = docs.unionByName(planted)
+    scored = corpus.select(
+        "doc_id",
+        "lang",
+        "text",
+        tx.quality_score("text").alias("q"),
+        tx.doc_fingerprint("text").alias("fp"),
+    ).filter(F.col("q") >= QUALITY_THRESHOLD)
+    w = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum(tx.token_count("text")).alias("ws_tokens"),
+        F.sum(tx.bpe_token_count("text")).alias("bpe_tokens"),
+        F.sum(F.col("q").cast("decimal(18,6)")).cast("double").alias(
+            "quality_total"
+        ),
+    )

@@ -46,6 +46,7 @@ HEADLINE = (
     "time_rollup",
     # training-data ops
     "token_stats",
+    "curation_funnel",
     "minhash_lsh_dedup",
     "simhash_buckets",
     "ann_bruteforce_topk",
