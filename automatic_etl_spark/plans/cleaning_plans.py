@@ -430,3 +430,70 @@ def clean_table_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("f").isNull().cast("int")).alias("date_nulls"),
         dsum("price", "price_total"),
     )
+
+
+# --- C3: datetime range clamp (oracle upgrade) ------------------------------
+
+
+@register(
+    "clamp_dates",
+    oracle="""
+        WITH clamped AS (
+            SELECT CASE WHEN ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                                    AND TIMESTAMP '2024-01-22 23:59:59'
+                        THEN ts END AS cts
+            FROM events
+        )
+        SELECT COUNT(*) AS row_cnt,
+               COUNT(cts) AS in_range_cnt,
+               MIN(cts) AS min_kept,
+               MAX(cts) AS max_kept
+        FROM clamped
+    """,
+)
+def clamp_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 over a narrow window so both kept and nulled rows exist."""
+    events = table(spark, sf_dir, "events")
+    cts = cl.clamp_datetime_range(
+        "ts", lo="2024-01-08 00:00:00", hi="2024-01-22 23:59:59"
+    )
+    return events.select(cts.alias("cts")).agg(
+        F.count("*").alias("row_cnt"),
+        F.count("cts").alias("in_range_cnt"),
+        F.min("cts").alias("min_kept"),
+        F.max("cts").alias("max_kept"),
+    )
+
+
+# --- C11: binary → string decode (oracle upgrade) ---------------------------
+
+
+@register(
+    "decode_binary_roundtrip",
+    oracle="""
+        SELECT COUNT(*) AS cnt,
+               COUNT(CASE WHEN length(text) > 0 THEN 1 END)
+                   AS decoded_match_cnt,
+               SUM(length(text)) AS char_total
+        FROM documents
+    """,
+)
+def decode_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 through the REAL pandas-UDF decode path: utf-8 encode the
+    corpus to binary, decode via the detection/fallback chain, and
+    prove the round trip is lossless (decoded == original for every
+    row — ASCII/UTF-8 corpus)."""
+    from automatic_etl_spark.functions.encoding import decode_binary
+
+    docs = table(spark, sf_dir, "documents")
+    decoded = docs.select(
+        "text",
+        decode_binary(F.encode(F.col("text"), "UTF-8")).alias("decoded"),
+    )
+    return decoded.agg(
+        F.count("*").alias("cnt"),
+        F.count(F.when(F.col("decoded") == F.col("text"), 1)).alias(
+            "decoded_match_cnt"
+        ),
+        F.sum(F.length("decoded")).alias("char_total"),
+    )

@@ -276,3 +276,46 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("sz") - 1).alias("removable_rows"),
         F.max("sz").alias("max_bucket"),
     )
+
+
+# --- W4: ReplacingMergeTree FINAL-on-read parity -----------------------------
+
+
+@register(
+    "dedup_final_view",
+    oracle="""
+        WITH latest AS (
+            SELECT user_id, event_type, value, ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC NULLS LAST, event_id ASC
+            ) AS rn
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               SUM(CAST(floor(value * 100) AS BIGINT)) AS cents_total
+        FROM latest WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def dedup_final_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: register the dedup as a VIEW (`dedup_view`) and aggregate
+    THROUGH `spark.table(...)` — every reader sees merged state with no
+    rewrite, the ReplacingMergeTree ``FINAL``-on-read contract."""
+    import uuid
+
+    from automatic_etl_spark.operators.dedup import dedup_view
+    from automatic_etl_spark.sources.parquet import table as t
+
+    events = t(spark, sf_dir, "events")
+    name = f"events_final_{uuid.uuid4().hex[:8]}"
+    dedup_view(
+        events, ["user_id"], [F.col("ts")], name, tiebreaker=("event_id",)
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100)).alias("cents_total"),
+        )
+    )
