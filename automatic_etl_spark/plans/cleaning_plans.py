@@ -497,3 +497,53 @@ def decode_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.length("decoded")).alias("char_total"),
     )
+
+
+# --- C16: numeric type inference applied end-to-end -------------------------
+
+
+@register(
+    "infer_and_cast",
+    oracle="""
+        WITH dirty AS (
+            SELECT CAST(l_linenumber AS VARCHAR) AS n_str,
+                   CAST(l_extendedprice AS VARCHAR) AS price_str,
+                   l_returnflag AS flag_str
+            FROM lineitem
+        )
+        SELECT COUNT(*) AS cnt,
+               SUM(TRY_CAST(n_str AS BIGINT)) AS n_total,
+               CAST(SUM(CAST(TRY_CAST(price_str AS DOUBLE) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS price_total,
+               COUNT(DISTINCT flag_str) AS flag_distinct
+        FROM dirty
+    """,
+)
+def infer_and_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 end-to-end: stringify typed columns, run the one-pass
+    aggregate type probe (`infer_numeric_types`), assert the inferred
+    kinds, apply the casts, and aggregate through them."""
+    from automatic_etl_spark.sources.schema import infer_numeric_types
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").cast("string").alias("n_str"),
+        F.col("l_extendedprice").cast("string").alias("price_str"),
+        F.col("l_returnflag").alias("flag_str"),
+    )
+    inferred = infer_numeric_types(li)
+    assert inferred == {
+        "n_str": "long",
+        "price_str": "double",
+        "flag_str": "string",
+    }, inferred
+    typed = li.select(
+        *[F.col(c).try_cast(t).alias(c) for c, t in inferred.items()]
+    )
+    return typed.agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_str").alias("n_total"),
+        F.sum(F.col("price_str").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("price_total"),
+        F.countDistinct("flag_str").alias("flag_distinct"),
+    )

@@ -122,3 +122,11 @@ def register_views(
     """Expose the fixture tables to Spark SQL as temp views."""
     for name in names:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union of all part-file schemas
+    (``mergeSchema``) — columns added by later writers surface as NULL
+    on older rows (SURVEY.md §1.2 evolution note; the reference instead
+    ALTERs every column Nullable post-hoc, D5)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

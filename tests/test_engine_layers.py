@@ -349,3 +349,15 @@ def test_infer_numeric_types(spark):
     )
     inferred = sch.infer_numeric_types(df)
     assert inferred == {"a": "long", "b": "double", "c": "string"}
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    from automatic_etl_spark.sources.parquet import read_merged
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, a string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 99)], "id long, a string, b long"
+    ).write.mode("append").parquet(path)
+    got = {r["id"]: (r["a"], r["b"]) for r in read_merged(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b", 99)}
