@@ -920,3 +920,93 @@ def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY e.event_type
         """
     )
+
+
+# --- Extension: sessionization (lag + cumulative window) --------------------
+# The batch sessionizer every events pipeline needs: order per user,
+# lag() finds gaps, a cumulative sum of gap flags numbers the sessions.
+# Two window passes over ONE shuffle (same partitioning, Catalyst
+# reuses the sort).
+
+
+@register(
+    "sessionization",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                          OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM ordered
+        ),
+        per_session AS (
+            SELECT user_id, session_id, COUNT(*) AS session_events
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT COUNT(*) AS total_sessions,
+               COUNT(DISTINCT user_id) AS users,
+               SUM(session_events) AS total_events,
+               MAX(session_events) AS max_session_events
+        FROM per_session
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization over the events stream table."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = events.select(
+        "user_id",
+        F.sum(new_session).over(cum).alias("session_id"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("session_events")
+    )
+    return per_session.agg(
+        F.count("*").alias("total_sessions"),
+        F.countDistinct("user_id").alias("users"),
+        F.sum("session_events").alias("total_events"),
+        F.max("session_events").alias("max_session_events"),
+    )
+
+
+# --- Extension: exact percentiles -------------------------------------------
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`); at 100 TB swap in `approx_percentile`
+    (t-digest) — same call shape, bounded memory."""
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )

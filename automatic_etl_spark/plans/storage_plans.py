@@ -140,3 +140,31 @@ def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("cents_total"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+@register(
+    "orc_source_agg",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS price_total
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC on disk → read-back → aggregate. ORC preserves
+    native types (no text roundtrip concerns); its stripe statistics
+    give the same pushdown/pruning properties as parquet."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="orc_src_") + "/orders_orc"
+    files.write_orc(orders, path)
+    back = files.read_orc(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("price_total"),
+    )

@@ -61,3 +61,19 @@ def read_json(
 
 def write_json(df: DataFrame, path: str, **options: str) -> None:
     df.write.mode("overwrite").options(**options).json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, **options: str) -> None:
+    df.write.mode("overwrite").options(**options).orc(path)
