@@ -1010,3 +1010,49 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+# --- Extension: ranking functions (rank / dense_rank / ntile) ---------------
+
+
+@register(
+    "ranking_functions",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk,
+                   NTILE(4) OVER w AS quartile
+            FROM events
+            WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
+        )
+        SELECT event_type, quartile,
+               COUNT(*) AS cnt,
+               MIN(rnk) AS min_rank,
+               MAX(drnk) AS max_dense_rank
+        FROM ranked GROUP BY event_type, quartile
+    """,
+)
+def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window family in one pass: rank,
+    dense_rank and ntile share a single (partition, order) → one sort,
+    one shuffle. Order is pinned (value DESC, event_id ASC) so ntile
+    assignment is engine-independent."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    ranked = events.select(
+        "event_type",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return ranked.groupBy("event_type", "quartile").agg(
+        F.count("*").alias("cnt"),
+        F.min("rnk").alias("min_rank"),
+        F.max("drnk").alias("max_dense_rank"),
+    )

@@ -106,9 +106,12 @@ def test_ddl_write_with_layout_partitions(spark, tmp_path):
     back = spark.read.parquet(target)
     assert back.count() == events.count()
     assert "ts_month" in back.columns  # partition column materialized
-    # partition pruning: only one month dir read for a month filter
+    # partition pruning: the month filter must land in PartitionFilters
+    # (directory-level skip), not in the row-level data filters
     pruned = back.filter(back.ts_month == "202401")
     assert pruned.count() > 0
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(ts_month" in plan
 
 
 def test_create_table_sql():
