@@ -1056,3 +1056,37 @@ def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rnk").alias("min_rank"),
         F.max("drnk").alias("max_dense_rank"),
     )
+
+
+# --- Extension: pivot (BI cross-tab) ----------------------------------------
+
+_PIVOT_TYPES = ("click", "view", "signup", "purchase", "error")
+
+
+@register(
+    "pivot_monthly_by_type",
+    oracle=f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               {", ".join(
+                   f"SUM(CASE WHEN event_type = '{t}' "
+                   f"THEN CAST(floor(value * 100) AS BIGINT) END) AS {t}"
+                   for t in _PIVOT_TYPES)}
+        FROM events GROUP BY 1
+    """,
+)
+def pivot_monthly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab: day × event_type cents matrix via `pivot()` with the
+    value list PINNED — no extra distinct-discovery job, stable column
+    set at any scale (Catalyst compiles this to the same conditional
+    aggregation the oracle spells out)."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.floor(F.col("value") * 100).alias("cents"),
+        )
+        .groupBy("day")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.sum("cents"))
+    )
