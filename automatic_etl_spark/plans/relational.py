@@ -1090,3 +1090,76 @@ def pivot_monthly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", list(_PIVOT_TYPES))
         .agg(F.sum("cents"))
     )
+
+
+# --- Extension: unpivot / melt ----------------------------------------------
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+        WITH m AS (
+            SELECT 'quantity' AS measure,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM lineitem
+            UNION ALL
+            SELECT 'extendedprice',
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM lineitem
+            UNION ALL
+            SELECT 'tax',
+                   CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE)
+            FROM lineitem
+        )
+        SELECT measure, total FROM m
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt wide measures into (measure, total) rows via `unpivot` —
+    the reshape dual of pivot; sums are taken first so only 3 rows
+    unpivot (never melt the raw fact table)."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("quantity"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("extendedprice"),
+        F.sum(F.col("l_tax").cast("decimal(18,4)")).cast("double").alias("tax"),
+    )
+    return wide.unpivot(
+        [], ["quantity", "extendedprice", "tax"], "measure", "total"
+    )
+
+
+# --- Extension: GROUPING SETS + grouping_id ---------------------------------
+
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+        SELECT event_type,
+               CAST(user_id % 10 AS BIGINT) AS user_bucket,
+               GROUPING(event_type, user_id % 10) AS gid,
+               COUNT(*) AS cnt
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation — the
+    general form behind rollup/cube, one Expand + one shuffle."""
+    from automatic_etl_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(user_id % 10 AS BIGINT) AS user_bucket,
+               GROUPING_ID() AS gid,
+               COUNT(*) AS cnt
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        """
+    )
