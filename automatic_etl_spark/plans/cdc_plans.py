@@ -312,3 +312,70 @@ def cdc_bronze_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.count("k").alias("valid_json_cnt"),
     )
+
+
+@register(
+    "streaming_enrichment_join",
+    oracle="""
+        SELECT w.weight_tier,
+               COUNT(*) AS cnt,
+               SUM(CAST(floor(e.value * 100) AS BIGINT) * w.weight)
+                   AS weighted_cents
+        FROM events e
+        JOIN (VALUES ('click', 1, 'low'), ('view', 2, 'low'),
+                     ('signup', 5, 'mid'), ('purchase', 10, 'high'),
+                     ('error', 0, 'low'))
+             AS w(event_type, weight, weight_tier)
+          ON e.event_type = w.event_type
+        GROUP BY w.weight_tier
+    """,
+)
+def streaming_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the streaming micro-batches join
+    a STATIC dimension (no state store — the dim is re-broadcast per
+    batch), then aggregate in complete mode. The standard lookup-table
+    enrichment shape for CDC/event streams."""
+    import os
+
+    from automatic_etl_spark.session import default_parallelism
+
+    dim = spark.createDataFrame(
+        [
+            ("click", 1, "low"),
+            ("view", 2, "low"),
+            ("signup", 5, "mid"),
+            ("purchase", 10, "high"),
+            ("error", 0, "low"),
+        ],
+        "event_type string, weight int, weight_tier string",
+    )
+    events = table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).alias("cents")
+    )
+    stage = tempfile.mkdtemp(prefix="enrich_stage_")
+    data_dir = os.path.join(stage, "data")
+    events.coalesce(2).write.mode("overwrite").parquet(data_dir)
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    stream = (
+        spark.readStream.schema("event_type string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    enriched = stream.join(dim, "event_type").groupBy("weight_tier").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("cents") * F.col("weight")).alias("weighted_cents"),
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    query = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="enrich_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.table(name)
