@@ -41,3 +41,10 @@ def test_registry_contract():
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 10
+
+
+def test_bench_headliners_are_registered():
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench names not in registry: {missing}"
