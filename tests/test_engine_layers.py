@@ -364,3 +364,41 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     ).write.mode("append").parquet(path)
     got = {r["id"]: (r["a"], r["b"]) for r in read_merged(spark, path).collect()}
     assert got == {1: ("a", None), 2: ("b", 99)}
+
+
+def test_cli_ingest_query_audit(spark, tmp_path, capsys):
+    import json
+
+    from automatic_etl_spark import cli
+
+    target = str(tmp_path / "silver_events")
+    rc = cli.main(
+        [
+            "ingest",
+            "--table", "events",
+            "--target", target,
+            "--dedup", "staging",
+            "--unique-key", "user_id",
+            "--version-col", "ts",
+            "--tiebreaker", "event_id",
+            "--audit-key", "event_type",
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["command"] == "ingest"
+    assert {r["verdict"] for r in out["audit"]} <= {"OK", "MISMATCH"}
+
+    rc = cli.main(["audit", "--table", "events", "--sink", target, "--key", "event_type"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and len(out["report"]) > 0
+
+    rc = cli.main(["query", "count_star"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["rows"][0]["cnt"] > 0
+
+    rc = cli.main(["list"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "dedup_latest" in out["queries"]
+
+    assert cli.main(["query", "no_such_query"]) == 2
+    capsys.readouterr()
