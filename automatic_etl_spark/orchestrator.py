@@ -74,7 +74,16 @@ class Orchestrator:
             visit(p.name)
         return order
 
-    def run(self, context: object = None) -> dict[str, PhaseResult]:
+    def run(
+        self, context: object = None, max_workers: int = 1
+    ) -> dict[str, PhaseResult]:
+        """Execute the DAG. ``max_workers > 1`` runs INDEPENDENT phases
+        concurrently (the reference is strictly sequential,
+        tools/master_orchestrator.py; Spark happily runs concurrent
+        jobs from driver threads, so e.g. per-table ingest phases
+        overlap their scans/writes)."""
+        if max_workers > 1:
+            return self._run_parallel(context, max_workers)
         results: dict[str, PhaseResult] = {}
         for phase in self._ordered():
             failed_dep = any(
@@ -84,6 +93,40 @@ class Orchestrator:
                 results[phase.name] = PhaseResult(phase.name, "skipped")
                 continue
             results[phase.name] = self._run_phase(phase, context)
+        return results
+
+    def _run_parallel(
+        self, context: object, max_workers: int
+    ) -> dict[str, PhaseResult]:
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        self._ordered()  # validates deps + detects cycles up front
+        by_name = {p.name: p for p in self.phases}
+        results: dict[str, PhaseResult] = {}
+        pending = set(by_name)
+        futures = {}
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            while pending or futures:
+                ready = [
+                    n
+                    for n in list(pending)
+                    if all(d in results for d in by_name[n].depends_on)
+                ]
+                for n in ready:
+                    pending.discard(n)
+                    if any(
+                        results[d].status != "success"
+                        for d in by_name[n].depends_on
+                    ):
+                        results[n] = PhaseResult(n, "skipped")
+                        continue
+                    futures[pool.submit(self._run_phase, by_name[n], context)] = n
+                if not futures:
+                    continue
+                done, _ = wait(futures, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    name = futures.pop(fut)
+                    results[name] = fut.result()
         return results
 
     def _run_phase(self, phase: Phase, context: object) -> PhaseResult:

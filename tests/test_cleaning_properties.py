@@ -295,3 +295,47 @@ def test_range_join_matches_python_model(spark, points, intervals, width):
         if s <= p < s + ln
     )
     assert got == expected
+
+
+# --- sessionization vs a pure-Python model -----------------------------------
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # user
+            st.integers(min_value=0, max_value=7200),  # ts seconds
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    gap=st.integers(min_value=60, max_value=3600),
+)
+def test_session_count_matches_python_model(spark, rows, gap):
+    from pyspark.sql import Window
+
+    rows = [(u, t, i) for i, (u, t) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = F.col("ts") - F.lag("ts").over(w)
+    new_session = F.when(g.isNull() | (g > gap), 1).otherwise(0)
+    got = (
+        df.select("user_id", new_session.alias("ns"))
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("sessions"))
+    )
+    got = {r["user_id"]: r["sessions"] for r in got.collect()}
+
+    expected = {}
+    by_user: dict = {}
+    for u, t, i in rows:
+        by_user.setdefault(u, []).append((t, i))
+    for u, ts in by_user.items():
+        ts.sort()
+        n = 1
+        for (prev, _), (cur, _) in zip(ts, ts[1:]):
+            if cur - prev > gap:
+                n += 1
+        expected[u] = n
+    assert got == expected

@@ -402,3 +402,39 @@ def test_cli_ingest_query_audit(spark, tmp_path, capsys):
 
     assert cli.main(["query", "no_such_query"]) == 2
     capsys.readouterr()
+
+
+def test_orchestrator_parallel_matches_sequential():
+    import threading
+    import time
+
+    seen = []
+    lock = threading.Lock()
+
+    def mk(name, delay=0.05):
+        def run(_):
+            with lock:
+                seen.append(name)
+            time.sleep(delay)
+            return name
+
+        return run
+
+    def build():
+        return (
+            Orchestrator()
+            .add(Phase("root", mk("root")))
+            .add(Phase("a", mk("a"), depends_on=("root",)))
+            .add(Phase("b", mk("b"), depends_on=("root",)))
+            .add(Phase("bad", lambda _: 1 / 0, depends_on=("root",)))
+            .add(Phase("child_of_bad", mk("c"), depends_on=("bad",)))
+            .add(Phase("join", mk("join"), depends_on=("a", "b")))
+        )
+
+    seq = {n: r.status for n, r in build().run().items()}
+    seen.clear()
+    par = {n: r.status for n, r in build().run(max_workers=4).items()}
+    assert par == seq
+    assert par["bad"] == "failed" and par["child_of_bad"] == "skipped"
+    assert par["join"] == "success"
+    assert seen.index("join") > seen.index("a") and seen.index("join") > seen.index("b")
