@@ -81,3 +81,43 @@ def ingest_table(
 def ingest_status(audit: DataFrame) -> DataFrame:
     """Q6 status rollup: totals + overall verdict."""
     return grand_total(audit)
+
+
+def ingest_many(
+    spark: SparkSession,
+    sources: dict[str, tuple[DataFrame, str, IngestSpec]],
+    max_workers: int = 4,
+) -> dict:
+    """Multi-table ingest fan-out (reference
+    tools/multi_database_ingest.py:129-151 runs one subprocess per
+    database, sequentially; here independent per-table phases run
+    CONCURRENTLY on driver threads — Spark schedules their jobs side
+    by side — with the same per-table failure isolation).
+
+    ``sources[name] = (df, target_path, spec)``. Returns the Q6-style
+    status report; failed tables appear with their error, successful
+    ones with their audit rows.
+    """
+    from automatic_etl_spark.orchestrator import Orchestrator, Phase, status_report
+
+    audits: dict[str, DataFrame] = {}
+
+    def make_phase(name: str):
+        df, target, spec = sources[name]
+
+        def run(_):
+            audits[name] = ingest_table(spark, df, target, spec)
+            return audits[name]
+
+        return Phase(f"ingest_{name}", run, max_retries=2)
+
+    dag = Orchestrator()
+    for name in sources:
+        dag.add(make_phase(name))
+    results = dag.run(spark, max_workers=max_workers)
+    report = status_report(results)
+    report["tables"] = {
+        name: [row.asDict() for row in audit.collect()]
+        for name, audit in audits.items()
+    }
+    return report

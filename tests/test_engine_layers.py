@@ -438,3 +438,43 @@ def test_orchestrator_parallel_matches_sequential():
     assert par["bad"] == "failed" and par["child_of_bad"] == "skipped"
     assert par["join"] == "success"
     assert seen.index("join") > seen.index("a") and seen.index("join") > seen.index("b")
+
+
+def test_ingest_many_parallel_isolation(spark, tmp_path):
+    from automatic_etl_spark.ingest import IngestSpec, ingest_many
+    from automatic_etl_spark.sources.parquet import table
+
+    sf = "/root/testdata/sf0.001"
+    events = table(spark, sf, "events")
+    orders = table(spark, sf, "orders")
+
+    sources = {
+        "events": (
+            events,
+            str(tmp_path / "ev"),
+            IngestSpec(dedup_keys=("user_id",), version_cols=("ts",),
+                       tiebreaker=("event_id",), audit_key="event_type"),
+        ),
+        "orders": (
+            orders,
+            str(tmp_path / "od"),
+            IngestSpec(audit_key="o_orderstatus"),
+        ),
+        # failure isolation: a bad spec (missing column) must fail its
+        # OWN phase without sinking the independent tables
+        "broken": (
+            orders,
+            str(tmp_path / "nope"),
+            IngestSpec(dedup_keys=("no_such_col",), version_cols=("nope",)),
+        ),
+    }
+    report = ingest_many(spark, sources, max_workers=3)
+    assert report["success"] is False  # the broken table failed...
+    assert report["phases"]["ingest_broken"]["status"] == "failed"
+    # ...but the healthy ones completed with audits
+    assert report["phases"]["ingest_events"]["status"] == "success"
+    assert report["phases"]["ingest_orders"]["status"] == "success"
+    assert set(report["tables"]) == {"events", "orders"}
+    assert all(
+        r["verdict"] == "OK" for r in report["tables"]["orders"]
+    )  # no dedup → counts reconcile exactly
