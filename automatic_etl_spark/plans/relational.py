@@ -42,8 +42,11 @@ def dsum(expr: Column | str, alias: str, scale: int = 2) -> Column:
     oracle="SELECT COUNT(*) AS cnt FROM lineitem",
 )
 def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Parquet scan answers this from footer metadata — no data read.
-    return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+    # Parquet scan answers this from footer metadata — no data read, so
+    # skip the fan-out repartition (it would force row materialization).
+    return table(spark, sf_dir, "lineitem", fan_out=False).agg(
+        F.count("*").alias("cnt")
+    )
 
 
 # --- A3: grouped count, single key (reference tools/cdc_monitor.sh:48) ------
