@@ -1166,3 +1166,147 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
         """
     )
+
+
+# --- Classic decision-support shapes, continued (SURVEY.md §2.3 note) -------
+# The reference's BI layer accepts arbitrary SQL over ingested tables;
+# these three cover the remaining canonical join strategies: a fact-side
+# EXISTS (big semi join), NOT EXISTS (anti join), and a groupBy-HAVING
+# subquery joined back into its own fact table.
+
+
+@register(
+    "priority_semi_count",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_cnt
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+    """,
+)
+def priority_semi_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: a quarter of orders semi-joined against the big
+    fact table, counted by priority. The date filter prunes the orders
+    scan before the shuffle; the semi join carries only (l_orderkey)
+    from lineitem — column pruning drops the other 10 columns at the
+    scan. (Q4's l_commitdate < l_receiptdate predicate is re-expressed
+    on l_returnflag; the testdata schema has no commit/receipt dates.)"""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    returned = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_cnt"))
+    )
+
+
+@register(
+    "inactive_customers_anti",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS cust_cnt,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS acctbal_total
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'F'
+              AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+        )
+        GROUP BY c_mktsegment
+    """,
+)
+def inactive_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with NO recent finished order — NOT
+    EXISTS as a left-anti join. The orders side is filtered before the
+    join (predicate pushdown to its scan), so the anti join probes a
+    small build side; at cluster scale AQE keeps it broadcast as long
+    as the filtered side fits, else falls back to shuffle anti join."""
+    customer = table(spark, sf_dir, "customer")
+    recent_finished = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F")
+        & (
+            F.col("o_orderdate")
+            >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+        )
+    )
+    return (
+        customer.join(
+            recent_finished,
+            customer.c_custkey == recent_finished.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cust_cnt"),
+            dsum("c_acctbal", "acctbal_total"),
+        )
+    )
+
+
+@register(
+    "large_order_customers",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+        FROM big
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: a HAVING aggregate over the fact table joined
+    back to orders and customer, ranked top-N. The aggregate collapses
+    lineitem to qualifying orderkeys FIRST (map-side partial agg + one
+    shuffle), so the join-back probes orders with a tiny filtered side
+    — AQE broadcasts it at any scale because HAVING > 300 keeps it
+    rare. Top-N is TakeOrderedAndProject; tiebreak pinned on
+    o_orderkey."""
+    big = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty")
+        )
+        .filter(F.col("__qty") > 300)
+        .select(
+            "l_orderkey", F.col("__qty").cast("double").alias("total_qty")
+        )
+    )
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
