@@ -34,18 +34,23 @@ def _hex_val(digit: Column) -> Column:
     )
 
 
-def bucket_of(key: Column | str, row: int) -> Column:
-    """Bucket id in [0, WIDTH) for sketch row ``row``."""
+def bucket_of(key: Column | str, row: int, width: int = WIDTH) -> Column:
+    """Bucket id in [0, width) for sketch row ``row``. width ≤ 256;
+    the modulo is an identity at the default, so the default sketch
+    layout (and its SQL oracle) is unchanged."""
     col = F.col(key) if isinstance(key, str) else key
     h = md5_hex(F.concat(F.lit(f"{row}|"), col.cast("string")))
-    return _hex_val(F.substring(h, 1, 1)) * 16 + _hex_val(F.substring(h, 2, 1))
+    v = _hex_val(F.substring(h, 1, 1)) * 16 + _hex_val(F.substring(h, 2, 1))
+    return v if width == WIDTH else v % width
 
 
-def build_sketch(df: DataFrame, key: str, depth: int = DEPTH) -> DataFrame:
+def build_sketch(
+    df: DataFrame, key: str, depth: int = DEPTH, width: int = WIDTH
+) -> DataFrame:
     """(row, bucket, cnt) — the sketch table, one groupBy per row hash
     unioned (each is a constant-size aggregate)."""
     parts = [
-        df.select(F.lit(k).alias("row"), bucket_of(key, k).alias("bucket"))
+        df.select(F.lit(k).alias("row"), bucket_of(key, k, width).alias("bucket"))
         .groupBy("row", "bucket")
         .agg(F.count("*").alias("cnt"))
         for k in range(depth)
@@ -57,14 +62,15 @@ def build_sketch(df: DataFrame, key: str, depth: int = DEPTH) -> DataFrame:
 
 
 def estimate_counts(
-    sketch: DataFrame, keys: DataFrame, key: str, depth: int = DEPTH
+    sketch: DataFrame, keys: DataFrame, key: str, depth: int = DEPTH,
+    width: int = WIDTH,
 ) -> DataFrame:
     """Point estimates for ``keys[key]``: min over the depth rows of
     the matching bucket counts. The sketch is tiny (width × depth) —
     broadcast it."""
     probes = keys.select(
         key,
-        *[bucket_of(key, k).alias(f"b{k}") for k in range(depth)],
+        *[bucket_of(key, k, width).alias(f"b{k}") for k in range(depth)],
     )
     est = probes
     for k in range(depth):
@@ -73,4 +79,5 @@ def estimate_counts(
         )
         est = est.join(F.broadcast(row_k), f"b{k}", "left")
     counts = [F.coalesce(F.col(f"c{k}"), F.lit(0)) for k in range(depth)]
-    return est.select(key, F.least(*counts).alias("est_cnt"))
+    least = counts[0] if depth == 1 else F.least(*counts)
+    return est.select(key, least.alias("est_cnt"))

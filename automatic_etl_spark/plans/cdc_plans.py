@@ -234,6 +234,68 @@ def streaming_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_watermark_dedup",
+    oracle="""
+        SELECT event_type, COUNT(*) AS cnt, SUM(user_id) AS user_total,
+               MAX(epoch_ms(ts)) AS max_ts_ms
+        FROM events GROUP BY event_type
+    """,
+)
+def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 replay dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    keys the seen-set on event_id but ages entries out once the event-time
+    watermark passes them — the production form of streaming_replay_dedup
+    (whose plain ``dropDuplicates`` state grows forever). Determinism: the
+    fixture spans ~30 days and the delay is 60 days, so no entry expires
+    and no row is late within the run; the sink must equal exactly-once.
+    At cluster scale the same plan holds state proportional to the replay
+    horizon, not the stream's lifetime."""
+    import os
+
+    from automatic_etl_spark.session import default_parallelism
+
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    doubled = events.unionByName(events)  # the replayed delivery
+    stage = tempfile.mkdtemp(prefix="wm_dedup_stage_")
+    data_dir = os.path.join(stage, "data")
+    doubled.coalesce(2).write.mode("overwrite").parquet(data_dir)
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    name = f"wm_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        stream.withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wm_dedup_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("user_id").alias("user_total"),
+            F.max(F.unix_millis("ts")).alias("max_ts_ms"),
+        )
+    )
+
+
+@register(
     "stateful_running_totals",
     oracle="""
         SELECT user_id,

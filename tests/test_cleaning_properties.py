@@ -258,6 +258,43 @@ def test_countmin_never_undercounts(spark, keys):
         assert est[k] >= t  # the CMS guarantee
 
 
+def test_countmin_width_depth_sweep(spark):
+    """Sweep the sketch shape: the CMS guarantee (never undercount) and
+    per-row mass conservation must hold at EVERY (depth, width), and
+    estimates must be monotonically non-increasing in depth (more hash
+    rows → min over a superset → tighter), with width fixed."""
+    from collections import Counter
+
+    from automatic_etl_spark.operators import sketch as sk
+
+    keys = [i * i % 37 for i in range(300)]  # skewed, deterministic
+    true = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    probes = df.distinct()
+
+    for width in (16, 64, 256):
+        prev_est = None
+        for depth in (1, 2, 4):
+            cms = sk.build_sketch(df, "user_id", depth=depth, width=width)
+            rows = cms.collect()
+            assert all(r["bucket"] < width for r in rows)
+            per_row = Counter()
+            for r in rows:
+                per_row[r["row"]] += r["cnt"]
+            assert all(v == len(keys) for v in per_row.values())
+            est = {
+                r["user_id"]: r["est_cnt"]
+                for r in sk.estimate_counts(
+                    cms, probes, "user_id", depth=depth, width=width
+                ).collect()
+            }
+            for k, t in true.items():
+                assert est[k] >= t, (width, depth, k)
+                if prev_est is not None:
+                    assert est[k] <= prev_est[k], (width, depth, k)
+            prev_est = est
+
+
 # --- range join vs a pure-Python model ---------------------------------------
 
 
