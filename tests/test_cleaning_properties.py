@@ -295,6 +295,108 @@ def test_countmin_width_depth_sweep(spark):
             prev_est = est
 
 
+# --- text near-dup suite vs pure-Python models -------------------------------
+
+_VOCAB = ["alpha", "beta", "gamma", "delta"]
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=10).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@PROP
+@given(texts=_doc_strategy)
+def test_jaccard_pairs_matches_python_model(spark, texts):
+    from automatic_etl_spark.operators import text_dedup as td
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in td.jaccard_pairs(td.shingle_rows(docs)).collect()
+    }
+    sets = [_py_shingles(t) for t in texts]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            if inter:
+                want[(i, j)] = inter / len(sets[i] | sets[j])
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v)
+
+
+@PROP
+@given(texts=_doc_strategy)
+def test_lsh_candidates_catch_identical_docs(spark, texts):
+    """LSH soundness on the certain cases: identical shingle sets →
+    identical MinHash signatures → every band collides, so the pair
+    MUST be a candidate; and the candidate-driven Jaccard must agree
+    with the exact all-pairs baseline on the candidate subset."""
+    from automatic_etl_spark.operators import text_dedup as td
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sh = td.shingle_rows(docs)
+    sigs = td.minhash_signatures(sh)
+    cands = td.lsh_candidate_pairs(sigs)
+    got_pairs = {(r["a_id"], r["b_id"]) for r in cands.collect()}
+
+    sets = [_py_shingles(t) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if sets[i] and sets[i] == sets[j]:
+                assert (i, j) in got_pairs, (i, j, texts[i])
+
+    exact = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in td.jaccard_pairs(sh).collect()
+    }
+    via_cands = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in td.jaccard_pairs(sh, candidates=cands).collect()
+    }
+    for k, v in via_cands.items():
+        assert exact[k] == pytest.approx(v)
+
+
+@PROP
+@given(texts=_doc_strategy)
+def test_simhash_matches_python_model(spark, texts):
+    import hashlib
+
+    from automatic_etl_spark.operators import text_dedup as td
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in td.simhash16(docs).collect()}
+
+    want = {}
+    for i, t in enumerate(texts):
+        toks = set(t.lower().split())
+        if not toks:
+            continue  # explode of an empty token array drops the doc
+        bits = []
+        for d in range(16):
+            vote = 0
+            for tok in toks:
+                h = hashlib.md5(tok.encode()).hexdigest()
+                vote += 1 if int(h[d], 16) % 2 == 1 else -1
+            bits.append("1" if vote > 0 else "0")
+        want[i] = "".join(bits)
+    assert got == want
+
+
 # --- range join vs a pure-Python model ---------------------------------------
 
 
