@@ -196,6 +196,141 @@ def fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TF-IDF top terms --------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT lang, doc_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS term
+            FROM documents
+        ),
+        term_stats AS (
+            SELECT lang, term, COUNT(*) AS total_tf,
+                   COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY 1, 2
+        ),
+        nl AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        scored AS (
+            SELECT t.lang, term, total_tf, df,
+                   round(total_tf * ln(1.0 + CAST(n_docs AS DOUBLE) / df), 6)
+                       AS score
+            FROM term_stats t JOIN nl USING (lang)
+        )
+        SELECT lang, term, total_tf, df, score
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY score DESC, term ASC
+        ) <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 corpus terms per language by TF-IDF. Determinism: tf and
+    df reduce to INTEGER aggregates, so the one double op (ln) happens
+    exactly once per term on identical inputs in both engines; the
+    score is rounded before ranking and ties break on the term.
+    Scale shape: explode → one (lang, term) aggregation with map-side
+    partial agg, a broadcast of the per-lang doc counts, and a per-lang
+    top-N window (WindowGroupLimit prunes to 5 per partition before the
+    final shuffle)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.explode(tx.tokens("text")).alias("term")
+    )
+    term_stats = toks.groupBy("lang", "term").agg(
+        F.count("*").alias("total_tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    n_docs = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    scored = term_stats.join(F.broadcast(n_docs), "lang").select(
+        "lang",
+        "term",
+        "total_tf",
+        "df",
+        F.round(
+            F.col("total_tf")
+            * F.log(1.0 + F.col("n_docs").cast("double") / F.col("df")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# --- stratified train/valid/test split ---------------------------------------
+
+
+def _sql_hex_val(digit: str) -> str:
+    return (
+        f"CASE WHEN {digit} BETWEEN '0' AND '9' THEN ascii({digit}) - 48 "
+        f"ELSE ascii({digit}) - 87 END"
+    )
+
+
+_SQL_SPLIT_BUCKET = (
+    "(("
+    + _sql_hex_val("substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 1)")
+    + ") * 16 + ("
+    + _sql_hex_val("substr(md5('split|' || CAST(doc_id AS VARCHAR)), 2, 1)")
+    + ")) % 10"
+)
+
+
+@register(
+    "stratified_split",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT lang, text,
+                   CASE WHEN {_SQL_SPLIT_BUCKET} < 8 THEN 'train'
+                        WHEN {_SQL_SPLIT_BUCKET} = 8 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT lang, split, COUNT(*) AS doc_cnt,
+               SUM({_sql_token_count('text')}) AS ws_tokens
+        FROM assigned GROUP BY 1, 2
+    """,
+)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split for training export: the
+    assignment hashes ONLY the stable doc_id (salted md5 → bucket %10,
+    80/10/10), so it is reproducible across runs, engines, and
+    repartitioning — no sample()/rand() nondeterminism — and any later
+    re-ingest of the same ids lands in the same split. Stratification
+    falls out per language because the hash is independent of lang.
+    Scale shape: pure narrow map + one aggregation; the split column
+    also works as a partition key for the export write."""
+    from automatic_etl_spark.operators import sketch as sk
+
+    docs = table(spark, sf_dir, "documents")
+    h = tx.md5_hex(F.concat(F.lit("split|"), F.col("doc_id").cast("string")))
+    bucket = (
+        sk._hex_val(F.substring(h, 1, 1)) * 16
+        + sk._hex_val(F.substring(h, 2, 1))
+    ) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
+    )
+    return (
+        docs.select("lang", "text", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("doc_cnt"),
+            F.sum(tx.token_count("text")).alias("ws_tokens"),
+        )
+    )
+
+
 # --- the curation funnel (end-to-end training-data pipeline) ----------------
 
 QUALITY_THRESHOLD = 0.5
