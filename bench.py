@@ -53,6 +53,15 @@ HEADLINE = (
     "ann_ivf_topk",
     "embedding_cosine_dedup",
     "multimodal_features",
+    # decision-support join strategies (semi / anti / HAVING join-back)
+    "priority_semi_count",
+    "inactive_customers_anti",
+    "large_order_customers",
+    # text analysis + training export
+    "tfidf_top_terms",
+    "stratified_split",
+    # approx sketches (the 100 TB distinct/quantile path)
+    "hll_distinct_check",
 )
 
 
