@@ -143,6 +143,33 @@ def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_source_agg",
+    oracle="""
+        SELECT COUNT(*) AS line_cnt,
+               SUM(length(text)) AS char_total,
+               SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> ''))) AS ws_tokens
+        FROM documents
+    """,
+)
+def text_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → line-oriented text files → read-back →
+    corpus stats. The raw-text ingestion path (one doc per line);
+    fixture docs are newline-free so the roundtrip is lossless."""
+    from automatic_etl_spark.functions import text as tx
+
+    docs = table(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    path = tempfile.mkdtemp(prefix="text_src_") + "/docs_txt"
+    files.write_text(docs, path)
+    back = files.read_text(spark, path)
+    return back.agg(
+        F.count("*").alias("line_cnt"),
+        F.sum(F.length("value")).alias("char_total"),
+        F.sum(tx.token_count("value")).alias("ws_tokens"),
+    )
+
+
+@register(
     "orc_source_agg",
     oracle="""
         SELECT o_orderpriority,

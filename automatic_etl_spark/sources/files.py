@@ -77,3 +77,15 @@ def read_orc(
 
 def write_orc(df: DataFrame, path: str, **options: str) -> None:
     df.write.mode("overwrite").options(**options).orc(path)
+
+
+def read_text(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """Line-oriented text source — one row per line, column ``value``.
+    The raw-corpus ingestion path (one document per line)."""
+    return spark.read.options(**options).text(path)
+
+
+def write_text(df: DataFrame, path: str, **options: str) -> None:
+    """df must be a single string column; rows must not contain
+    newlines (the format has no escaping)."""
+    df.write.mode("overwrite").options(**options).text(path)

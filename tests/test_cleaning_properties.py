@@ -397,6 +397,41 @@ def test_simhash_matches_python_model(spark, texts):
     assert got == want
 
 
+# --- stratified split: assignment is a pure function of doc_id ---------------
+
+
+@PROP
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=80,
+        unique=True,
+    ),
+    parts=st.integers(min_value=1, max_value=4),
+)
+def test_split_bucket_matches_python_model(spark, ids, parts):
+    """The split bucket must depend ONLY on doc_id — same value under
+    any partitioning — and match the salted-md5 Python model exactly
+    (this is what makes re-ingests land in the same split)."""
+    import hashlib
+
+    from automatic_etl_spark.functions import text as tx
+    from automatic_etl_spark.operators import sketch as sk
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long").repartition(
+        parts
+    )
+    h = tx.md5_hex(F.concat(F.lit("split|"), F.col("doc_id").cast("string")))
+    bucket = (
+        sk._hex_val(F.substring(h, 1, 1)) * 16 + sk._hex_val(F.substring(h, 2, 1))
+    ) % 10
+    got = {
+        r["doc_id"]: r["b"] for r in df.select("doc_id", bucket.alias("b")).collect()
+    }
+    for i in ids:
+        hx = hashlib.md5(f"split|{i}".encode()).hexdigest()
+        assert got[i] == (int(hx[0], 16) * 16 + int(hx[1], 16)) % 10
+
+
 # --- range join vs a pure-Python model ---------------------------------------
 
 
