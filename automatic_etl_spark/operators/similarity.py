@@ -193,6 +193,31 @@ def mean_centroid_stats(inverted: DataFrame) -> DataFrame:
     )
 
 
+def mean_centroids(inverted: DataFrame) -> DataFrame:
+    """The k-means update as usable centroids: per-list, per-dimension
+    exact decimal means (rounded at 1e-6 so both engines produce the
+    identical double), reassembled into (c_id, c_vec) for the next
+    ``ivf_assign`` iteration. Same shuffle shape as
+    ``mean_centroid_stats``; the reassembly is a collect_list made
+    deterministic by sorting on the dimension index."""
+    ex = inverted.select("list_id", F.posexplode("n_vec").alias("pos", "val"))
+    dims = ex.groupBy("list_id", "pos").agg(
+        F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+        F.count("*").alias("c"),
+    )
+    m = F.round(F.col("s").cast("double") / F.col("c"), 6)
+    return (
+        dims.select("list_id", F.struct(F.col("pos"), m.alias("m")).alias("pm"))
+        .groupBy("list_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("pm")), lambda s: s["m"]
+            ).alias("c_vec")
+        )
+        .select(F.col("list_id").alias("c_id"), "c_vec")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

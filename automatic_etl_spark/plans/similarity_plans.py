@@ -284,3 +284,92 @@ def ivf_mean_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inverted = sim.ivf_assign(corpus, centroids)
     return sim.mean_centroid_stats(inverted)
+
+
+def _sql_cosine_rank_assign(
+    out: str, cent: str, cid: str = "c_id", cvec: str = "cv"
+) -> str:
+    """One k-means assignment round as a CTE: every vector to its
+    argmax-cosine centroid (ties → smallest centroid id)."""
+    return f"""
+        {out} AS (
+            SELECT n_id, {cid} AS list_id, nv FROM (
+                SELECT n.vec_id AS n_id, n.v AS nv, c.{cid},
+                       ROW_NUMBER() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY list_dot_product(n.v, c.{cvec})
+                                    / (sqrt(list_dot_product(n.v, n.v))
+                                       * sqrt(list_dot_product(c.{cvec},
+                                                               c.{cvec}))) DESC,
+                                    c.{cid} ASC
+                       ) AS rn
+                FROM e n CROSS JOIN {cent} c
+            ) WHERE rn = 1
+        )
+"""
+
+
+_SQL_MEANS = """
+        ex{i} AS (
+            SELECT list_id,
+                   unnest(nv) AS val,
+                   unnest(range(1, len(nv) + 1)) AS ord
+            FROM a{i}
+        ),
+        d{i} AS (
+            SELECT list_id, ord,
+                   SUM(CAST(val AS DECIMAL(28,12))) AS s,
+                   COUNT(*) AS c
+            FROM ex{i} GROUP BY 1, 2
+        )
+"""
+
+
+@register(
+    "kmeans_two_iter",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS c_id, v AS cv FROM e
+            WHERE vec_id % {CENTROID_MOD} = 3
+        ),
+        {_sql_cosine_rank_assign("a1", "c0")},
+        {_SQL_MEANS.format(i=1)},
+        c1 AS (
+            SELECT list_id AS c_id,
+                   list(CAST(round(CAST(s AS DOUBLE) / c, 6) AS DOUBLE)
+                        ORDER BY ord) AS cv
+            FROM d1 GROUP BY list_id
+        ),
+        {_sql_cosine_rank_assign("a2", "c1")},
+        {_SQL_MEANS.format(i=2)},
+        sq AS (
+            SELECT list_id,
+                   CAST(round(CAST(s AS DOUBLE) / c, 6) AS DECIMAL(18,6)) AS m,
+                   c
+            FROM d2
+        )
+        SELECT list_id,
+               MAX(c) AS n_members,
+               round(sqrt(CAST(SUM(m * m) AS DOUBLE)), 6) AS centroid_norm
+        FROM sq GROUP BY list_id
+    """,
+)
+def kmeans_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full k-means iterations — the iterative-algorithm pattern:
+    a driver-side loop over distributed assign/update steps (seed →
+    assign → mean update → re-assign → final update stats). The oracle
+    replays both iterations as chained CTEs, cross-validating the loop
+    end-to-end. Scale notes: each iteration is one broadcast of the
+    (tiny) centroid set plus one (list, dim)-keyed shuffle; in a long
+    production loop you'd ``localCheckpoint()`` each centroid set to
+    truncate lineage — with 2 iterations the lazy chain is fine."""
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = sim.prepare(emb, role="n")
+    cent = sim.prepare(emb.filter(F.col("vec_id") % CENTROID_MOD == 3), role="c")
+    inverted = sim.ivf_assign(corpus, cent)  # iteration 1: assign
+    cent = sim.mean_centroids(inverted)  # iteration 1: update
+    inverted = sim.ivf_assign(corpus, cent)  # iteration 2: assign
+    return sim.mean_centroid_stats(inverted)  # iteration 2: update stats
