@@ -355,6 +355,50 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_history",
+    oracle="""
+        WITH h AS (
+            SELECT user_id, event_type, ts,
+                   lead(ts) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                   ) AS valid_to
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS versions,
+               SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+                   AS current_cnt,
+               SUM(epoch_ms(valid_to) - epoch_ms(ts)) AS closed_ms_total
+        FROM h GROUP BY event_type
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: the CDC change stream becomes validity
+    intervals — each change row gets valid_to = next change's ts for
+    the same key (lead window, event_id tiebreak), NULL marking the
+    current version. The complement of the last-writer-wins dedup
+    (SCD1) the reference's ReplacingMergeTree tables implement
+    (tools/create_clickhouse_models.py heuristics): same shuffle shape
+    (one key-partitioned window), but every version is kept with its
+    validity range."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    hist = events.select(
+        "user_id", "event_type", "ts", F.lead("ts").over(w).alias("valid_to")
+    )
+    return hist.groupBy("event_type").agg(
+        F.count("*").alias("versions"),
+        F.sum(F.col("valid_to").isNull().cast("int")).alias("current_cnt"),
+        F.sum(F.unix_millis("valid_to") - F.unix_millis("ts")).alias(
+            "closed_ms_total"
+        ),
+    )
+
+
+@register(
     "cdc_bronze_stamp",
     oracle="SELECT COUNT(*) AS cnt, COUNT(*) AS valid_json_cnt FROM events",
 )
