@@ -355,6 +355,97 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+        SELECT s.user_id,
+               COUNT(*) AS pair_cnt,
+               SUM(epoch_ms(p.ts) - epoch_ms(s.ts)) AS lag_ms_total
+        FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        JOIN (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase') p
+          ON s.user_id = p.user_id
+         AND p.ts >= s.ts
+         AND p.ts <= s.ts + INTERVAL 7 DAY
+        GROUP BY s.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join: signups and purchases arrive as two
+    independent streams; each side buffers rows in the state store
+    until the other side's watermark passes the join window (purchase
+    within 7 days of signup). Both watermarks (60 days > the ~30-day
+    fixture span) keep every row live for the run, so the sink equals
+    the batch join — the oracle. At scale the event-time range bound
+    is what makes this viable: state is evicted once ts <
+    watermark − 7 days, so each side holds a sliding week, not the
+    stream's history."""
+    import os
+
+    from automatic_etl_spark.session import default_parallelism
+
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    stage = tempfile.mkdtemp(prefix="ss_join_stage_")
+    sign_dir = os.path.join(stage, "signups")
+    purch_dir = os.path.join(stage, "purchases")
+    events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts"
+    ).coalesce(2).write.mode("overwrite").parquet(sign_dir)
+    events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    ).coalesce(2).write.mode("overwrite").parquet(purch_dir)
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    signups = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sign_dir)
+        .withWatermark("ts", "60 days")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+    )
+    purchases = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(purch_dir)
+        .withWatermark("ts", "60 days")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "event_id",
+        )
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
+    )
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ss_join_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return (
+        spark.table(name)
+        .groupBy(F.col("s_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("pair_cnt"),
+            F.sum(
+                F.unix_millis("p_ts") - F.unix_millis("s_ts")
+            ).alias("lag_ms_total"),
+        )
+    )
+
+
+@register(
     "scd2_history",
     oracle="""
         WITH h AS (

@@ -1257,6 +1257,44 @@ def inactive_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "groupwise_max_orders",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS at_max_cnt,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+               MIN(o_orderkey) AS min_orderkey
+        FROM (
+            SELECT * FROM orders
+            QUALIFY o_totalprice = MAX(o_totalprice)
+                OVER (PARTITION BY o_orderpriority)
+        )
+        GROUP BY o_orderpriority
+    """,
+)
+def groupwise_max_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated per-group MAX subquery (rows
+    whose price equals their group's maximum), decorrelated the
+    Spark-idiomatic way — a window max instead of a self-join against
+    a grouped aggregate, so the fact table is scanned ONCE with a
+    single partition-keyed shuffle. Ties all survive (same as the SQL
+    form); doubles compare exactly so no rounding is needed."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    return (
+        orders.withColumn("__mx", F.max("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") == F.col("__mx"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("at_max_cnt"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderkey").alias("min_orderkey"),
+        )
+    )
+
+
+@register(
     "large_order_customers",
     oracle="""
         WITH big AS (
