@@ -88,7 +88,16 @@ def _scan_splits(spark: SparkSession, path: str) -> int:
 def table(
     spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
 ) -> DataFrame:
-    """Load one fixture table lazily (scan node only, no action)."""
+    """Load one fixture table lazily (scan node only, no action).
+
+    The conditional fan-out repartition below is a LOCAL-fixture shim
+    (single-row-group files can't split); at cluster scale it is a
+    no-op. Note it also suppresses Catalyst's runtime bloom-filter
+    injection (the rule wants the filter adjacent to the scan) — pass
+    ``fan_out=False`` where runtime row-level pruning matters; on a
+    real multi-row-group layout the condition never fires and bloom
+    filters inject normally (see test_bloom_filter_runtime_pruning).
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_ts_columns(path)
     if ns_cols:

@@ -62,6 +62,12 @@ HEADLINE = (
     "stratified_split",
     # approx sketches (the 100 TB distinct/quantile path)
     "hll_distinct_check",
+    # iterative + history + stream-stream
+    "kmeans_two_iter",
+    "scd2_history",
+    "groupwise_max_orders",
+    "stream_stream_join",
+    "text_source_agg",
 )
 
 
