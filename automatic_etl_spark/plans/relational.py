@@ -641,6 +641,173 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Classic BI shapes, third batch (SURVEY.md §2.3 note) -------------------
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+                   AS promo_revenue,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+               CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the conditional-revenue-share report — one
+    month of the fact scan joined to part (AQE broadcasts part when it
+    fits), two conditional decimal sums, the share derived as one
+    double division of exact sums so both engines agree bit-for-bit."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    ).cast("double")
+    total = F.sum(rev).cast("double")
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+        (promo / total).alias("promo_share"),
+    )
+
+
+@register(
+    "shipmode_priority_counts",
+    oracle="""
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_linestatus
+    """,
+)
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-to-orders join with IN-list conditional
+    counts over a one-year shipdate window. (Q12 groups by l_shipmode;
+    the testdata schema has no shipmode, so l_linestatus carries the
+    grouping role.)"""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("int")).alias("high_line_count"),
+            F.sum((~high).cast("int")).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "disjunctive_predicate_scan",
+    oracle="""
+        SELECT COUNT(*) AS line_cnt,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 25)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity >= 10 AND l_quantity <= 40)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+)
+def disjunctive_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of conjunctive predicate groups spanning
+    both join sides. Catalyst pushes the single-side residuals down to
+    each scan (the p_brand/p_size disjunction prunes part before the
+    join; the l_quantity envelope prunes lineitem) and evaluates the
+    cross-side conjunctions post-join — the plan to check when OR
+    predicates are on the hot path."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    g1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 25)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(g1 | g2 | g3)
+        .agg(
+            F.count("*").alias("line_cnt"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "value_share_groups",
+    oracle="""
+        WITH g AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total FROM events),
+        per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, user_total
+        FROM per_user, g
+        WHERE user_total > 0.002 * total
+    """,
+)
+def value_share_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose share of the GLOBAL sum exceeds a
+    fraction — the scalar-subquery-in-HAVING pattern, decorrelated to
+    a broadcast of the 1-row global aggregate against the grouped
+    result (no driver collect, no second scan shuffle). Both totals
+    are exact decimal sums; the threshold comparison happens on the
+    identical doubles in both engines."""
+    events = table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        dsum("value", "user_total")
+    )
+    total = events.agg(dsum("value", "__total"))
+    return (
+        per_user.crossJoin(F.broadcast(total))
+        .filter(F.col("user_total") > 0.002 * F.col("__total"))
+        .select("user_id", "user_total")
+    )
+
+
 # --- Extension: as-of (point-in-time) join ----------------------------------
 # The canonical missing-from-Spark operator (composed from union +
 # keyed window, operators/asof.py); the oracle runs DuckDB's NATIVE
