@@ -397,6 +397,77 @@ def test_simhash_matches_python_model(spark, texts):
     assert got == want
 
 
+# --- TF-IDF vs a pure-Python model --------------------------------------------
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=8).map(
+                " ".join
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_tfidf_matches_python_model(spark, docs):
+    """The per-language top-5 TF-IDF ranking must match a pure-Python
+    tf/df/ln model (same rounding, same score-desc/term-asc order)."""
+    import math
+    import tempfile
+
+    import pandas as pd
+
+    from automatic_etl_spark.plans.all_plans import REGISTRY
+
+    # single-FILE parquet, like the fixtures sources/parquet.table expects
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": [t for _, t in docs],
+            "lang": [l for l, _ in docs],
+            "source": "src",
+            "n_chars": [len(t) for _, t in docs],
+        }
+    )
+    d = tempfile.mkdtemp(prefix="tfidf_prop_")
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+
+    got = {
+        (r["lang"], r["term"]): (r["total_tf"], r["df"], r["score"])
+        for r in REGISTRY["tfidf_top_terms"][0](spark, d).collect()
+    }
+
+    want = {}
+    for lang in {l for l, _ in docs}:
+        texts = [t for l, t in docs if l == lang]
+        n_docs = len(texts)
+        stats = {}
+        for t in texts:
+            toks = t.lower().split()
+            for tok in toks:
+                tf, dfc = stats.get(tok, (0, 0))
+                stats[tok] = (tf + 1, dfc)
+            for tok in set(toks):
+                tf, dfc = stats[tok]
+                stats[tok] = (tf, dfc + 1)
+        scored = [
+            (term, tf, dfc, round(tf * math.log(1.0 + n_docs / dfc), 6))
+            for term, (tf, dfc) in stats.items()
+        ]
+        scored.sort(key=lambda x: (-x[3], x[0]))
+        for term, tf, dfc, score in scored[:5]:
+            want[(lang, term)] = (tf, dfc, score)
+
+    assert set(got) == set(want)
+    for k, (tf, dfc, score) in want.items():
+        assert got[k][0] == tf and got[k][1] == dfc
+        assert got[k][2] == pytest.approx(score, abs=1e-9)
+
+
 # --- stratified split: assignment is a pure function of doc_id ---------------
 
 
