@@ -808,6 +808,145 @@ def value_share_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "top_supplier_revenue",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the max-over-AGGREGATE filter — suppliers
+    whose quarterly revenue equals the maximum quarterly revenue. The
+    heavy reduction (per-supplier revenue) happens once; the scalar
+    max is a window over that already-tiny aggregate, so the fact
+    table is scanned and shuffled exactly once. Exact decimal sums
+    make the equality comparison engine-stable."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey").agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("total_rev")
+        )
+    )
+    supplier = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy()  # global window over the per-supplier rollup
+    return (
+        rev.withColumn("__mx", F.max("total_rev").over(w))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "returned_item_customers",
+    oracle="""
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue report — returned lineitems in a
+    quarter attributed to customers, ranked top-20. Both selective
+    filters reach their scans; nation is pinned broadcast (25 rows at
+    any scale); top-N is TakeOrderedAndProject with a pinned
+    tiebreak."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "nation_trade_trend",
+    oracle="""
+        SELECT n_name, CAST(year(l_shipdate) AS INT) AS ship_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS line_cnt
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE n_name IN ('GERMANY', 'FRANCE')
+        GROUP BY n_name, year(l_shipdate)
+    """,
+)
+def nation_trade_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue trend per year for a nation pair —
+    date-part extraction as a grouping key over a star join. The
+    nation IN-filter propagates through the broadcast join, so only
+    the two nations' customers survive into the fact join."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("GERMANY", "FRANCE")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name", F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("line_cnt"),
+        )
+    )
+
+
 # --- Extension: as-of (point-in-time) join ----------------------------------
 # The canonical missing-from-Spark operator (composed from union +
 # keyed window, operators/asof.py); the oracle runs DuckDB's NATIVE
