@@ -164,3 +164,27 @@ def test_foreach_batch_upsert_partitioned_prunes(spark):
     # February was rewritten
     feb_after = set(glob.glob(f"{target}/month=2024-02/*.parquet"))
     assert feb_after != set(feb_files)
+
+
+def test_stateful_queries_match_under_rocksdb_state_store(spark, sf_dir):
+    """The RocksDB state store (what large-state production streams
+    run — state spills to disk instead of living on the JVM heap) must
+    produce byte-identical results to the default HDFS-backed store
+    for our stateful streaming paths."""
+    from automatic_etl_spark.plans.all_plans import REGISTRY
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key)
+    for name in ("streaming_watermark_dedup", "streaming_hourly_counts"):
+        fn = REGISTRY[name][0]
+        baseline = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        try:
+            spark.conf.set(key, rocks)
+            with_rocks = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        finally:
+            spark.conf.set(key, prev)
+        assert with_rocks == baseline, name
