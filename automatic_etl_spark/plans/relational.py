@@ -1296,6 +1296,57 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_window_native",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                          OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM ordered
+        ),
+        per_session AS (
+            SELECT user_id, session_id, COUNT(*) AS session_events
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT COUNT(*) AS total_sessions,
+               COUNT(DISTINCT user_id) AS users,
+               SUM(session_events) AS total_events,
+               MAX(session_events) AS max_session_events
+        FROM per_session
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (one groupBy with
+    session merging inside the aggregation — no per-row window pass),
+    cross-validated against the independent lag-gap islands
+    construction in the oracle. An event exactly gap after the last
+    one starts a NEW session (session range is [start, last+gap)), so
+    the oracle's boundary is >=. Same 30-minute gap as the
+    `sessionization` query, which keeps the composed form for engines
+    without the operator."""
+    events = table(spark, sf_dir, "events")
+    per_session = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count("*").alias("session_events"))
+    return per_session.agg(
+        F.count("*").alias("total_sessions"),
+        F.countDistinct("user_id").alias("users"),
+        F.sum("session_events").alias("total_events"),
+        F.max("session_events").alias("max_session_events"),
+    )
+
+
 # --- Extension: exact percentiles -------------------------------------------
 
 
