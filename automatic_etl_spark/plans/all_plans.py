@@ -1,58 +1,34 @@
-"""Import every plan module so REGISTRY is fully populated."""
+"""Import every plan module so REGISTRY is fully populated.
 
-from automatic_etl_spark.plans import relational  # noqa: F401
+Imports are unconditional: a broken module must fail loudly here, not
+silently drop its whole query pack from the registry and from all
+verification (the round-1 ImportError guards were phase-gating that no
+longer applies).
+"""
 
-# Populated incrementally as operator packs land (SURVEY.md §7 phases):
-try:
-    from automatic_etl_spark.plans import cleaning_plans  # noqa: F401
-except ImportError:
-    pass
-try:
-    from automatic_etl_spark.plans import views_plans  # noqa: F401
-except ImportError:
-    pass
-try:
-    from automatic_etl_spark.plans import text_plans  # noqa: F401
-except ImportError:
-    pass
-try:
-    from automatic_etl_spark.plans import dedup_plans  # noqa: F401
-except ImportError:
-    pass
-try:
-    from automatic_etl_spark.plans import similarity_plans  # noqa: F401
-except ImportError:
-    pass
-try:
-    from automatic_etl_spark.plans import cdc_plans  # noqa: F401
-except ImportError:
-    pass
-try:
-    from automatic_etl_spark.plans import ingest_plans  # noqa: F401
-except ImportError:
-    pass
-try:
-    from automatic_etl_spark.plans import multimodal_plans  # noqa: F401
-except ImportError:
-    pass
-try:
-    from automatic_etl_spark.plans import catalog_plans  # noqa: F401
-except ImportError:
-    pass
-try:
-    from automatic_etl_spark.plans import skew_plans  # noqa: F401
-except ImportError:
-    pass
-try:
-    from automatic_etl_spark.plans import storage_plans  # noqa: F401
-except ImportError:
-    pass
+from automatic_etl_spark.plans import (  # noqa: F401
+    catalog_plans,
+    cdc_plans,
+    cleaning_plans,
+    dedup_plans,
+    ingest_plans,
+    multimodal_plans,
+    relational,
+    similarity_plans,
+    sketch_plans,
+    skew_plans,
+    storage_plans,
+    text_plans,
+    views_plans,
+)
+from automatic_etl_spark.plans.registry import REGISTRY
 
-try:
-    from automatic_etl_spark.plans import sketch_plans  # noqa: F401
-except ImportError:
-    pass
-
-from automatic_etl_spark.plans.registry import REGISTRY  # noqa: E402
+# Backstop against a pack silently vanishing (e.g. a module that stops
+# registering at import time): the registry can only grow from here.
+_MIN_EXPECTED_QUERIES = 108
+assert len(REGISTRY) >= _MIN_EXPECTED_QUERIES, (
+    f"registry shrank: {len(REGISTRY)} < {_MIN_EXPECTED_QUERIES} — "
+    "a plan module stopped registering its queries"
+)
 
 __all__ = ["REGISTRY"]

@@ -22,10 +22,10 @@ from automatic_etl_spark.sources.parquet import table
         rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
         both_side AS (SELECT k FROM buyers INTERSECT SELECT k FROM rich),
         only_rich AS (SELECT k FROM rich EXCEPT SELECT k FROM buyers)
-        SELECT 'intersect' AS op, COUNT(*) AS cnt, SUM(k) AS key_total
+        SELECT 'intersect' AS op, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS key_total
         FROM both_side
         UNION ALL
-        SELECT 'except' AS op, COUNT(*) AS cnt, SUM(k) AS key_total
+        SELECT 'except' AS op, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS key_total
         FROM only_rich
     """,
 )
@@ -86,21 +86,21 @@ def top_tables_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profile_customer",
     oracle="""
         SELECT 'c_custkey' AS "column",
-               SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS null_cnt,
+               CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
                COUNT(DISTINCT c_custkey) AS distinct_cnt,
                CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
                CAST(MAX(c_custkey) AS VARCHAR) AS max_value
         FROM customer
         UNION ALL
         SELECT 'c_mktsegment',
-               SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(DISTINCT c_mktsegment),
                CAST(MIN(c_mktsegment) AS VARCHAR),
                CAST(MAX(c_mktsegment) AS VARCHAR)
         FROM customer
         UNION ALL
         SELECT 'c_nationkey',
-               SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(DISTINCT c_nationkey),
                CAST(MIN(c_nationkey) AS VARCHAR),
                CAST(MAX(c_nationkey) AS VARCHAR)

@@ -81,7 +81,7 @@ _SQL_OP = (
         SELECT (op = 'd') AS __deleted,
                COUNT(*) AS cnt,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total,
-               SUM(user_id) AS user_total,
+               CAST(SUM(user_id) AS BIGINT) AS user_total,
                MAX(ts_ms) AS max_ts_ms
         FROM latest GROUP BY 1
     """,
@@ -183,7 +183,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_replay_dedup",
     oracle="""
-        SELECT event_type, COUNT(*) AS cnt, SUM(user_id) AS user_total
+        SELECT event_type, COUNT(*) AS cnt, CAST(SUM(user_id) AS BIGINT) AS user_total
         FROM events GROUP BY event_type
     """,
 )
@@ -236,7 +236,7 @@ def streaming_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_watermark_dedup",
     oracle="""
-        SELECT event_type, COUNT(*) AS cnt, SUM(user_id) AS user_total,
+        SELECT event_type, COUNT(*) AS cnt, CAST(SUM(user_id) AS BIGINT) AS user_total,
                MAX(epoch_ms(ts)) AS max_ts_ms
         FROM events GROUP BY event_type
     """,
@@ -300,7 +300,7 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT user_id,
                COUNT(*) AS n_events,
-               SUM(CAST(floor(value * 100) AS BIGINT)) AS cents_total
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_total
         FROM events GROUP BY user_id
     """,
 )
@@ -359,7 +359,7 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT s.user_id,
                COUNT(*) AS pair_cnt,
-               SUM(epoch_ms(p.ts) - epoch_ms(s.ts)) AS lag_ms_total
+               CAST(SUM(epoch_ms(p.ts) - epoch_ms(s.ts)) AS BIGINT) AS lag_ms_total
         FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
         JOIN (SELECT user_id, ts, event_id FROM events
               WHERE event_type = 'purchase') p
@@ -458,9 +458,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                COUNT(*) AS versions,
-               SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS current_cnt,
-               SUM(epoch_ms(valid_to) - epoch_ms(ts)) AS closed_ms_total
+               CAST(SUM(epoch_ms(valid_to) - epoch_ms(ts)) AS BIGINT) AS closed_ms_total
         FROM h GROUP BY event_type
     """,
 )
@@ -516,7 +516,7 @@ def cdc_bronze_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT w.weight_tier,
                COUNT(*) AS cnt,
-               SUM(CAST(floor(e.value * 100) AS BIGINT) * w.weight)
+               CAST(SUM(CAST(floor(e.value * 100) AS BIGINT) * w.weight) AS BIGINT)
                    AS weighted_cents
         FROM events e
         JOIN (VALUES ('click', 1, 'low'), ('view', 2, 'low'),

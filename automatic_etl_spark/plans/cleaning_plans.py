@@ -48,8 +48,8 @@ _SENTINELS_SQL = ", ".join(f"'{s}'" for s in cl.NULL_SENTINELS + cl.ZERO_DATES)
             FROM dirty
         )
         SELECT o_orderstatus,
-               SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_cnt,
-               SUM(CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END) AS valid_cnt,
+               CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
+               CAST(SUM(CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS valid_cnt,
                MIN(ts) AS min_ts, MAX(ts) AS max_ts
         FROM cleaned GROUP BY o_orderstatus
     """,
@@ -111,9 +111,9 @@ _CLEAN_INT_SENTINELS = ", ".join(f"'{s}'" for s in cl.NULL_SENTINELS)
             FROM parsed
         )
         SELECT c_nationkey,
-               SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS null_cnt,
-               SUM(v) AS total,
-               SUM(COALESCE(v, 0)) AS total_pk_filled
+               CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
+               CAST(SUM(v) AS BIGINT) AS total,
+               CAST(SUM(COALESCE(v, 0)) AS BIGINT) AS total_pk_filled
         FROM cleaned GROUP BY c_nationkey
     """,
 )
@@ -161,7 +161,7 @@ def clean_integers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT COUNT(*) AS row_cnt,
                COUNT(DISTINCT v) AS distinct_cnt,
-               SUM(length(v)) AS total_len
+               CAST(SUM(length(v)) AS BIGINT) AS total_len
         FROM cleaned
     """,
 )
@@ -201,10 +201,10 @@ def _nested_replace_sql(inner: str) -> str:
                    replace(replace(p_name, 'a', 'á'), 'o', 'ó') AS expected
             FROM part
         )
-        SELECT SUM(CASE WHEN {_nested_replace_sql('s')} = expected
-                        THEN 1 ELSE 0 END) AS repaired_cnt,
+        SELECT CAST(SUM(CASE WHEN {_nested_replace_sql('s')} = expected
+                        THEN 1 ELSE 0 END) AS BIGINT) AS repaired_cnt,
                COUNT(*) AS row_cnt,
-               SUM(length({_nested_replace_sql('s')})) AS total_len
+               CAST(SUM(length({_nested_replace_sql('s')})) AS BIGINT) AS total_len
         FROM dirty
     """,
 )
@@ -280,8 +280,8 @@ def time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_mktsegment,
                CAST(SUM(CAST(greatest(least(c_acctbal, 127), -128)
                              AS DECIMAL(18,2))) AS DOUBLE) AS clamped_total,
-               SUM(CASE WHEN c_acctbal > 127 OR c_acctbal < -128
-                        THEN 1 ELSE 0 END) AS clamped_cnt
+               CAST(SUM(CASE WHEN c_acctbal > 127 OR c_acctbal < -128
+                        THEN 1 ELSE 0 END) AS BIGINT) AS clamped_cnt
         FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -313,8 +313,8 @@ def numeric_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN v END AS v
             FROM scaled
         )
-        SELECT SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS overflow_cnt,
-               SUM(v) AS safe_total
+        SELECT CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS overflow_cnt,
+               CAST(SUM(v) AS BIGINT) AS safe_total
         FROM guarded
     """,
 )
@@ -342,7 +342,7 @@ def overflow_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM part
         )
         SELECT COALESCE(b, 'N/A') AS brand, COUNT(*) AS cnt,
-               SUM(COALESCE(sz, 0)) AS size_total
+               CAST(SUM(COALESCE(sz, 0)) AS BIGINT) AS size_total
         FROM dirty GROUP BY 1
     """,
 )
@@ -393,9 +393,9 @@ def fill_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM dirty
         )
         SELECT prio,
-               SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS pk_filled_cnt,
-               SUM(id) AS id_total,
-               SUM(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS date_nulls,
+               CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pk_filled_cnt,
+               CAST(SUM(id) AS BIGINT) AS id_total,
+               CAST(SUM(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS date_nulls,
                CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_total
         FROM cleaned GROUP BY prio
     """,
@@ -474,7 +474,7 @@ def clamp_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COUNT(*) AS cnt,
                COUNT(CASE WHEN length(text) > 0 THEN 1 END)
                    AS decoded_match_cnt,
-               SUM(length(text)) AS char_total
+               CAST(SUM(length(text)) AS BIGINT) AS char_total
         FROM documents
     """,
 )
@@ -512,7 +512,7 @@ def decode_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem
         )
         SELECT COUNT(*) AS cnt,
-               SUM(TRY_CAST(n_str AS BIGINT)) AS n_total,
+               CAST(SUM(TRY_CAST(n_str AS BIGINT)) AS BIGINT) AS n_total,
                CAST(SUM(CAST(TRY_CAST(price_str AS DOUBLE) AS DECIMAL(18,2)))
                     AS DOUBLE) AS price_total,
                COUNT(DISTINCT flag_str) AS flag_distinct

@@ -121,7 +121,7 @@ _BAND_MATCH = " OR ".join(
             SELECT doc_id, lang FROM hashed
             QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id ASC) = 1
         )
-        SELECT lang, COUNT(*) AS kept_cnt, SUM(doc_id) AS keeper_id_total
+        SELECT lang, COUNT(*) AS kept_cnt, CAST(SUM(doc_id) AS BIGINT) AS keeper_id_total
         FROM kept GROUP BY lang
     """,
 )
@@ -148,8 +148,8 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         {_SQL_SHINGLES},
         {_SQL_JACCARD}
         SELECT COUNT(*) AS pair_cnt,
-               SUM(a_id) AS a_id_total,
-               SUM(b_id) AS b_id_total,
+               CAST(SUM(a_id) AS BIGINT) AS a_id_total,
+               CAST(SUM(b_id) AS BIGINT) AS b_id_total,
                CAST(SUM(CAST(round(jaccard, 6) AS DECIMAL(18,6))) AS DOUBLE)
                    AS jaccard_total
         FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
@@ -192,7 +192,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT (SELECT COUNT(*) FROM cand) AS candidate_cnt,
                COUNT(*) AS verified_cnt,
-               SUM(a_id) AS a_id_total,
+               CAST(SUM(a_id) AS BIGINT) AS a_id_total,
                CAST(SUM(CAST(round(jaccard, 6) AS DECIMAL(18,6))) AS DOUBLE)
                    AS jaccard_total
         FROM verified
@@ -260,8 +260,8 @@ _BIT_CONCAT = " || ".join(
             SELECT simhash, COUNT(*) AS sz FROM sig GROUP BY simhash
         )
         SELECT COUNT(*) AS distinct_sigs,
-               SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS dup_buckets,
-               SUM(sz - 1) AS removable_rows,
+               CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_buckets,
+               CAST(SUM(sz - 1) AS BIGINT) AS removable_rows,
                MAX(sz) AS max_bucket
         FROM buckets
     """,
@@ -293,7 +293,7 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                COUNT(*) AS cnt,
-               SUM(CAST(floor(value * 100) AS BIGINT)) AS cents_total
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_total
         FROM latest WHERE rn = 1 GROUP BY event_type
     """,
 )

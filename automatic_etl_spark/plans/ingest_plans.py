@@ -144,7 +144,7 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT strftime(ts, '%Y%m') AS ts_month,
                COUNT(*) AS cnt,
-               SUM(user_id) AS user_total
+               CAST(SUM(user_id) AS BIGINT) AS user_total
         FROM events GROUP BY 1
     """,
 )

@@ -40,9 +40,9 @@ def _sql_hexval(digit: str) -> str:
         )
         SELECT fmt,
                COUNT(*) AS cnt,
-               SUM(n_bytes) AS bytes_total,
-               SUM(fake_width) AS width_total,
-               SUM(fake_height) AS height_total,
+               CAST(SUM(n_bytes) AS BIGINT) AS bytes_total,
+               CAST(SUM(fake_width) AS BIGINT) AS width_total,
+               CAST(SUM(fake_height) AS BIGINT) AS height_total,
                COUNT(DISTINCT payload_md5) AS distinct_payloads
         FROM feats GROUP BY fmt
     """,
@@ -75,9 +75,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM dims
         )
         SELECT COUNT(*) AS cnt,
-               SUM(w) AS width_total,
-               SUM(rw) AS resized_width_total,
-               SUM(rh) AS resized_height_total,
+               CAST(SUM(w) AS BIGINT) AS width_total,
+               CAST(SUM(rw) AS BIGINT) AS resized_width_total,
+               CAST(SUM(rh) AS BIGINT) AS resized_height_total,
                MAX(GREATEST(rw, rh)) AS max_resized_side
         FROM resized
     """,
@@ -113,7 +113,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT frame_idx,
                COUNT(*) AS cnt,
-               SUM(frame_offset) AS offset_total,
+               CAST(SUM(frame_offset) AS BIGINT) AS offset_total,
                COUNT(DISTINCT frame_md5) AS distinct_frames
         FROM frames GROUP BY frame_idx
     """,

@@ -110,9 +110,9 @@ def sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_agg",
     oracle="""
         SELECT event_type,
-               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_cnt,
-               SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS not_null_cnt,
-               SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS high_cnt
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
+               CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_cnt,
+               CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt
         FROM events GROUP BY event_type
     """,
 )
@@ -215,14 +215,20 @@ def sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "limit_scan",
     oracle="""
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        LIMIT 100
     """,
 )
 def limit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fixture lineitem is NOT TPC-H-unique on (l_orderkey,
+    # l_linenumber) — 45,832 distinct pairs over 60,000 rows, with ties
+    # at the LIMIT boundary — so the sort must cover every projected
+    # column to be total (engines break ties differently otherwise).
     return (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .limit(100)
     )
 
@@ -512,7 +518,7 @@ def daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT COUNT(*) AS row_cnt,
                COUNT(DISTINCT c_mktsegment) AS segment_nunique,
-               SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS segment_nulls,
                COUNT(DISTINCT c_nationkey) AS nation_nunique,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
@@ -691,10 +697,10 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipmode_priority_counts",
     oracle="""
         SELECT l_linestatus,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                   THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                   THEN 1 ELSE 0 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -971,7 +977,7 @@ def nation_trade_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT COUNT(*) AS purchase_cnt,
                COUNT(sts) AS matched_cnt,
-               SUM(epoch_ms(pts) - epoch_ms(sts)) AS lag_ms_total
+               CAST(SUM(epoch_ms(pts) - epoch_ms(sts)) AS BIGINT) AS lag_ms_total
         FROM j
     """,
 )
@@ -1263,7 +1269,7 @@ def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT COUNT(*) AS total_sessions,
                COUNT(DISTINCT user_id) AS users,
-               SUM(session_events) AS total_events,
+               CAST(SUM(session_events) AS BIGINT) AS total_events,
                MAX(session_events) AS max_session_events
         FROM per_session
     """,
@@ -1321,7 +1327,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT COUNT(*) AS total_sessions,
                COUNT(DISTINCT user_id) AS users,
-               SUM(session_events) AS total_events,
+               CAST(SUM(session_events) AS BIGINT) AS total_events,
                MAX(session_events) AS max_session_events
         FROM per_session
     """,
@@ -1428,8 +1434,8 @@ _PIVOT_TYPES = ("click", "view", "signup", "purchase", "error")
     oracle=f"""
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                {", ".join(
-                   f"SUM(CASE WHEN event_type = '{t}' "
-                   f"THEN CAST(floor(value * 100) AS BIGINT) END) AS {t}"
+                   f"CAST(SUM(CASE WHEN event_type = '{t}' "
+                   f"THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS {t}"
                    for t in _PIVOT_TYPES)}
         FROM events GROUP BY 1
     """,

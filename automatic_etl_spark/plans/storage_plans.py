@@ -84,8 +84,8 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*) AS cnt,
-               SUM(CAST(floor(value * 100) AS BIGINT)) AS cents_total,
-               SUM(user_id) AS user_total
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_total,
+               CAST(SUM(user_id) AS BIGINT) AS user_total
         FROM events GROUP BY event_type
     """,
 )
@@ -118,7 +118,7 @@ def csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*) AS cnt,
-               SUM(CAST(floor(value * 100) AS BIGINT)) AS cents_total,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_total,
                MAX(event_id) AS max_event_id
         FROM events GROUP BY event_type
     """,
@@ -146,9 +146,9 @@ def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_source_agg",
     oracle="""
         SELECT COUNT(*) AS line_cnt,
-               SUM(length(text)) AS char_total,
-               SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                   x -> x <> ''))) AS ws_tokens
+               CAST(SUM(length(text)) AS BIGINT) AS char_total,
+               CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> ''))) AS BIGINT) AS ws_tokens
         FROM documents
     """,
 )

@@ -76,10 +76,10 @@ _SQL_FINGERPRINT = (
     oracle=f"""
         SELECT lang,
                COUNT(*) AS doc_cnt,
-               SUM({_sql_token_count('text')}) AS ws_tokens,
-               SUM(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}')))
+               CAST(SUM({_sql_token_count('text')}) AS BIGINT) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))) AS BIGINT)
                    AS bpe_tokens,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang
     """,
 )
@@ -170,9 +170,9 @@ def quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM fp GROUP BY fingerprint
         )
         SELECT COUNT(*) AS distinct_docs,
-               SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS dup_groups,
-               SUM(sz - 1) AS removable_rows,
-               SUM(keeper) AS keeper_id_total
+               CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+               CAST(SUM(sz - 1) AS BIGINT) AS removable_rows,
+               CAST(SUM(keeper) AS BIGINT) AS keeper_id_total
         FROM groups
     """,
 )
@@ -297,7 +297,7 @@ _SQL_SPLIT_BUCKET = (
             FROM documents
         )
         SELECT lang, split, COUNT(*) AS doc_cnt,
-               SUM({_sql_token_count('text')}) AS ws_tokens
+               CAST(SUM({_sql_token_count('text')}) AS BIGINT) AS ws_tokens
         FROM assigned GROUP BY 1, 2
     """,
 )
@@ -362,8 +362,8 @@ QUALITY_THRESHOLD = 0.5
         )
         SELECT lang,
                COUNT(*) AS kept_docs,
-               SUM({_sql_token_count('text')}) AS ws_tokens,
-               SUM(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}')))
+               CAST(SUM({_sql_token_count('text')}) AS BIGINT) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))) AS BIGINT)
                    AS bpe_tokens,
                CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS quality_total
         FROM deduped GROUP BY lang

@@ -42,9 +42,9 @@ _SQL_BEST_EFFORT = """
         )
         SELECT year(o_orderdate_date) AS y, month(o_orderdate_date) AS m,
                COUNT(*) AS cnt,
-               SUM(CASE WHEN fecha_date IS NULL THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN fecha_date IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS fecha_nulls,
-               SUM(CASE WHEN fecha_date IS NOT NULL THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN fecha_date IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS fecha_valid,
                MIN(fecha_date) AS min_fecha,
                MAX(fecha_date) AS max_fecha
