@@ -53,7 +53,8 @@ _CHECK_PRIORITY = [
     "token_stats", "lang_id_confusion", "quality_histogram",
     "fingerprint_stats", "tfidf_top_terms", "stratified_split",
     "curation_funnel", "exact_dedup", "ngram_jaccard_pairs",
-    "minhash_lsh_dedup", "simhash_buckets", "dedup_final_view",
+    "minhash_lsh_dedup", "minhash_lsh_capped", "simhash_buckets",
+    "dedup_final_view",
     "ann_bruteforce_topk", "ann_lsh_topk", "embedding_cosine_dedup",
     "ann_ivf_topk", "embedding_norm_stats", "ivf_mean_centroids",
     "kmeans_two_iter",
@@ -63,7 +64,7 @@ _CHECK_PRIORITY = [
     "bucketed_join_agg",
     # CDC / ingest / views (never checked)
     "cdc_unwrap_dedup", "streaming_replay_dedup",
-    "stateful_running_totals", "ingest_e2e", "analytics_view_dates",
+    "stateful_running_totals", "ingest_e2e",
 ]
 
 

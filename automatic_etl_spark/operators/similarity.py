@@ -106,6 +106,8 @@ def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.35,
     planes: tuple[tuple[int, ...], ...] = DEFAULT_PLANES,
+    max_bucket_size: int | None = None,
+    on_drop=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: block on the
     sign-projection bucket, score in-bucket pairs, keep
@@ -116,10 +118,16 @@ def cosine_near_dup_pairs(
     per-bucket pair generation — the same blocking policy as the text
     MinHash-LSH dedup (operators/text_dedup.py). Scale notes: both
     sides shuffle once on the bucket key; with B planes there are 2^B
-    buckets, so at cluster scale use ≥16 planes and cap bucket size
-    before the pair join to bound the quadratic term.
+    buckets, so at cluster scale use ≥16 planes AND set
+    ``max_bucket_size`` — buckets with more members are dropped before
+    the pair join (bounding the quadratic term) and their count is
+    reported through ``on_drop``, never silently.
     """
+    from automatic_etl_spark.operators.text_dedup import cap_buckets
+
     b = corpus.withColumn("bucket", projection_bucket(F.col("n_vec"), planes))
+    if max_bucket_size is not None:
+        b = cap_buckets(b, ["bucket"], max_bucket_size, on_drop)
     left = b.select(
         F.col("n_id").alias("a_id"), F.col("n_vec").alias("a_vec"), "bucket"
     )

@@ -16,11 +16,15 @@ Scale notes (100 TB): the all-pairs Jaccard join is quadratic in
 bucket size and exists as the verifier / small-corpus baseline; the
 scale path is LSH — shuffle cost is O(docs × bands), and candidate
 verification touches only bucket-mates. Skewed buckets (boilerplate
-shingles) are handled by AQE skew-join locally; at cluster scale
-add a bucket-size cap before the pair join.
+shingles) are handled by AQE skew-join locally; at cluster scale pass
+``max_bucket_size`` to :func:`lsh_candidate_pairs` to cap the
+quadratic in-bucket term (oversized buckets are dropped and REPORTED,
+never silently truncated).
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -79,11 +83,48 @@ def lsh_band_keys(
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+def cap_buckets(
+    keyed: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int,
+    on_drop: Callable[[int], None] | None = None,
 ) -> DataFrame:
-    """Distinct (a_id, b_id) pairs sharing at least one band bucket."""
+    """Drop rows belonging to buckets larger than ``max_bucket_size``.
+
+    A bucket shared by thousands of members is boilerplate (a hot
+    shingle band, a dense projection cell) — its in-bucket pair join is
+    quadratic and its pairs are near-worthless for dedup, so the
+    standard policy at scale is to drop the bucket wholesale. The size
+    aggregation groups on the SAME key as the downstream pair join, so
+    the two stages share one shuffle partitioning.
+
+    ``on_drop`` receives the dropped-bucket count (a tiny aggregate
+    job); pass it whenever capping is enabled in production so the
+    truncation is observable, never silent.
+    """
+    sizes = keyed.groupBy(*bucket_cols).agg(F.count("*").alias("bucket_n"))
+    if on_drop is not None:
+        on_drop(sizes.filter(F.col("bucket_n") > max_bucket_size).count())
+    kept = sizes.filter(F.col("bucket_n") <= max_bucket_size).select(*bucket_cols)
+    return keyed.join(kept, bucket_cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
+    on_drop: Callable[[int], None] | None = None,
+) -> DataFrame:
+    """Distinct (a_id, b_id) pairs sharing at least one band bucket.
+
+    ``max_bucket_size`` bounds the quadratic in-bucket pair blow-up
+    (the 100 TB requirement): buckets with more members are dropped
+    before the pair join and their count reported via ``on_drop``.
+    """
     keys = lsh_band_keys(signatures, bands, rows_per_band)
+    if max_bucket_size is not None:
+        keys = cap_buckets(keys, ["band", "key"], max_bucket_size, on_drop)
     a = keys.alias("a")
     b = keys.alias("b")
     return (

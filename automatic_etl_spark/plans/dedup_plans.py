@@ -223,6 +223,105 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand_cnt.crossJoin(stats)
 
 
+# --- MinHash + LSH with bucket-size cap (the 100 TB skew guard) --------------
+
+BUCKET_CAP = 10
+BOILERPLATE = (
+    "standard legal disclaimer all rights reserved contents may not be "
+    "reproduced without permission of the publisher"
+)
+
+_SQL_BAND_KEYS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    + " || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + " AS key FROM sig"
+    for b in range(BANDS)
+)
+
+
+@register(
+    "minhash_lsh_capped",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, '{BOILERPLATE}'
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text
+            FROM documents WHERE doc_id % 20 = 0
+        ),
+        {_SQL_SHINGLES},
+        {_SQL_SIGNATURES},
+        bk AS ({_SQL_BAND_KEYS}),
+        bsizes AS (SELECT band, key, COUNT(*) AS n FROM bk GROUP BY 1, 2),
+        kept AS (SELECT band, key FROM bsizes WHERE n <= {BUCKET_CAP}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bk a
+            JOIN kept k ON a.band = k.band AND a.key = k.key
+            JOIN bk b ON a.band = b.band AND a.key = b.key
+                     AND a.doc_id < b.doc_id
+        ),
+        {_SQL_JACCARD},
+        verified AS (
+            SELECT jac.* FROM jac
+            JOIN cand ON jac.a_id = cand.a_id AND jac.b_id = cand.b_id
+            WHERE jac.jaccard >= {JACCARD_THRESHOLD}
+        )
+        SELECT (SELECT COUNT(*) FROM bsizes WHERE n > {BUCKET_CAP})
+                   AS dropped_buckets,
+               (SELECT COUNT(*) FROM cand) AS candidate_cnt,
+               COUNT(*) AS verified_cnt,
+               CAST(SUM(a_id) AS BIGINT) AS a_id_total
+        FROM verified
+    """,
+)
+def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup with the bucket-size cap engaged against
+    PLANTED boilerplate skew: every 10th doc is replaced by one shared
+    legal-disclaimer text, so its band buckets blow past BUCKET_CAP and
+    are dropped before the pair join; exact-copy pairs planted under
+    +2000000 sit in tiny buckets and must survive. The dropped-bucket
+    count is an output column — capping is observable, never silent."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.lit(BOILERPLATE).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    sh = td.shingle_rows(corpus)
+    signatures = td.minhash_signatures(sh, NUM_HASHES)
+    keys = td.lsh_band_keys(signatures, BANDS, ROWS_PER_BAND)
+    dropped = (
+        keys.groupBy("band", "key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > BUCKET_CAP)
+        .agg(F.count("*").alias("dropped_buckets"))
+    )
+    candidates = td.lsh_candidate_pairs(
+        signatures, BANDS, ROWS_PER_BAND, max_bucket_size=BUCKET_CAP
+    )
+    verified = td.jaccard_pairs(sh, candidates=candidates).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    cand_cnt = candidates.agg(F.count("*").alias("candidate_cnt"))
+    stats = verified.agg(
+        F.count("*").alias("verified_cnt"),
+        F.sum("a_id").alias("a_id_total"),
+    )
+    return dropped.crossJoin(cand_cnt).crossJoin(stats)
+
+
 # --- SimHash ------------------------------------------------------------------
 
 

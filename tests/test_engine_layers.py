@@ -256,6 +256,81 @@ def test_cosine_near_dup_blocks_cross_bucket_pairs(spark):
     assert all(s == 1.0 for s in pairs.values())
 
 
+def test_lsh_bucket_cap_drops_hot_bucket_and_reports(spark):
+    from automatic_etl_spark.operators import text_dedup as td
+
+    # Skewed corpus: docs 1..8 share identical boilerplate text (one
+    # hot bucket per band); docs 20/21 are a small near-dup pair.
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(1, 9)]
+    rows += [(20, "alpha beta gamma delta epsilon zeta"),
+             (21, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = td.minhash_signatures(td.shingle_rows(docs))
+
+    uncapped = {
+        (r["a_id"], r["b_id"]) for r in td.lsh_candidate_pairs(sig).collect()
+    }
+    assert (20, 21) in uncapped
+    assert (1, 2) in uncapped  # boilerplate pairs present uncapped
+
+    dropped: list[int] = []
+    capped = {
+        (r["a_id"], r["b_id"])
+        for r in td.lsh_candidate_pairs(
+            sig, max_bucket_size=4, on_drop=dropped.append
+        ).collect()
+    }
+    # the 8-doc boilerplate buckets exceed the cap and are dropped...
+    assert not any(a <= 8 and b <= 8 for a, b in capped)
+    # ...the small pair's buckets survive untouched
+    assert (20, 21) in capped
+    # ...and the truncation is reported, not silent
+    assert dropped and dropped[0] > 0
+
+
+def test_lsh_bucket_cap_noop_below_cap(spark):
+    from automatic_etl_spark.operators import text_dedup as td
+
+    rows = [(i, f"alpha beta gamma delta epsilon token{i}") for i in range(1, 7)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = td.minhash_signatures(td.shingle_rows(docs))
+    uncapped = sorted(
+        (r["a_id"], r["b_id"]) for r in td.lsh_candidate_pairs(sig).collect()
+    )
+    dropped: list[int] = []
+    capped = sorted(
+        (r["a_id"], r["b_id"])
+        for r in td.lsh_candidate_pairs(
+            sig, max_bucket_size=1000, on_drop=dropped.append
+        ).collect()
+    )
+    assert capped == uncapped
+    assert dropped == [0]
+
+
+def test_cosine_near_dup_bucket_cap(spark):
+    from automatic_etl_spark.operators import similarity as sim
+
+    dim = 64
+    up = [(1.0 if i % 2 == 0 else 0.01) for i in range(dim)]
+    down = [-x for x in up]
+    # 6 copies of `up` → hot bucket; 2 copies of `down` → small bucket
+    corpus = spark.createDataFrame(
+        [(i, up) for i in range(1, 7)] + [(10, down), (11, down)],
+        "n_id long, n_vec array<double>",
+    )
+    dropped: list[int] = []
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in sim.cosine_near_dup_pairs(
+            corpus, threshold=0.9, max_bucket_size=3, on_drop=dropped.append
+        ).collect()
+    }
+    assert pairs == {(10, 11)}
+    assert dropped == [1]
+
+
 def test_salted_ops_match_plain(spark):
     from automatic_etl_spark.operators import skew
 
