@@ -48,7 +48,7 @@ _CHECK_PRIORITY = [
     "normalize_strings", "mojibake_repair", "time_format",
     "numeric_clamp", "overflow_guard", "fill_defaults",
     "clean_table_pipeline", "clamp_dates", "decode_binary_roundtrip",
-    "infer_and_cast",
+    "encoding_fallback_chain", "infer_and_cast",
     # text / dedup / ANN pack (never checked)
     "token_stats", "lang_id_confusion", "quality_histogram",
     "fingerprint_stats", "tfidf_top_terms", "stratified_split",
@@ -56,8 +56,7 @@ _CHECK_PRIORITY = [
     "minhash_lsh_dedup", "minhash_lsh_capped", "simhash_buckets",
     "dedup_final_view",
     "ann_bruteforce_topk", "ann_lsh_topk", "embedding_cosine_dedup",
-    "ann_ivf_topk", "embedding_norm_stats", "ivf_mean_centroids",
-    "kmeans_two_iter",
+    "ann_ivf_topk", "ivf_mean_centroids", "kmeans_two_iter",
     # sketches, skew, bucketing (never checked)
     "hll_distinct_check", "approx_quantile_check",
     "countmin_heavy_hitters", "skew_salted_agg", "skew_salted_join",

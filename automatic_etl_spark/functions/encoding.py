@@ -23,8 +23,8 @@ _FALLBACK_ENCODINGS = ("utf-8", "latin-1", "cp1252", "iso-8859-1", "ascii")
 _CONFIDENCE_THRESHOLD = 0.7
 
 
-def _decode_bytes(raw: bytes) -> str:
-    if chardet is not None:
+def _decode_bytes(raw: bytes, detect: bool = True) -> str:
+    if detect and chardet is not None:
         guess = chardet.detect(raw)
         if guess.get("confidence", 0) > _CONFIDENCE_THRESHOLD and guess.get(
             "encoding"
@@ -56,6 +56,12 @@ def _decode_series(series: pd.Series) -> pd.Series:
     return series.map(lambda v: None if v is None else _decode_bytes(bytes(v)))
 
 
+def _decode_series_no_detect(series: pd.Series) -> pd.Series:
+    return series.map(
+        lambda v: None if v is None else _decode_bytes(bytes(v), detect=False)
+    )
+
+
 def _repair_series(series: pd.Series) -> pd.Series:
     return series.map(lambda v: None if v is None else _repair_str(v))
 
@@ -65,11 +71,19 @@ def _repair_series(series: pd.Series) -> pd.Series:
 _UDF_CACHE: dict[str, object] = {}
 
 
-def decode_binary(c: Column | str) -> Column:
-    """binary → str via detection + fallback chain (C11 + C13)."""
-    if "decode" not in _UDF_CACHE:
-        _UDF_CACHE["decode"] = pandas_udf(_decode_series, "string")
-    return _UDF_CACHE["decode"](c)
+def decode_binary(c: Column | str, detect: bool = True) -> Column:
+    """binary → str via detection + fallback chain (C11 + C13).
+
+    ``detect=False`` skips the chardet guess and runs ONLY the
+    deterministic fallback chain utf-8 → latin-1 → cp1252 →
+    iso-8859-1 → ascii — the oracle-checkable subset (chardet's
+    statistical guess would make results depend on its model version).
+    """
+    key = "decode" if detect else "decode_no_detect"
+    if key not in _UDF_CACHE:
+        fn = _decode_series if detect else _decode_series_no_detect
+        _UDF_CACHE[key] = pandas_udf(fn, "string")
+    return _UDF_CACHE[key](c)
 
 
 def repair_text_encoding(c: Column | str) -> Column:

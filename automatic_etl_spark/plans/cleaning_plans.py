@@ -499,6 +499,77 @@ def decode_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C13: encoding-detection fallback chain (oracle-checked subset) ---------
+
+
+@register(
+    "encoding_fallback_chain",
+    oracle="""
+        WITH expected AS (
+            SELECT p_partkey,
+                   CASE p_partkey % 3
+                     WHEN 0 THEN p_name
+                     WHEN 1 THEN p_name || chr(233) || chr(255)
+                     ELSE chr(255) || chr(254) || p_name
+                   END AS want
+            FROM part
+        )
+        SELECT CAST(SUM(CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS utf8_cnt,
+               CAST(SUM(CASE WHEN p_partkey % 3 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS latin1_cnt,
+               COUNT(*) AS row_cnt,
+               CAST(SUM(length(want)) AS BIGINT) AS decoded_len_total
+        FROM expected
+    """,
+)
+def encoding_fallback_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13's deterministic fallback chain through the REAL pandas UDF
+    (detect=False): per row, craft bytes that exercise a different
+    branch — valid UTF-8 (first step succeeds), a trailing lone 0xE9
+    (invalid UTF-8 → latin-1 decodes it as U+00E9), and a leading
+    0xFF 0xFE (invalid UTF-8 → latin-1 → U+00FF U+00FE). The oracle
+    states the expected decoded text; the Spark side must decode to
+    exactly that for the aggregate to match (reference
+    tools/data_cleaner_robust.py:67-123).
+    """
+    from automatic_etl_spark.functions.encoding import decode_binary
+
+    part_t = table(spark, sf_dir, "part")
+    k = F.col("p_partkey") % 3
+    raw = (
+        F.when(k == 0, F.encode(F.col("p_name"), "UTF-8"))
+        .when(
+            k == 1,
+            F.concat(F.encode(F.col("p_name"), "UTF-8"), F.unhex(F.lit("E9FF"))),
+        )
+        .otherwise(
+            F.concat(F.unhex(F.lit("FFFE")), F.encode(F.col("p_name"), "UTF-8"))
+        )
+    )
+    expected = (
+        F.when(k == 0, F.col("p_name"))
+        .when(k == 1, F.concat(F.col("p_name"), F.char(F.lit(233)), F.char(F.lit(255))))
+        .otherwise(F.concat(F.char(F.lit(255)), F.char(F.lit(254)), F.col("p_name")))
+    )
+    decoded = part_t.select(
+        "p_partkey",
+        decode_binary(raw, detect=False).alias("got"),
+        expected.alias("want"),
+    )
+    matched = F.col("got") == F.col("want")
+    return decoded.agg(
+        F.sum(((F.col("p_partkey") % 3 == 0) & matched).cast("int")).alias(
+            "utf8_cnt"
+        ),
+        F.sum(((F.col("p_partkey") % 3 != 0) & matched).cast("int")).alias(
+            "latin1_cnt"
+        ),
+        F.count("*").alias("row_cnt"),
+        F.sum(F.length("got")).alias("decoded_len_total"),
+    )
+
+
 # --- C16: numeric type inference applied end-to-end -------------------------
 
 

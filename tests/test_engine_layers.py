@@ -127,6 +127,74 @@ def test_create_table_sql():
     assert "PARTITIONED BY (`fcreacion_month`)" in sql
 
 
+def test_json_schema_contract_golden(tmp_path):
+    """Golden-file parity with the reference's per-table draft-07
+    emission (tools/gen_pipeline.py:83-111) for an `archivos`-shaped
+    table: int PK + string name + datetime + decimal size + nullable
+    blob payload."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from automatic_etl_spark.operators import contracts
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), nullable=False),
+            T.StructField("nombre", T.StringType(), nullable=False),
+            T.StructField("fecha", T.TimestampType(), nullable=True),
+            T.StructField("tamano", T.DecimalType(18, 2), nullable=True),
+            T.StructField("contenido", T.BinaryType(), nullable=True),
+            T.StructField("activo", T.BooleanType(), nullable=False),
+        ]
+    )
+    path = contracts.write_table_contract(
+        schema, "gestor", "archivos", str(tmp_path)
+    )
+    assert path.endswith("gestor.archivos.schema.json")
+    golden = {
+        "$schema": "http://json-schema.org/draft-07/schema#",
+        "title": "gestor.archivos",
+        "type": "object",
+        "properties": {
+            "id": {"type": "integer"},
+            "nombre": {"type": "string"},
+            "fecha": {"type": "string"},
+            "tamano": {"type": "number"},
+            "contenido": {"type": "string"},
+            "activo": {"type": "boolean"},
+        },
+        "required": ["id", "nombre", "activo"],
+    }
+    assert json.loads(open(path, encoding="utf-8").read()) == golden
+    # auto-increment-style exemption (the reference drops defaulted /
+    # auto_increment columns from `required`)
+    relaxed = contracts.struct_to_json_schema(
+        schema, "gestor.archivos", optional={"id"}
+    )
+    assert relaxed["required"] == ["nombre", "activo"]
+
+
+def test_contracts_for_fixture_dir(spark, sf_dir, tmp_path):
+    import json
+
+    from automatic_etl_spark.operators import contracts
+
+    paths = contracts.write_contracts_for_dir(
+        spark, sf_dir, "testdata", str(tmp_path)
+    )
+    assert len(paths) == 10
+    li = json.loads(
+        open(tmp_path / "testdata.lineitem.schema.json", encoding="utf-8").read()
+    )
+    assert li["properties"]["l_orderkey"] == {"type": "integer"}
+    assert li["properties"]["l_extendedprice"] == {"type": "number"}
+    emb = json.loads(
+        open(tmp_path / "testdata.embeddings.schema.json", encoding="utf-8").read()
+    )
+    assert emb["properties"]["embedding"]["type"] == "array"
+
+
 def test_profile_columns(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, None), (2, "b")], "id int, s string"
@@ -192,6 +260,62 @@ def test_orchestrator_cycle_detection():
     )
     with pytest.raises(ValueError, match="cycle"):
         orch.run()
+
+
+def test_jdbc_e2e_derby_roundtrip(spark, tmp_path):
+    """S1/S11 executed against a REAL JDBC database: Apache Derby
+    (embedded, already on Spark's classpath) stands in for MySQL.
+    Write via the engine's write_table sink, read back through the
+    chunked scan path (partitionColumn fan-out), and run the full
+    ingest_table pipeline off the live JDBC source. The MySQL-dialect
+    pieces (information_schema discovery/reflection, LIMIT pushdown)
+    stay unit-tested — no MySQL server exists in the sandbox."""
+    from pyspark.sql import functions as F
+
+    from automatic_etl_spark.ingest import IngestSpec, ingest_table
+    from automatic_etl_spark.sources import jdbc
+
+    src = jdbc.JdbcSource(
+        url=f"jdbc:derby:{tmp_path}/smokedb;create=true",
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+    rows = [(i, f"name{i}", float(i) * 1.5) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "id int, name string, val double")
+    jdbc.write_table(df, src, "smoke_t", mode="append", batchsize=50)
+
+    # S1: chunked scan — 4 parallel range partitions over the PK
+    back = jdbc.read_table(
+        spark, src, "smoke_t",
+        partition_column="id", lower_bound=1, upper_bound=201,
+        num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 200
+    assert back.agg(F.sum("id")).first()[0] == sum(range(1, 201))
+
+    # S2 mechanism live: subquery-as-dbtable discovery against the
+    # engine's own catalog tables (Derby's sys schema)
+    disc = spark.read.format("jdbc").options(
+        **src.base_options(),
+        dbtable=(
+            "(SELECT s.schemaname, t.tablename FROM sys.systables t "
+            "JOIN sys.sysschemas s ON t.schemaid = s.schemaid "
+            "WHERE t.tabletype = 'T') AS u"
+        ),
+    ).load()
+    assert ("APP", "SMOKE_T") in [
+        (r["SCHEMANAME"], r["TABLENAME"]) for r in disc.collect()
+    ]
+
+    # full pipeline from the live JDBC source: clean → dedup → parquet
+    target = str(tmp_path / "smoke_parquet")
+    audit = ingest_table(
+        spark, back, target,
+        IngestSpec(dedup_keys=("id",), version_cols=("val",)),
+    )
+    verdicts = {r["verdict"] for r in audit.collect()}
+    assert verdicts == {"OK"}
+    assert spark.read.parquet(target).count() == 200
 
 
 def test_jdbc_write_options():
