@@ -195,6 +195,47 @@ def test_contracts_for_fixture_dir(spark, sf_dir, tmp_path):
     assert emb["properties"]["embedding"]["type"] == "array"
 
 
+def test_bi_spec_emission_golden(spark, sf_dir, tmp_path):
+    """Superset dataset + Metabase card spec artifacts match the
+    reference's registration semantics (configure_datasets.py:324-433;
+    create_working_metabase_questions.py:77-121)."""
+    import json
+
+    from automatic_etl_spark.operators import bi_specs
+
+    out = bi_specs.emit_bi_specs(spark, sf_dir, "analytics", str(tmp_path))
+    datasets = {d["table_name"]: d for d in out["superset_datasets.json"]}
+    assert len(datasets) == 10
+
+    ev = datasets["events"]
+    assert ev["main_dttm_col"] == "ts"  # first temporal column wins
+    by_col = {c["column_name"]: c for c in ev["columns"]}
+    assert by_col["ts"]["is_dttm"] is True
+    assert by_col["event_id"]["is_dttm"] is False
+    # region has no temporal column → no default time column
+    assert datasets["region"]["main_dttm_col"] is None
+
+    cards = out["metabase_cards.json"]
+    # scalar + preview per table, plus one summary
+    assert len(cards) == 21
+    scalar = next(c for c in cards if c["name"] == "Total events")
+    assert scalar == {
+        "name": "Total events",
+        "sql": "SELECT COUNT(*) AS total_events FROM analytics.events",
+        "display": "scalar",
+    }
+    recent = next(c for c in cards if c["name"] == "Recent events")
+    assert "ORDER BY ts DESC" in recent["sql"] and "LIMIT 10" in recent["sql"]
+    summary = cards[-1]
+    assert summary["name"] == "Resumen General"
+    assert summary["sql"].count("UNION ALL") == 9
+    # artifacts really landed on disk as valid JSON
+    loaded = json.loads(
+        open(tmp_path / "metabase_cards.json", encoding="utf-8").read()
+    )
+    assert loaded == cards
+
+
 def test_profile_columns(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, None), (2, "b")], "id int, s string"
