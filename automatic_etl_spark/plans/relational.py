@@ -1711,3 +1711,313 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+# --- Classic decision-support shapes, fourth batch (SURVEY.md §2.3 note) ----
+# Rounds out the canonical TPC-H strategy catalogue the BI delegate can
+# face: a scan-only conditional-revenue probe (Q6), the two-sided
+# market-share ratio (Q8), a multi-star profit rollup (Q9), a
+# decorrelated per-group-average filter (Q17), and the double
+# EXISTS / NOT EXISTS self-join (Q21).
+
+
+@register(
+    "forecast_revenue_delta",
+    oracle="""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue_delta,
+               COUNT(*) AS line_cnt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-aggregate revenue-change probe —
+    no join at all. All three predicates sit directly on the parquet
+    scan (shipdate/discount/quantity all push down to row-group stats),
+    and the single global aggregate is a map-side partial + 1-row
+    merge: the cheapest possible plan at any scale. Discount bounds
+    compare the same double literals in both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue_delta"),
+        F.count("*").alias("line_cnt"),
+    )
+
+
+@register(
+    "market_share",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4)) AS volume,
+                   sn.n_name AS supp_nation
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region   ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN part     ON l_partkey = p_partkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                             THEN volume ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+        FROM base
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's
+    ECONOMY-part revenue per year. Seven-table star: every dimension
+    (nation ×2, region, part, supplier, customer) broadcasts, so the
+    only shuffles are lineitem↔orders and the final 2-row year
+    aggregate. The region/part filters cut the fact early via the
+    broadcast hash-join probes. The share is one double division of
+    two exact decimal sums — bit-identical across engines and
+    partitionings."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supplier = table(spark, sf_dir, "supplier")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    nat = F.sum(
+        F.when(F.col("sn.n_name") == "NATION_3", F.col("volume")).otherwise(
+            F.lit(0)
+        )
+    ).cast("double")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cn), customer.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(region), F.col("cn.n_regionkey") == region.r_regionkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), supplier.s_nationkey == F.col("sn.n_nationkey"))
+        .join(part, li.l_partkey == part.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            F.col("sn.n_name"),
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg((nat / F.sum("volume").cast("double")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "nation_profit",
+    oracle="""
+        SELECT sn.n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY nation, o_year
+        ORDER BY nation ASC, o_year DESC
+    """,
+)
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line by supplier nation and
+    year. The LIKE filter prunes part BEFORE its broadcast, so the
+    fact join discards non-matching lineitems at the probe; supplier
+    and nation broadcast too, leaving lineitem↔orders as the only
+    repartition. Sorted on the unique (nation, year) key — a total
+    order, no tiebreak needed. (The reference schema has no partsupp;
+    profit is revenue-based, same plan shape.)"""
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    sn = table(spark, sf_dir, "nation").alias("sn")
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    orders = table(spark, sf_dir, "orders")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), supplier.s_nationkey == F.col("sn.n_nationkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("sn.n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+        WITH thresh AS (
+            SELECT l_partkey,
+                   0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                               AS DOUBLE) / COUNT(*)) AS qty_cut
+            FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+            )
+            GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly,
+               COUNT(*) AS line_cnt
+        FROM lineitem
+        JOIN part   ON p_partkey = l_partkey
+        JOIN thresh ON thresh.l_partkey = lineitem.l_partkey
+        WHERE p_brand = 'Brand#23' AND l_quantity < qty_cut
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below 20% of a part's own
+    average quantity — the correlated AVG subquery, decorrelated the
+    scale-right way: lineitem is semi-filtered to the brand's parts
+    FIRST (broadcast probe), the per-part threshold aggregates that
+    small slice once, and the threshold (thousands of rows at most —
+    one row per brand part) broadcasts back onto the same slice. The
+    fact table is never shuffled by partkey. The average is built from
+    an exact decimal sum divided by the count, so the 0.2× cut
+    compares the same double in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    brand_parts = table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    li_b = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    )
+    thresh = (
+        li_b.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(
+            (
+                F.lit(0.2)
+                * (
+                    F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(
+                        "double"
+                    )
+                    / F.count("*")
+                )
+            ).alias("qty_cut")
+        )
+    )
+    return (
+        li_b.join(
+            F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count("*").alias("line_cnt"),
+        )
+    )
+
+
+@register(
+    "waiting_suppliers",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders   ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND o_orderstatus = 'F'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 10
+    """,
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY one with returned
+    items on a multi-supplier finished order — EXISTS and NOT EXISTS
+    against the same fact table, as one left-semi and one left-anti
+    join sharing the l_orderkey shuffle key (Spark schedules both off
+    the same exchange). The inequality (l_suppkey <>) rides the equi
+    join as a residual condition, so no cartesian anywhere. (Q21's
+    receiptdate > commitdate predicate is re-expressed on l_returnflag;
+    the testdata schema has no commit/receipt dates.)"""
+    li = table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = table(spark, sf_dir, "supplier")
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(supplier), F.col("l1.l_suppkey") == supplier.s_suppkey)
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
