@@ -195,3 +195,81 @@ def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_total"),
     )
+
+
+# --- Merge-on-read parts + compaction (W4 extension, operators/mor.py) ------
+# The ReplacingMergeTree part lifecycle the reference leans on
+# (append parts → FINAL reads → background merge), replayed on a
+# parquet part layout. Both queries below derive the SAME merged state
+# — one through the FINAL-equivalent read-time merge, one through an
+# actual compaction rewrite — so the oracle doubles as the
+# merge/compact equivalence check under the hard signal.
+
+_MOR_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(CASE WHEN event_id % 5 = 0
+                              THEN value + 1000
+                              ELSE value END AS DECIMAL(18,4)))
+                AS DOUBLE) AS value_sum
+    FROM events
+    WHERE event_id % 10 <> 0
+    GROUP BY event_type
+"""
+
+
+def _build_mor_table(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic part layout from the events fixture: base = full
+    snapshot, commit 1 = value upsert for every 5th event, commit 2 =
+    tombstones for every 10th."""
+    from automatic_etl_spark.operators import mor
+
+    path = tempfile.mkdtemp(prefix="mor_")
+    ev = table(spark, sf_dir, "events").withColumn(
+        mor.DELETED, F.lit(False)
+    )
+    mor.write_base(ev, path)
+    upserts = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", F.col("value") + 1000
+    )
+    mor.write_delta(upserts, path, commit=1)
+    tombstones = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        mor.DELETED, F.lit(True)
+    )
+    mor.write_delta(tombstones, path, commit=2)
+    return path
+
+
+def _mor_rollup(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
+@register("mor_merged_state", oracle=_MOR_ORACLE)
+def mor_merged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read path: rollup over the FINAL-equivalent view —
+    union of 3 parts, one window shuffle by event_id, tombstones
+    dropped. The upsert/tombstone pattern is exactly the reference's
+    ReplacingMergeTree ver-column usage."""
+    from automatic_etl_spark.operators import mor
+
+    path = _build_mor_table(spark, sf_dir)
+    return _mor_rollup(mor.merge_on_read(spark, path, keys=["event_id"]))
+
+
+@register("mor_compacted_state", oracle=_MOR_ORACLE)
+def mor_compacted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-optimized path: compaction rewrites merged state as the
+    new base, then the SAME rollup runs over a plain scan — no window,
+    no merge work. Matching the identical oracle proves
+    compact(merge) ≡ merge-on-read."""
+    from automatic_etl_spark.operators import mor
+
+    path = _build_mor_table(spark, sf_dir)
+    stats = mor.compact(spark, path, keys=["event_id"])
+    assert stats["parts_before"] == 3 and stats["parts_after"] == 1
+    return _mor_rollup(mor.merge_on_read(spark, path, keys=["event_id"]))

@@ -763,3 +763,53 @@ def test_ingest_many_parallel_isolation(spark, tmp_path):
     assert all(
         r["verdict"] == "OK" for r in report["tables"]["orders"]
     )  # no dedup → counts reconcile exactly
+
+
+def test_mor_compaction_equivalence(spark, sf_dir):
+    """compact() preserves merge_on_read() state row-for-row, retires
+    the delta parts, and is idempotent."""
+    from automatic_etl_spark.operators import mor
+    from automatic_etl_spark.plans.storage_plans import _build_mor_table
+
+    path = _build_mor_table(spark, sf_dir)
+    before = {
+        tuple(r) for r in mor.merge_on_read(spark, path, ["event_id"]).collect()
+    }
+    stats = mor.compact(spark, path, ["event_id"])
+    assert stats == {
+        "parts_before": 3,
+        "parts_after": 1,
+        "rows_after": len(before),
+    }
+    after = {
+        tuple(r) for r in mor.merge_on_read(spark, path, ["event_id"]).collect()
+    }
+    assert after == before
+    # tombstoned keys are really gone; surviving upserts applied
+    ids = {r[0] for r in after}
+    assert not any(i % 10 == 0 for i in ids)
+    # compaction is idempotent: a second run rewrites 1 part to 1 part
+    stats2 = mor.compact(spark, path, ["event_id"])
+    assert stats2["parts_before"] == 1 and stats2["rows_after"] == len(before)
+
+
+def test_mor_later_commit_wins_and_tombstone_revives(spark, tmp_path):
+    """Commit order is the version: a later upsert resurrects a
+    tombstoned key (same as ReplacingMergeTree with a newer ver row)."""
+    from automatic_etl_spark.operators import mor
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", False), (2, "b", False)], "id long, v string, __deleted boolean"
+    )
+    mor.write_base(base, path)
+    mor.write_delta(
+        spark.createDataFrame([(1, "a", True)], base.schema), path, commit=1
+    )
+    mor.write_delta(
+        spark.createDataFrame([(1, "a2", False)], base.schema), path, commit=2
+    )
+    rows = {
+        (r.id, r.v) for r in mor.merge_on_read(spark, path, ["id"]).collect()
+    }
+    assert rows == {(1, "a2"), (2, "b")}
