@@ -32,38 +32,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks the first 50 registry entries
-# (observed in round 1), so dict order decides hard-signal coverage.
-# Priority for this round: first the 10 queries that hash-failed in
-# CORRECTNESS_r01 (all fixed — re-verify), then the packs that have
-# never had a driver entry (cleaning, text/dedup/ANN, sketches, skew,
-# CDC/ingest). Queries already hash-green in round 1 sort last.
-# Rotate this list next round to cover the remainder.
+# (observed in rounds 1-2), so dict order decides hard-signal coverage.
+# Round-3 rotation: every query that has never had a driver entry
+# (r01 ∪ r02 cover 90 of the registry) goes first, then queries added
+# this round, then a refresh slice of round-1-checked queries whose
+# signal is oldest. Rotate again next round.
 _CHECK_PRIORITY = [
-    # round-1 hash fails, now fixed
-    "limit_scan", "conditional_agg", "column_profile",
-    "shipmode_priority_counts", "asof_join_lag", "sessionization",
-    "session_window_native", "pivot_monthly_by_type", "clean_dates",
-    "clean_integers",
-    # cleaning pack (never checked)
-    "normalize_strings", "mojibake_repair", "time_format",
-    "numeric_clamp", "overflow_guard", "fill_defaults",
-    "clean_table_pipeline", "clamp_dates", "decode_binary_roundtrip",
-    "encoding_fallback_chain", "infer_and_cast",
-    # text / dedup / ANN pack (never checked)
-    "token_stats", "lang_id_confusion", "quality_histogram",
-    "fingerprint_stats", "tfidf_top_terms", "stratified_split",
-    "curation_funnel", "exact_dedup", "ngram_jaccard_pairs",
-    "minhash_lsh_dedup", "minhash_lsh_capped", "simhash_buckets",
-    "dedup_final_view",
-    "ann_bruteforce_topk", "ann_lsh_topk", "embedding_cosine_dedup",
-    "ann_ivf_topk", "ivf_mean_centroids", "kmeans_two_iter",
-    # sketches, skew, bucketing (never checked)
-    "hll_distinct_check", "approx_quantile_check",
-    "countmin_heavy_hitters", "skew_salted_agg", "skew_salted_join",
-    "bucketed_join_agg",
-    # CDC / ingest / views (never checked)
-    "cdc_unwrap_dedup", "streaming_replay_dedup",
-    "stateful_running_totals", "ingest_e2e",
+    # never driver-checked (missing from CORRECTNESS_r01 and _r02)
+    "set_ops", "top_tables_by_size", "profile_customer",
+    "streaming_hourly_counts", "streaming_watermark_dedup",
+    "stream_stream_join", "scd2_history", "cdc_bronze_stamp",
+    "streaming_enrichment_join", "forecast_revenue_delta",
+    "market_share", "nation_profit", "small_quantity_revenue",
+    "waiting_suppliers", "pipeline_e2e", "ingest_partitioned_e2e",
+    "multimodal_features", "multimodal_resize", "multimodal_frames",
+    "embedding_norm_stats", "csv_source_agg", "json_source_agg",
+    "text_source_agg", "orc_source_agg", "mor_merged_state",
+    "mor_compacted_state", "analytics_view_dates",
+    # added in round 3 (never checked by construction)
+    "min_cost_supplier", "parts_supplier_counts", "promo_stock_suppliers",
+    "repetition_stats", "top_bigram_fraction", "pii_scan_stats",
+    "url_domain_stats", "dedup_connected_components",
+    "near_dup_canonical", "embedding_quantize_recall",
+    # refresh: oldest hard signal (checked in round 1 only), heaviest
+    # canonicalization risk first (doubles / percentiles / pivots)
+    "value_percentiles", "daily_moving_avg", "promo_revenue_share",
+    "value_share_groups", "sql_surface", "grouping_sets_agg",
+    "ranking_functions", "unpivot_measures", "revenue_by_nation",
+    "pricing_summary", "top_supplier_revenue", "nation_trade_trend",
+    "range_join_windows",
 ]
 
 
