@@ -2021,3 +2021,242 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+# --- Classic decision-support shapes, fifth batch (SURVEY.md §2.3 note) -----
+# The partsupp-style trio (TPC-H Q2/Q16/Q20). The fixture schema has no
+# partsupp table, so the supply relation is derived from lineitem:
+# distinct (l_partkey, l_suppkey) pairs with MIN(l_extendedprice) as
+# the supply-cost stand-in and SUM(l_quantity) as availqty. The plan
+# shapes — correlated per-part min over a region-filtered supplier set,
+# distinct-supplier counting with a NOT-IN exclusion, and the nested
+# semi-join over a correlated aggregate — are the point.
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice) AS supply_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eu AS (
+            SELECT l_partkey, supply_cost, s_name, s_acctbal, n_name
+            FROM ps
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            JOIN region   ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        best AS (
+            SELECT *,
+                   MIN(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
+            FROM eu
+        )
+        SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+               p_partkey, p_name, CAST(supply_cost AS DOUBLE) AS supply_cost
+        FROM best
+        JOIN part ON p_partkey = l_partkey
+        WHERE supply_cost = min_cost
+          AND p_size = 11 AND p_type = 'ECONOMY'
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 50
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum supply cost over a
+    region-filtered supplier set, winner(s) joined back to the part
+    dimension. Spark-first plan: the supply relation aggregates
+    lineitem once (map-side partial + one shuffle on the pair key);
+    supplier⋈nation⋈region is a broadcast chain (dims are tiny at any
+    scale — supplier count grows far slower than the fact table); the
+    correlated MIN decorrelates into a window over l_partkey instead
+    of a self-join against a grouped subquery, so the supply relation
+    is scanned once. Part filter is applied AFTER the window (Q2
+    semantics: the min ranges over all suppliers of the part) and the
+    part dim broadcasts. MIN over doubles is exact — no rounding
+    needed for the equality filter. Tiebreak pinned on (s_name,
+    p_partkey) so the top-50 is total-ordered on the fixture.
+
+    Reference parity: the BI delegate surface (SURVEY.md §2.3 — the
+    reference delegates star joins to ClickHouse SQL)."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supply_cost")
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu = ps.join(F.broadcast(sup), ps.l_suppkey == sup.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    best = eu.withColumn("min_cost", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("min_cost")
+    )
+    prt = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 11) & (F.col("p_type") == "ECONOMY")
+    )
+    return (
+        best.join(F.broadcast(prt), best.l_partkey == prt.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "supply_cost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "parts_supplier_counts",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#4'
+          AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (2, 5, 11, 17, 23, 28, 37, 41)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can supply each
+    surviving (brand, type, size) bucket, excluding a denylisted
+    supplier set. The NOT IN compiles to a broadcast anti-join (the
+    exclusion list is a filtered dim — tiny at any scale; keys are
+    non-null so NOT IN ≡ anti-join); the part predicate trio sits on
+    the broadcast build side so the fact scan prunes early; the
+    distinct count is Spark's two-phase partial-distinct aggregate —
+    no extra shuffle beyond the group keys. Ordered by the full key
+    set → total order."""
+    li = table(spark, sf_dir, "lineitem")
+    excl = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    prt = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(2, 5, 11, 17, 23, 28, 37, 41))
+    )
+    return (
+        li.join(
+            F.broadcast(excl),
+            li.l_suppkey == excl.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(prt), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+@register(
+    "promo_stock_suppliers",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS avail_qty,
+                   SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                             AND l_shipdate <  TIMESTAMP '1997-01-01'
+                            THEN CAST(l_quantity AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_96
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        excess AS (
+            SELECT DISTINCT l_suppkey
+            FROM ps
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'small%'
+              AND qty_96 * 2 > avail_qty AND qty_96 > 0
+        )
+        SELECT s_name, s_suppkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier
+        JOIN excess ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+        ORDER BY s_name
+    """,
+)
+def promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose 1996 shipments of promo parts
+    exceed half their all-time quantity for that part — the nested
+    semi-join over a correlated aggregate subquery. Decorrelated into
+    one pass: both the all-time and the windowed sums come out of a
+    single grouped aggregate over lineitem (two conditional sums, one
+    shuffle), the promo part filter broadcasts, and the surviving
+    supplier keys collapse through DISTINCT before the final broadcast
+    joins against supplier/nation/region. Quantities route through
+    DECIMAL so the half-comparison (expressed as qty*2 > total —
+    exact integer-decimal arithmetic, no 0.5 double literal) is
+    order-independent. s_name is unique → total order."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(q).alias("avail_qty"),
+        F.sum(
+            F.when(in96, q).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("qty_96"),
+    )
+    promo = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    excess = (
+        ps.join(F.broadcast(promo), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            (F.col("qty_96") * 2 > F.col("avail_qty"))
+            & (F.col("qty_96") > 0)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+    )
+    return (
+        sup.join(excess, sup.s_suppkey == excess.l_suppkey)
+        .select("s_name", "s_suppkey", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -34,7 +34,7 @@ ORDER_SENSITIVE = [
         "sessionization", "session_window_native", "asof_join_lag",
         "daily_moving_avg", "scd2_history", "groupwise_max_orders",
         "value_percentiles", "countmin_heavy_hitters",
-        "waiting_suppliers", "nation_profit",
+        "waiting_suppliers", "nation_profit", "min_cost_supplier",
     )
     if n in ORACLE_NAMES
 ]
