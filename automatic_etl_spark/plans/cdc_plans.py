@@ -32,14 +32,19 @@ from automatic_etl_spark.sources.parquet import table
 from automatic_etl_spark.streaming import cdc
 
 
-def stage_stream_dir(sf_dir: str, name: str = "events") -> str:
+def stage_stream_dir(
+    spark: SparkSession, sf_dir: str, name: str = "events"
+) -> str:
     """Spark's file stream source wants a DIRECTORY; stage the fixture
-    file into a temp dir (tiny — the stream tables don't scale with sf)."""
-    import os
-    import shutil
-
+    through the normalized ``table()`` read (NOT a raw file copy) so
+    timestamp-encoding drift in the fixtures — nanos-int64 one round,
+    TIMESTAMP_NTZ the next — is absorbed at this boundary and the
+    staged files always carry plain TIMESTAMP columns. Tiny write: the
+    stream tables don't scale with sf."""
     d = tempfile.mkdtemp(prefix=f"stream_{name}_")
-    shutil.copy(os.path.join(sf_dir, f"{name}.parquet"), d)
+    table(spark, sf_dir, name, fan_out=False).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(d)
     return d
 
 # Debezium op per event_type — 'error' events play the deletes.
@@ -135,8 +140,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window streaming aggregation run to completion with
     Trigger.AvailableNow — T5 extension semantics on real
     ``readStream``."""
-    path = stage_stream_dir(sf_dir, "events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = stage_stream_dir(spark, sf_dir, "events")
     # Stateful-stream shuffle partition count is baked into the
     # checkpoint at first batch; on a default session that is 200 tiny
     # tasks. Pin it to the CPU budget (fresh checkpoint per call).
@@ -144,12 +148,9 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
-    raw_schema = spark.read.parquet(path).schema  # ts arrives as int64 nanos
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # Staged files are normalized (ts is plain TIMESTAMP) regardless of
+    # the fixture's on-disk encoding.
+    stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TABLES = (
     "region",
@@ -34,11 +35,14 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-# The fixtures carry parquet TIMESTAMP(NANOS) columns, which Spark's
-# converter rejects outright. We read them as raw int64 nanos
-# (legacy.parquet.nanosAsLong) and convert with exact integer division
-# — the scan stays native/vectorized, and precision is preserved (a
-# double division would lose precision above 2^53 ns).
+# Fixture timestamp encodings have drifted across driver rounds:
+# TIMESTAMP(NANOS) (rejected by Spark's converter — read as raw int64
+# via legacy.parquet.nanosAsLong and divided exactly) and
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaces as TIMESTAMP_NTZ,
+# which Spark 4's unix_millis/window functions reject). ``table()``
+# normalizes BOTH to plain TIMESTAMP so every downstream plan sees one
+# type regardless of which encoding the fixture carries. The session
+# zone is pinned UTC (session.py), so the NTZ→LTZ cast is exact.
 _NANOS_TS_CACHE: dict[str, list[str]] = {}
 
 
@@ -107,6 +111,9 @@ def table(
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     if fan_out and os.path.isfile(path):
         from automatic_etl_spark.session import default_parallelism
 

@@ -80,14 +80,12 @@ def test_streaming_foreach_batch_upsert(spark, sf_dir):
     silver = tempfile.mkdtemp(prefix="silver_")
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     try:
-        path = stage_stream_dir(sf_dir, "events")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        path = stage_stream_dir(spark, sf_dir, "events")
         raw_schema = spark.read.parquet(path).schema
         stream = (
             spark.readStream.schema(raw_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
         query = (
             stream.writeStream.foreachBatch(
