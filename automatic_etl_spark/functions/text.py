@@ -121,6 +121,23 @@ def doc_fingerprint(c: Column | str, length: int = 16) -> Column:
     return F.substring(md5_hex(normalized), 1, length)
 
 
+def word_ngrams(c: Column | str, n: int = 2) -> Column:
+    """ALL n-gram (word) sequences in order, duplicates kept — the
+    repetition-analysis primitive (``shingles`` dedups; repetition
+    scoring needs the multiplicity)."""
+    toks = tokens(c)
+    count = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), count - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(count >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingles(c: Column | str, n: int = 3) -> Column:
     """Distinct n-gram (word) shingles as an array column."""
     toks = tokens(c)

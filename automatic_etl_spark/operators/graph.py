@@ -1,0 +1,95 @@
+"""Connected components over a pair table — the canonicalization step
+every near-dup pipeline needs (LSH emits PAIRS; survivor selection
+needs CLUSTERS: pair → component → keep-one).
+
+Extends the reference's exact-dedup intent (tools/ingest_runner.py:
+1576-1588 keeps one row per key) to transitively-linked near-dup sets.
+
+Algorithm: iterative minimum-label propagation. Every node starts
+labeled with its own id; each round, a node takes the min of its label
+and its neighbors' labels; converged when no label changes. Rounds
+needed = graph diameter — for near-dup graphs that is small (dup
+clusters are tight cliques/chains), which is why label propagation is
+the standard choice over pointer-doubling (large-star/small-star,
+Kiveris et al. "Connected Components in MapReduce", SoCC'14) until
+diameters get pathological.
+
+Scale notes (100 TB):
+- Each round is one (src-keyed) shuffle join + one groupBy min with
+  map-side partial aggregation — O(E) per round, no quadratic term.
+- ``localCheckpoint`` after every round truncates the lineage chain so
+  plan size stays constant across iterations (the standard iterative-
+  algorithm guard; without it round k replays rounds 1..k-1).
+- The convergence probe is a scalar ``count`` per round (driver gets
+  ONE number, never data).
+- ``max_iter`` bounds worst-case chains; hitting the bound raises
+  rather than silently emitting a half-merged labeling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "a_id",
+    dst_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every node with its component's MINIMUM node id.
+
+    ``nodes``: one row per node (singletons included — unpaired docs
+    become their own component). ``edges``: undirected pairs.
+    Returns (node, component).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+    )
+    # Edges re-drive every round: materialize once, truncate lineage.
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            labels.join(sym, labels["node"] == sym["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        relabeled = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (
+                    F.col("nbr_component").isNotNull()
+                    & (F.col("nbr_component") < F.col("component"))
+                )
+                .cast("int")
+                .alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = relabeled.agg(F.sum("changed")).first()[0] or 0
+        labels = relabeled.drop("changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_iter} rounds — "
+        "graph diameter exceeds the bound; raise max_iter or switch to "
+        "pointer-doubling"
+    )

@@ -10,6 +10,7 @@ from automatic_etl_spark.plans import (  # noqa: F401
     catalog_plans,
     cdc_plans,
     cleaning_plans,
+    curation_plans,
     dedup_plans,
     ingest_plans,
     multimodal_plans,

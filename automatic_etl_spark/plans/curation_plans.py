@@ -1,0 +1,608 @@
+"""Oracle-checked plans for the LLM-training-data curation suite:
+near-dup canonicalization (pair → cluster → survivor), PII scanning,
+URL/domain profiling, repetition scoring, and quantized-embedding
+recall.
+
+These extend the reference's dedup/cleaning intent (keep-one-per-key,
+tools/ingest_runner.py:1576-1588; column sanitation, ingest_runner.py
+cleaning stages) to the curation stages a 100 TB pretraining pipeline
+runs between crawl and tokenizer. Everything is pure Column
+expressions or shuffle-bounded joins — no Python on the data path —
+and every plan has a step-for-step DuckDB mirror built from the same
+constants.
+
+The near-dup corpus plants CHAINS (base → +suffix → +longer suffix)
+so the pair graph has real transitive structure: pairwise output alone
+cannot pick survivors; connected components can.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automatic_etl_spark.functions import text as tx
+from automatic_etl_spark.operators import text_dedup as td
+from automatic_etl_spark.operators.graph import connected_components
+from automatic_etl_spark.plans.dedup_plans import (
+    _BAND_MATCH,
+    _SQL_JACCARD,
+    _SQL_SHINGLES,
+    _SQL_SIGNATURES,
+    BANDS,
+    JACCARD_THRESHOLD,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+)
+from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.sources.parquet import table
+
+# Chain planting: copy1 extends the base by 3 tokens, copy2 by 6 — all
+# three pairwise Jaccards clear the threshold on fixture-length docs,
+# so each planted group forms one component {d, d+1M, d+2M}.
+CHAIN_SUFFIX_1 = " zyx wvu tsr"
+CHAIN_SUFFIX_2 = " zyx wvu tsr qpo nml kji"
+
+
+def _chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    base = docs.filter(F.col("doc_id") % 5 == 0)
+    copy1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(CHAIN_SUFFIX_1)).alias("text"),
+        "lang",
+    )
+    copy2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(CHAIN_SUFFIX_2)).alias("text"),
+        "lang",
+    )
+    return base.unionByName(copy1).unionByName(copy2)
+
+
+_SQL_CHAIN_CORPUS = f"""
+        corpus AS (
+            SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 1000000, text || '{CHAIN_SUFFIX_1}', lang
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text || '{CHAIN_SUFFIX_2}', lang
+            FROM documents WHERE doc_id % 20 = 0
+        )
+"""
+
+# LSH candidates → Jaccard-verified edges → recursive min-label
+# components. The recursion computes reachability (node, reachable-
+# from) and takes MIN per node — exactly the fixpoint the Spark-side
+# label propagation converges to.
+_SQL_COMPONENTS = f"""
+        {_SQL_CHAIN_CORPUS},
+        {_SQL_SHINGLES},
+        {_SQL_SIGNATURES},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM sig a JOIN sig b
+              ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+        ),
+        {_SQL_JACCARD},
+        edges AS (
+            SELECT jac.a_id, jac.b_id FROM jac
+            JOIN cand ON jac.a_id = cand.a_id AND jac.b_id = cand.b_id
+            WHERE jac.jaccard >= {JACCARD_THRESHOLD}
+        ),
+        sym AS (
+            SELECT a_id AS src, b_id AS dst FROM edges
+            UNION
+            SELECT b_id, a_id FROM edges
+        ),
+        reach AS (
+            SELECT doc_id AS node, doc_id AS r FROM corpus
+            UNION
+            SELECT s.dst, reach.r FROM reach JOIN sym s ON reach.node = s.src
+        ),
+        comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+"""
+
+
+def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, component) over the chain corpus — LSH pairs verified by
+    candidate-driven Jaccard, then min-label propagation."""
+    corpus = _chain_corpus(spark, sf_dir)
+    sh = td.shingle_rows(corpus)
+    signatures = td.minhash_signatures(sh, NUM_HASHES)
+    candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)
+    edges = (
+        td.jaccard_pairs(sh, candidates=candidates)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id")
+    )
+    return connected_components(corpus.select("doc_id"), edges)
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_COMPONENTS},
+        csizes AS (
+            SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+        )
+        SELECT COUNT(*) AS n_components,
+               CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS multi_components,
+               MAX(sz) AS largest_component,
+               CAST(SUM(sz) AS BIGINT) AS n_docs,
+               CAST(SUM(component) AS BIGINT) AS component_id_total
+        FROM csizes
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over Jaccard-verified LSH pairs: the planted
+    chains {d, d+1M, d+2M} must collapse into single components, and
+    unpaired docs must stay singletons. component_id_total pins the
+    labeling itself (min doc_id per cluster), not just the shape."""
+    comp = _near_dup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.count("*").alias("n_components"),
+        F.sum((F.col("sz") > 1).cast("int")).alias("multi_components"),
+        F.max("sz").alias("largest_component"),
+        F.sum("sz").alias("n_docs"),
+        F.sum("component").alias("component_id_total"),
+    )
+
+
+@register(
+    "near_dup_canonical",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_COMPONENTS}
+        SELECT c.lang,
+               COUNT(*) AS total_cnt,
+               CAST(SUM(CASE WHEN comp.node = comp.component
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kept_cnt,
+               CAST(SUM(CASE WHEN comp.node <> comp.component
+                             THEN 1 ELSE 0 END) AS BIGINT) AS removed_cnt,
+               CAST(SUM(CASE WHEN comp.node = comp.component
+                             THEN comp.node ELSE 0 END) AS BIGINT)
+                   AS keeper_id_total
+        FROM comp JOIN corpus c ON comp.node = c.doc_id
+        GROUP BY c.lang
+    """,
+)
+def near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after clustering: keep ONE survivor per component (the
+    W1 keep-smallest-id policy applied to clusters — the component
+    label IS the survivor id), drop the rest. keeper_id_total proves
+    the exact survivor set, per language."""
+    comp = _near_dup_components(spark, sf_dir)
+    corpus = _chain_corpus(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), "lang"
+    )
+    return (
+        comp.join(corpus, "node")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total_cnt"),
+            F.sum((F.col("node") == F.col("component")).cast("int")).alias(
+                "kept_cnt"
+            ),
+            F.sum((F.col("node") != F.col("component")).cast("int")).alias(
+                "removed_cnt"
+            ),
+            F.sum(
+                F.when(F.col("node") == F.col("component"), F.col("node"))
+                .otherwise(F.lit(0))
+            ).alias("keeper_id_total"),
+        )
+    )
+
+
+# --- PII scan ----------------------------------------------------------------
+# Patterns are RE2 ∩ Java-regex compatible (character classes, \\b, \\d,
+# bounded repetition only). The fixture text carries no PII, so each
+# type is PLANTED deterministically by doc_id residue — the scan must
+# find exactly the planted instances.
+
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+_SQL_PII_PLANT = """
+        planted AS (
+            SELECT doc_id, lang,
+                   text || CASE doc_id % 11
+                       WHEN 0 THEN ' user' || CAST(doc_id AS VARCHAR)
+                                   || '@mail.example.com'
+                       WHEN 1 THEN ' call 555-867-5309'
+                       WHEN 2 THEN ' ssn 123-45-6789'
+                       WHEN 3 THEN ' host 10.1.2.3 up'
+                       ELSE ''
+                   END AS text
+            FROM documents
+        )
+"""
+
+
+def _pii_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    extra = (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        )
+        .when(F.col("doc_id") % 11 == 1, F.lit(" call 555-867-5309"))
+        .when(F.col("doc_id") % 11 == 2, F.lit(" ssn 123-45-6789"))
+        .when(F.col("doc_id") % 11 == 3, F.lit(" host 10.1.2.3 up"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        "doc_id", "lang", F.concat(F.col("text"), extra).alias("text")
+    )
+
+
+@register(
+    "pii_scan_stats",
+    oracle=f"""
+        WITH {_SQL_PII_PLANT}
+        SELECT lang,
+               COUNT(*) AS docs,
+               {", ".join(
+                   f'''CAST(SUM(CASE WHEN len(regexp_extract_all(text,
+                           '{pat}')) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS {name}_docs,
+                       CAST(SUM(len(regexp_extract_all(text, '{pat}')))
+                           AS BIGINT) AS {name}_hits'''
+                   for name, pat in PII_PATTERNS.items()
+               )},
+               CAST(SUM(CASE WHEN {" OR ".join(
+                   f"len(regexp_extract_all(text, '{pat}')) > 0"
+                   for pat in PII_PATTERNS.values()
+               )} THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs
+        FROM planted GROUP BY lang
+    """,
+)
+def pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-stage PII scan: per-language doc and hit counts for
+    each pattern class plus the any-PII flag rate. One projection, one
+    groupBy — the regexes run inside codegen, so at 100 TB this is a
+    pure map-side scan with a tiny aggregate."""
+    planted = _pii_planted(spark, sf_dir)
+    counts = {
+        name: F.regexp_count("text", F.lit(pat))
+        for name, pat in PII_PATTERNS.items()
+    }
+    aggs: list = []
+    for name in PII_PATTERNS:
+        aggs.append(
+            F.sum((F.col(f"{name}_cnt") > 0).cast("int")).alias(f"{name}_docs")
+        )
+        aggs.append(F.sum(f"{name}_cnt").alias(f"{name}_hits"))
+    flagged = None
+    for name in PII_PATTERNS:
+        hit = F.col(f"{name}_cnt") > 0
+        flagged = hit if flagged is None else (flagged | hit)
+    return (
+        planted.select(
+            "lang",
+            *[cnt.alias(f"{name}_cnt") for name, cnt in counts.items()],
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            *aggs,
+            F.sum(flagged.cast("int")).alias("flagged_docs"),
+        )
+    )
+
+
+# --- URL / domain profiling --------------------------------------------------
+
+URL_PATTERN = r"https?://[^\s]+"
+DOMAIN_PATTERN = r"^https?://([^/]+)"
+
+_SQL_URL_PLANT = """
+        planted AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                       THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                            || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END
+                   || CASE WHEN doc_id % 9 = 0
+                       THEN ' and http://cdn.example.org/asset'
+                       ELSE '' END AS text
+            FROM documents
+        )
+"""
+
+
+@register(
+    "url_domain_stats",
+    oracle=f"""
+        WITH {_SQL_URL_PLANT},
+        urls AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '{URL_PATTERN}')) AS url
+            FROM planted
+        )
+        SELECT regexp_extract(url, '{DOMAIN_PATTERN}', 1) AS domain,
+               COUNT(*) AS url_cnt,
+               COUNT(DISTINCT doc_id) AS doc_cnt
+        FROM urls GROUP BY 1
+    """,
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + domain rollup — the provenance/blocklist stage
+    of a crawl pipeline. regexp_extract_all explodes matches (a doc can
+    carry many URLs); the domain aggregate is one shuffle with map-side
+    combine. At 100 TB the domain key set is small (web power law), so
+    AQE's skew handling covers the fat head domains."""
+    docs = table(spark, sf_dir, "documents")
+    extra1 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    extra2 = F.when(
+        F.col("doc_id") % 9 == 0, F.lit(" and http://cdn.example.org/asset")
+    ).otherwise(F.lit(""))
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), extra1, extra2).alias("text")
+    )
+    urls = planted.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    )
+    return urls.select(
+        "doc_id", F.regexp_extract("url", DOMAIN_PATTERN, 1).alias("domain")
+    ).groupBy("domain").agg(
+        F.count("*").alias("url_cnt"),
+        F.countDistinct("doc_id").alias("doc_cnt"),
+    )
+
+
+# --- Repetition scoring ------------------------------------------------------
+
+_SQL_BIGRAMS = """
+        toks AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, lang,
+                   list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1]) AS g
+            FROM toks WHERE len(t) >= 2
+        )
+"""
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+        WITH {_SQL_BIGRAMS},
+        scored AS (
+            SELECT lang,
+                   round((len(g) - len(list_distinct(g)))
+                         / CAST(len(g) AS DOUBLE), 6) AS rep_ratio
+            FROM grams
+        )
+        SELECT lang,
+               COUNT(*) AS doc_cnt,
+               CAST(SUM(CASE WHEN rep_ratio > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS repeated_docs,
+               CAST(SUM(CAST(rep_ratio AS DECIMAL(18,6))) AS DOUBLE)
+                   AS rep_ratio_total,
+               MAX(rep_ratio) AS rep_ratio_max
+        FROM scored GROUP BY lang
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram fraction per doc (1 − distinct/total), rolled
+    up per language — the standard degenerate-text signal (boilerplate,
+    keyboard mash, model loops score high). Entirely array expressions
+    inside codegen: no explode, no extra shuffle beyond the final tiny
+    groupBy."""
+    docs = table(spark, sf_dir, "documents")
+    g = tx.word_ngrams("text", 2)
+    scored = docs.select(
+        "lang",
+        F.round(
+            (F.size(g) - F.size(F.array_distinct(g)))
+            / F.size(g).cast("double"),
+            6,
+        ).alias("rep_ratio"),
+    ).filter(F.size(g) >= 1)
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("doc_cnt"),
+        F.sum((F.col("rep_ratio") > 0).cast("int")).alias("repeated_docs"),
+        F.sum(F.col("rep_ratio").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rep_ratio_total"),
+        F.max("rep_ratio").alias("rep_ratio_max"),
+    )
+
+
+@register(
+    "top_bigram_fraction",
+    oracle=f"""
+        WITH {_SQL_BIGRAMS},
+        bg AS (SELECT doc_id, lang, unnest(g) AS bigram FROM grams),
+        cnts AS (
+            SELECT doc_id, lang, bigram, COUNT(*) AS c
+            FROM bg GROUP BY 1, 2, 3
+        ),
+        per_doc AS (
+            SELECT doc_id, lang,
+                   round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS frac
+            FROM cnts GROUP BY 1, 2
+        )
+        SELECT lang,
+               COUNT(*) AS doc_cnt,
+               CAST(SUM(CAST(frac AS DECIMAL(18,6))) AS DOUBLE) AS frac_total,
+               MAX(frac) AS frac_max
+        FROM per_doc GROUP BY lang
+    """,
+)
+def top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc occupied by its single most frequent
+    bigram (Gopher-style repetition filter). Explode → two-level
+    aggregate, both with map-side combines; the (doc, bigram) shuffle
+    key is near-unique so no skew."""
+    docs = table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", "lang", F.explode(tx.word_ngrams("text", 2)).alias("bigram")
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "lang", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.max("c") / F.sum("c").cast("double"), 6
+            ).alias("frac")
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("doc_cnt"),
+        F.sum(F.col("frac").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("frac_total"),
+        F.max("frac").alias("frac_max"),
+    )
+
+
+# --- Quantized-embedding recall ----------------------------------------------
+
+RECALL_K = 5
+QUERY_MOD = 100  # same query set as the ANN plans
+
+
+@register(
+    "embedding_quantize_recall",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(embedding,
+                       x -> CASE WHEN x > 0 THEN 1 ELSE -1 END) AS s
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv, s AS qs FROM e
+              WHERE vec_id % {QUERY_MOD} = 0),
+        n AS (SELECT vec_id AS n_id, v AS nv, s AS ns FROM e),
+        scored AS (
+            SELECT q_id, n_id,
+                   round(list_dot_product(qv, nv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(nv, nv))), 6)
+                       AS exact_score,
+                   list_dot_product(qs, ns) AS quant_score
+            FROM q CROSS JOIN n WHERE n_id <> q_id
+        ),
+        et AS (
+            SELECT q_id, n_id FROM (
+                SELECT q_id, n_id, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY exact_score DESC, n_id ASC
+                ) AS rk FROM scored
+            ) WHERE rk <= {RECALL_K}
+        ),
+        qt AS (
+            SELECT q_id, n_id FROM (
+                SELECT q_id, n_id, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY quant_score DESC, n_id ASC
+                ) AS rk FROM scored
+            ) WHERE rk <= {RECALL_K}
+        )
+        SELECT et.q_id,
+               COUNT(qt.n_id) AS overlap_cnt,
+               round(COUNT(qt.n_id) / CAST({RECALL_K} AS DOUBLE), 6) AS recall
+        FROM et LEFT JOIN qt ON et.q_id = qt.q_id AND et.n_id = qt.n_id
+        GROUP BY et.q_id
+    """,
+)
+def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of 1-bit sign quantization against full-precision
+    cosine top-K — the measurement that justifies (or rejects) shipping
+    a quantized index at 100 TB. The quantized score is an INTEGER
+    (agreements − disagreements via a ±1 dot product), so its ranking
+    is exactly reproducible across engines; exact scores use the
+    verified rounded-double cosine. One broadcast-query cross join
+    feeds both rankings (two window sorts over the same q_id
+    partitioning)."""
+    from automatic_etl_spark.functions import vectors as vec
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = vec.to_double_array("embedding")
+    s = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    e = emb.select(F.col("vec_id"), v.alias("v"), s.alias("s"))
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("s").alias("qs"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("nv"),
+        F.col("s").alias("ns"),
+    )
+    quant = F.aggregate(
+        F.zip_with(F.col("qs"), F.col("ns"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(vec.cosine("qv", "nv"), 6).alias("exact_score"),
+            quant.alias("quant_score"),
+        )
+    )
+    w_exact = Window.partitionBy("q_id").orderBy(
+        F.desc("exact_score"), F.asc("n_id")
+    )
+    w_quant = Window.partitionBy("q_id").orderBy(
+        F.desc("quant_score"), F.asc("n_id")
+    )
+    et = (
+        scored.withColumn("rk", F.row_number().over(w_exact))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("q_id", "n_id")
+    )
+    qt = (
+        scored.withColumn("rk", F.row_number().over(w_quant))
+        .filter(F.col("rk") <= RECALL_K)
+        .select("q_id", "n_id", F.lit(1).alias("m"))
+    )
+    return (
+        et.join(qt, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("m").alias("overlap_cnt"),
+            F.round(
+                F.count("m") / F.lit(float(RECALL_K)), 6
+            ).alias("recall"),
+        )
+    )

@@ -199,13 +199,49 @@ def union_all_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- O5: sampling (tools/metabase_schema_discovery.py:197) ------------------
-# Engine-specific RNG → rows-only check (no oracle), like the
-# reference's own SAMPLE which is likewise nondeterministic.
+# Deterministic hash-Bernoulli sample: md5 over the row key plays the
+# RNG, so BOTH engines compute the identical sample and the check is a
+# full value-hash, not rows-only. (Spark's seeded ``df.sample`` exists
+# but its RNG is engine-specific — partition-seeded XORShift — so it
+# can never be cross-checked; a keyed hash is also the reproducible
+# choice at 100 TB, where sampling must be stable under repartitioning
+# and retries.)
 
 
-@register("sample_scan", oracle=None)
+@register(
+    "sample_scan",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                   md5(CAST(l_orderkey AS VARCHAR) || '|'
+                       || CAST(l_linenumber AS VARCHAR)) AS h
+            FROM lineitem
+        )
+        WHERE substr(h, 1, 2) < '0d'
+        ORDER BY h, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        LIMIT 20
+    """,
+)
 def sample_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42).limit(20)
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            h.alias("h"),
+        )
+        .filter(F.substring("h", 1, 2) < "0d")
+        .orderBy("h", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .limit(20)
+        .drop("h")
+    )
 
 
 # --- S4: row limit (tools/ingest_runner.py:1475-1477), pinned order ---------
@@ -921,7 +957,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
-        WHERE n_name IN ('GERMANY', 'FRANCE')
+        WHERE n_name IN ('NATION_1', 'NATION_2')
         GROUP BY n_name, year(l_shipdate)
     """,
 )
@@ -929,12 +965,14 @@ def nation_trade_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: revenue trend per year for a nation pair —
     date-part extraction as a grouping key over a star join. The
     nation IN-filter propagates through the broadcast join, so only
-    the two nations' customers survive into the fact join."""
+    the two nations' customers survive into the fact join. (The
+    fixture names nations NATION_0..24, not the TPC-H country names —
+    using real fixture values keeps the check non-vacuous.)"""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin("GERMANY", "FRANCE")
+        F.col("n_name").isin("NATION_1", "NATION_2")
     )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"

@@ -53,6 +53,9 @@ HEADLINE = (
     "ann_ivf_topk",
     "embedding_cosine_dedup",
     "multimodal_features",
+    # curation suite (round 4): pair→cluster→survivor dedup, PII scan
+    "near_dup_canonical",
+    "pii_scan_stats",
     # decision-support join strategies (semi / anti / HAVING join-back)
     "priority_semi_count",
     "inactive_customers_anti",
@@ -98,25 +101,32 @@ def main() -> None:
     else:
         REGISTRY["count_star"][0](spark, sf_dir).collect()
 
+    # Per-query fault isolation: one broken query must never zero the
+    # whole round's bench signal (BENCH_r03 lesson) — record its error,
+    # keep timing the rest, and ALWAYS emit the JSON line.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn, _oracle = REGISTRY[name]
         start = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 3)
+        try:
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -82,3 +82,31 @@ def test_bench_headliners_are_registered():
 
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert not missing, f"bench names not in registry: {missing}"
+
+
+def test_check_priority_names_exist():
+    """Registry-name drift guard: every rotation entry must exist (a
+    missing one means a promised query was never implemented — the
+    round-3 silent-drop failure mode), and the window must be unique
+    so all 50 driver-checked slots carry distinct signal."""
+    import __spark_entry__ as e
+
+    missing = [n for n in e._CHECK_PRIORITY if n not in REGISTRY]
+    assert not missing, f"_CHECK_PRIORITY names not in registry: {missing}"
+    assert len(e._CHECK_PRIORITY) == len(set(e._CHECK_PRIORITY))
+
+
+def test_connected_components_explicit_graph(spark):
+    """Chain a-b-c, triangle d-e-f, singleton g → 3 components labeled
+    by their minimum node id."""
+    from automatic_etl_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (4, 6)], "a_id long, b_id long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7}
