@@ -59,6 +59,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Fixture parquet uses TIMESTAMP(NANOS); see sources/parquet.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Deliberately 8g, NOT larger: on this virtualized host a 32g
+        # heap measured 8-20× SLOWER on shuffle-heavy queries (A/B:
+        # minhash_lsh_dedup 3.5 s @8g vs 28-83 s @32g, degrading per
+        # run) — a big heap keeps faulting in fresh pages instead of
+        # reusing GC'd ones, and guest page-fault cost dominates. 8g
+        # bounds the working set; execution spills are cheaper here
+        # than heap growth. On a real cluster this only sizes the
+        # driver; executors get their own memory settings.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -21,7 +21,30 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Measurement order: Python-worker paths (mapInPandas) and iterative
+# jobs first, batch SQL in the middle, STREAMING LAST. Streaming
+# queries leave state-store providers and memory-sink tables behind in
+# the session; measuring them last keeps that session-age overhead out
+# of every other query's window (A/B at sf0.1: multimodal_features
+# read 6.5 s late in the sequence vs ~1.2 s early — same plan).
 HEADLINE = (
+    # Python-path + iterative (most sensitive to session age)
+    "multimodal_features",
+    "kmeans_two_iter",
+    "near_dup_canonical",
+    # training-data ops
+    "token_stats",
+    "curation_funnel",
+    "minhash_lsh_dedup",
+    "simhash_buckets",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "embedding_cosine_dedup",
+    "pii_scan_stats",
+    "tfidf_top_terms",
+    "stratified_split",
+    # approx sketches (the 100 TB distinct/quantile path)
+    "hll_distinct_check",
     # relational / BI hot paths
     "revenue_by_nation",
     "pricing_summary",
@@ -34,43 +57,25 @@ HEADLINE = (
     "reconciliation",
     # cleaning pipeline (whole-table single projection)
     "clean_table_pipeline",
-    # CDC path (JSON envelope roundtrip + last-writer-wins)
-    "cdc_unwrap_dedup",
-    # streaming (availableNow windowed agg)
-    "streaming_hourly_counts",
     # analytics view layer
     "analytics_view_dates",
     # custom operators (Spark-lacking surface)
     "asof_join_lag",
     "range_join_windows",
     "time_rollup",
-    # training-data ops
-    "token_stats",
-    "curation_funnel",
-    "minhash_lsh_dedup",
-    "simhash_buckets",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "embedding_cosine_dedup",
-    "multimodal_features",
-    # curation suite (round 4): pair→cluster→survivor dedup, PII scan
-    "near_dup_canonical",
-    "pii_scan_stats",
     # decision-support join strategies (semi / anti / HAVING join-back)
     "priority_semi_count",
     "inactive_customers_anti",
     "large_order_customers",
-    # text analysis + training export
-    "tfidf_top_terms",
-    "stratified_split",
-    # approx sketches (the 100 TB distinct/quantile path)
-    "hll_distinct_check",
-    # iterative + history + stream-stream
-    "kmeans_two_iter",
-    "scd2_history",
     "groupwise_max_orders",
-    "stream_stream_join",
+    "scd2_history",
     "text_source_agg",
+    # CDC path (JSON envelope roundtrip + last-writer-wins)
+    "cdc_unwrap_dedup",
+    # streaming (availableNow, stateful) — keep last: state stores and
+    # memory-sink tables persist for the session's remainder
+    "streaming_hourly_counts",
+    "stream_stream_join",
 )
 
 
@@ -85,20 +90,18 @@ def main() -> None:
     spark = get_spark(app_name="automatic-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen on the SMALLEST fixture first: the same plan
-    # shapes generate the same codegen classes, so the measured runs at
-    # sf_dir reflect execution, not first-query JIT/compilation. Python
-    # workers (mapInPandas paths) spawn here too.
+    # Warm IMMEDIATELY before each measurement, on the SMALLEST fixture:
+    # the same plan shape generates the same codegen classes and spawns
+    # the same Python workers (mapInPandas paths), so the measured run
+    # reflects execution, not JIT/worker startup. Interleaving matters —
+    # a single up-front warm loop decays by the time late queries are
+    # measured (idle Python workers respawned, costing multimodal ~5 s
+    # of phantom time in an A/B at sf0.1).
     warm_dir = "/root/testdata/sf0.001"
     import os as _os
 
-    if _os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            try:
-                REGISTRY[name][0](spark, warm_dir).collect()
-            except Exception:
-                pass  # measured run will surface real failures
-    else:
+    warm = _os.path.isdir(warm_dir)
+    if not warm:
         REGISTRY["count_star"][0](spark, sf_dir).collect()
 
     # Per-query fault isolation: one broken query must never zero the
@@ -108,8 +111,10 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn, _oracle = REGISTRY[name]
-        start = time.perf_counter()
         try:
+            if warm:
+                fn(spark, warm_dir).collect()
+            start = time.perf_counter()
             fn(spark, sf_dir).collect()
             timings[name] = round(time.perf_counter() - start, 3)
         except Exception as exc:  # noqa: BLE001 — isolation is the point
