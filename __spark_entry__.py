@@ -48,7 +48,8 @@ _CHECK_PRIORITY = [
     # (b) curation suite added this round
     "dedup_connected_components", "near_dup_canonical", "pii_scan_stats",
     "url_domain_stats", "repetition_stats", "top_bigram_fraction",
-    "embedding_quantize_recall",
+    "embedding_quantize_recall", "ngram_decontaminate",
+    "unigram_logprob_quality", "domain_mix_sample",
     # (c) de-vacuated this round
     "sample_scan", "nation_trade_trend",
     # (d) timestamp/date-adjacent, last green in r02
@@ -64,8 +65,7 @@ _CHECK_PRIORITY = [
     "left_join_group", "reconciliation", "json_extract_group",
     "json_keys_freq", "rollup_agg", "top_k_users", "union_all_labels",
     "limit_scan", "exact_dedup", "fingerprint_stats",
-    "minhash_lsh_dedup", "ngram_jaccard_pairs", "simhash_buckets",
-    "token_stats",
+    "minhash_lsh_dedup",
 ]
 
 

@@ -487,6 +487,263 @@ def top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Benchmark n-gram decontamination ----------------------------------------
+# The train/eval overlap scan every serious pretraining pipeline runs:
+# any training doc sharing an n-gram with the held-out benchmark set is
+# flagged. Benchmark docs = doc_id % 97 == 0; a fixed 6-token sentence
+# is planted into the benchmark docs AND into every train doc with
+# doc_id % 50 == 1, so a known subset MUST be flagged (natural
+# collisions on top are fine — both engines see the same corpus).
+
+DECON_N = 5
+BENCH_MOD = 97
+PLANT_MOD = 50
+PLANT_SENTENCE = " alpha bravo charlie delta echo foxtrot"
+
+_SQL_DECON_GRAMS = f"""
+        docs2 AS (
+            SELECT doc_id, lang,
+                   text || CASE WHEN doc_id % {BENCH_MOD} = 0
+                                  OR doc_id % {PLANT_MOD} = 1
+                               THEN '{PLANT_SENTENCE}' ELSE '' END AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x <> '') AS t
+            FROM docs2
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, lang,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - {DECON_N - 1}),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            || ' ' || t[i+3] || ' ' || t[i+4]
+                   )) AS gram
+            FROM toks
+        )
+"""
+
+
+@register(
+    "ngram_decontaminate",
+    oracle=f"""
+        WITH {_SQL_DECON_GRAMS},
+        bench AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        train AS (SELECT * FROM grams WHERE doc_id % {BENCH_MOD} <> 0),
+        hits AS (
+            SELECT DISTINCT t.doc_id, t.lang
+            FROM train t JOIN bench b ON t.gram = b.gram
+        )
+        SELECT d.lang,
+               COUNT(*) AS train_docs,
+               COUNT(h.doc_id) AS contaminated_docs,
+               CAST(COALESCE(SUM(h.doc_id), 0) AS BIGINT)
+                   AS contaminated_id_total
+        FROM (SELECT doc_id, lang FROM docs2
+              WHERE doc_id % {BENCH_MOD} <> 0) d
+        LEFT JOIN hits h ON d.doc_id = h.doc_id
+        GROUP BY d.lang
+    """,
+)
+def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing any {DECON_N}-gram with the benchmark
+    set. Scale shape: the benchmark gram set is small relative to the
+    corpus (eval suites are tiny) → broadcast semi-join, so the train
+    side never shuffles; here Spark's planner picks broadcast because
+    the bench side is under the 64 MB threshold. The planted sentence
+    guarantees non-trivial flagged rows."""
+    docs = table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                (F.col("doc_id") % BENCH_MOD == 0)
+                | (F.col("doc_id") % PLANT_MOD == 1),
+                F.lit(PLANT_SENTENCE),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    grams = planted.select(
+        "doc_id", "lang", F.explode(tx.shingles("text", DECON_N)).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
+    )
+    train_grams = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    hits = (
+        train_grams.join(bench, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_docs = planted.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", "lang"
+    )
+    return (
+        train_docs.join(hits, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("train_docs"),
+            F.count("hit").alias("contaminated_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("hit") == 1, F.col("doc_id"))), F.lit(0)
+            ).alias("contaminated_id_total"),
+        )
+    )
+
+
+# --- Unigram-LM quality scoring ----------------------------------------------
+
+
+@register(
+    "unigram_logprob_quality",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        total AS (SELECT SUM(cnt) AS n FROM vocab),
+        scored AS (
+            SELECT t.doc_id, t.lang,
+                   round(ln(CAST(total.n AS DOUBLE) / v.cnt), 6) AS surprisal
+            FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total
+        ),
+        per_doc AS (
+            SELECT doc_id, lang,
+                   round(CAST(SUM(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_surprisal
+            FROM scored GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               COUNT(*) AS doc_cnt,
+               CAST(SUM(CAST(avg_surprisal AS DECIMAL(18,6))) AS DOUBLE)
+                   AS surprisal_total,
+               MAX(avg_surprisal) AS surprisal_max,
+               MIN(avg_surprisal) AS surprisal_min
+        FROM per_doc GROUP BY lang
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: build the corpus unigram LM,
+    then score each doc by its mean token surprisal −ln p(tok) — the
+    cheap statistical stand-in for model-based quality filtering.
+    Two shuffles at scale: token-keyed vocab aggregate (zipfian-skewed;
+    AQE skew handling applies) and doc-keyed mean; the 1-row total is
+    a broadcast. Per-token surprisals are rounded then summed as
+    DECIMAL so both engines aggregate identical values."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tx.tokens("text")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.log(F.col("n").cast("double") / F.col("cnt")), 6
+            ).alias("surprisal"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.sum(F.col("surprisal").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_surprisal")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("doc_cnt"),
+        F.sum(F.col("avg_surprisal").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("surprisal_total"),
+        F.max("avg_surprisal").alias("surprisal_max"),
+        F.min("avg_surprisal").alias("surprisal_min"),
+    )
+
+
+# --- Deterministic source-weighted sampling ----------------------------------
+# Domain mixing: each source family keeps a different fraction of its
+# docs, decided by a salted md5 over doc_id — reproducible across
+# engines, partitionings, and retries (the property RNG sampling lacks
+# at 100 TB; same rationale as sample_scan / stratified_split).
+
+MIX_SALT = "mix1"
+# source number % 4 → keep threshold on the first 4 md5 hex chars
+# (fraction of 0x10000). index 0 → keep all.
+MIX_THRESHOLDS = {0: None, 1: "8000", 2: "4000", 3: "1999"}
+
+
+@register(
+    "domain_mix_sample",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4
+                       AS grp,
+                   substr(md5('{MIX_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS h
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM keyed
+            WHERE grp = 0
+               OR (grp = 1 AND h < '{MIX_THRESHOLDS[1]}')
+               OR (grp = 2 AND h < '{MIX_THRESHOLDS[2]}')
+               OR (grp = 3 AND h < '{MIX_THRESHOLDS[3]}')
+        )
+        SELECT grp,
+               COUNT(*) AS kept_cnt,
+               COUNT(DISTINCT source) AS sources,
+               CAST(SUM(doc_id) AS BIGINT) AS kept_id_total
+        FROM kept GROUP BY grp
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted corpus mixing with hash-deterministic keep
+    decisions (keep 100%/50%/25%/10% by source group). Pure row-local
+    Column expressions — no shuffle until the tiny audit aggregate, and
+    the keep set is invariant under repartitioning and task retries."""
+    docs = table(spark, sf_dir, "documents")
+    grp = (
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 4
+    ).alias("grp")
+    h = F.substring(
+        tx.md5_hex(
+            F.concat(F.lit(f"{MIX_SALT}|"), F.col("doc_id").cast("string"))
+        ),
+        1,
+        4,
+    )
+    keyed = docs.select("doc_id", "source", grp, h.alias("h"))
+    keep = F.col("grp") == 0
+    for g, thr in MIX_THRESHOLDS.items():
+        if thr is not None:
+            keep = keep | ((F.col("grp") == g) & (F.col("h") < thr))
+    return (
+        keyed.filter(keep)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("kept_cnt"),
+            F.countDistinct("source").alias("sources"),
+            F.sum("doc_id").alias("kept_id_total"),
+        )
+    )
+
+
 # --- Quantized-embedding recall ----------------------------------------------
 
 RECALL_K = 5

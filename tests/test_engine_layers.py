@@ -813,3 +813,51 @@ def test_mor_later_commit_wins_and_tombstone_revives(spark, tmp_path):
         (r.id, r.v) for r in mor.merge_on_read(spark, path, ["id"]).collect()
     }
     assert rows == {(1, "a2"), (2, "b")}
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark gram set is tiny relative to the train corpus, so
+    the contamination semi-join must be a BroadcastHashJoin (LeftSemi)
+    — the train side never shuffles. The shape that keeps this scan
+    map-side at 100 TB."""
+    from automatic_etl_spark.plans.curation_plans import ngram_decontaminate
+
+    df = ngram_decontaminate(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_domain_mix_sample_is_shuffle_free_until_agg(spark):
+    """The keep decision is row-local (salted md5 threshold): the keep
+    filter must sit AT the scan (no exchange below it), and the only
+    exchanges are the audit aggregate's own two phases — (grp, source)
+    for the distinct count, then grp. Column pruning must reach the
+    scan (2 of 5 columns read)."""
+    from automatic_etl_spark.plans.curation_plans import domain_mix_sample
+
+    df = domain_mix_sample(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2  # distinct + final
+    assert "Exchange RoundRobin" not in plan  # nothing reshuffles the scan
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+
+
+def test_connected_components_bounded_iterations(spark):
+    """A path graph of length 6 converges via min-label propagation;
+    max_iter below the diameter must raise, not emit a half-merged
+    labeling."""
+    import pytest as _pytest
+
+    from automatic_etl_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "a_id long, b_id long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {i: 1 for i in range(1, 8)}
+    with _pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(nodes, edges, max_iter=2)
