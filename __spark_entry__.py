@@ -64,8 +64,10 @@ _CHECK_PRIORITY = [
     # fill the 50-slot window with the remaining r02-only signal
     "left_join_group", "reconciliation", "json_extract_group",
     "json_keys_freq", "rollup_agg", "top_k_users", "union_all_labels",
-    "limit_scan", "exact_dedup", "fingerprint_stats",
-    "minhash_lsh_dedup",
+    "limit_scan",
+    # §2.11/§2.8 rows upgraded from unit-only to oracle-checked in r04
+    "cleaning_observe_stats", "usefulness_classification",
+    "ddl_apply_roundtrip",
 ]
 
 

@@ -112,3 +112,145 @@ def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         customer, ["c_custkey", "c_mktsegment", "c_nationkey"]
     )
+
+
+# --- Q3: df.observe ride-along cleaning counters -----------------------------
+# NaN is PLANTED into value (event_id % 13), clean_floats nulls it, and
+# the observation reports rows + nulled count with NO second scan — the
+# metrics ride the same action that computes the cents aggregate.
+
+
+@register(
+    "cleaning_observe_stats",
+    oracle="""
+        SELECT COUNT(*) AS rows,
+               CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS value_nulls,
+               CAST(SUM(CASE WHEN event_id % 13 <> 0
+                             THEN CAST(floor(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS cents_total
+        FROM events
+    """,
+)
+def cleaning_observe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 end-to-end: the cleaning pipeline's counters come from
+    ``df.observe`` attached to the SAME action that produces the
+    business aggregate — at 100 TB this is the difference between one
+    scan and two."""
+    from automatic_etl_spark.functions.cleaning import clean_floats
+    from automatic_etl_spark.operators.profile import observed_cleaning_stats
+
+    events = table(spark, sf_dir, "events")
+    planted = events.withColumn(
+        "value",
+        F.when(F.col("event_id") % 13 == 0, F.lit(float("nan"))).otherwise(
+            F.col("value")
+        ),
+    )
+    cleaned = planted.withColumn("value", clean_floats("value"))
+    observed, obs = observed_cleaning_stats(cleaned, ["value"])
+    cents = observed.agg(
+        F.coalesce(
+            F.sum(F.floor(F.col("value") * 100)), F.lit(0)
+        ).alias("cents_total")
+    ).first()[0]
+    metrics = obs.get  # populated by the action above
+    return spark.createDataFrame(
+        [(metrics["rows"], metrics["value_nulls"], int(cents))],
+        "rows long, value_nulls long, cents_total long",
+    )
+
+
+# --- Q4: usefulness classification over the whole warehouse ------------------
+
+_NUMERIC_DUCK_TYPES = (
+    "'BIGINT','INTEGER','DOUBLE','FLOAT','SMALLINT','TINYINT','HUGEINT'"
+)
+
+
+def _sql_usefulness(tables: tuple[str, ...]) -> str:
+    parts = [
+        f"""
+        SELECT '{t}' AS table_name,
+               (SELECT COUNT(*) FROM {t}) AS rows,
+               (SELECT COUNT(*) FROM {t}) >= 1 AS useful,
+               (SELECT COUNT(*) FROM (DESCRIBE SELECT * FROM {t}) d
+                WHERE d.column_type IN ({_NUMERIC_DUCK_TYPES})
+                   OR d.column_type LIKE 'DECIMAL%') AS numeric_cols
+        """
+        for t in tables
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "usefulness_classification",
+    oracle=_sql_usefulness(
+        (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        )
+    ),
+)
+def usefulness_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 over every fixture table: emptiness + numeric-column census
+    (reference tools/identify_useful_tables.py:40-90). Counts come from
+    parquet footer statistics — cheap even at warehouse scale. The
+    oracle recomputes column types via DESCRIBE, so fixture schema
+    drift shows up as a mismatch, not a stale hardcode."""
+    from automatic_etl_spark.operators.profile import usefulness_report
+    from automatic_etl_spark.sources.parquet import TABLES, load_tables
+
+    report = usefulness_report(load_tables(spark, sf_dir, TABLES))
+    return spark.createDataFrame(
+        [
+            (r["table"], r["rows"], r["useful"], r["numeric_cols"])
+            for r in report
+        ],
+        "table_name string, rows long, useful boolean, numeric_cols int",
+    )
+
+
+# --- D1 + S14: DDL synthesis applied idempotently, then read back ------------
+
+
+@register(
+    "ddl_apply_roundtrip",
+    oracle="""
+        SELECT COUNT(*) AS cnt,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_total,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS acctbal_total
+        FROM customer
+    """,
+)
+def ddl_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/S14 live: synthesize CREATE TABLE from the fixture schema,
+    apply it TWICE (IF NOT EXISTS must no-op), load via INSERT INTO
+    ... SELECT, and aggregate through the catalog table. Proves the
+    generated DDL round-trips data exactly."""
+    import tempfile
+    import uuid
+
+    from automatic_etl_spark.operators.ddl import TableLayout, create_table_sql
+
+    cust = table(spark, sf_dir, "customer")
+    name = f"ddl_rt_{uuid.uuid4().hex[:8]}"
+    ddl = create_table_sql(
+        name,
+        cust.schema,
+        TableLayout("default", sort_columns=("c_custkey",)),
+        location=tempfile.mkdtemp(prefix="ddl_rt_"),
+    )
+    spark.sql(ddl)
+    spark.sql(ddl)  # S14: idempotent re-apply
+    view = f"src_{name}"
+    cust.createOrReplaceTempView(view)
+    spark.sql(f"INSERT INTO {name} SELECT * FROM {view}")
+    return spark.table(name).agg(
+        F.count("*").alias("cnt"),
+        F.sum("c_custkey").alias("key_total"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("acctbal_total"),
+    )

@@ -584,3 +584,74 @@ def test_session_count_matches_python_model(spark, rows, gap):
                 n += 1
         expected[u] = n
     assert got == expected
+
+
+# --- word_ngrams (curation repetition primitive) ------------------------------
+
+_word = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+    min_size=1,
+    max_size=6,
+)
+_doc = st.lists(_word, min_size=0, max_size=20).map(" ".join)
+
+
+def _expected_bigrams(text: str) -> list[str]:
+    toks = text.lower().split()
+    return [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+
+
+@PROP
+@given(texts=st.lists(_doc, min_size=1, max_size=30))
+def test_word_ngrams_matches_python_model(spark, texts):
+    from automatic_etl_spark.functions import text as tx
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        list(r["g"])
+        for r in df.select(tx.word_ngrams("text", 2).alias("g")).collect()
+    ]
+    assert got == [_expected_bigrams(t) for t in texts]
+
+
+@PROP
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=1, max_value=12),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=15,
+    )
+)
+def test_connected_components_matches_python_model(spark, edges):
+    """Min-label propagation must agree with a pure-Python union-find
+    over arbitrary small graphs (nodes 1..12, singletons included)."""
+    from automatic_etl_spark.operators.graph import connected_components
+
+    parent = {i: i for i in range(1, 13)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for i in range(1, 13):
+        root = find(i)
+        expected[i] = min(j for j in range(1, 13) if find(j) == root)
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+    edf = spark.createDataFrame(
+        edges or [(None, None)], "a_id long, b_id long"
+    ).dropna()
+    got = {
+        r.node: r.component for r in connected_components(nodes, edf).collect()
+    }
+    assert got == expected
