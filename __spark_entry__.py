@@ -62,12 +62,13 @@ _CHECK_PRIORITY = [
     "encoding_fallback_chain", "normalize_strings", "fill_defaults",
     "infer_and_cast", "conditional_agg", "decode_binary_roundtrip",
     # fill the 50-slot window with the remaining r02-only signal
-    "left_join_group", "reconciliation", "json_extract_group",
-    "json_keys_freq", "rollup_agg", "top_k_users", "union_all_labels",
+    "left_join_group", "reconciliation",
+    "rollup_agg", "top_k_users", "union_all_labels",
     "limit_scan",
     # §2.11/§2.8 rows upgraded from unit-only to oracle-checked in r04
     "cleaning_observe_stats", "usefulness_classification",
-    "ddl_apply_roundtrip",
+    "ddl_apply_roundtrip", "source_validation_report",
+    "catalog_cleanup_report",
 ]
 
 

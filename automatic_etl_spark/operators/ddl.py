@@ -178,9 +178,16 @@ def cleanup_catalog(
     keep_patterns: tuple[str, ...] = (),
 ) -> list[str]:
     """D7: drop tables below the usefulness threshold unless matched by
-    a keep pattern (reference tools/schema_cleaner.py:44-120)."""
+    a keep pattern (reference tools/schema_cleaner.py:44-120).
+
+    Session temp views appear in EVERY database's ``listTables`` and
+    cannot be database-qualified — only real catalog tables are
+    cleanup candidates (found live: a leftover temp view from an
+    earlier query made the qualified lookup throw)."""
     dropped = []
     for tbl in spark.catalog.listTables(database):
+        if tbl.isTemporary:
+            continue
         full = f"{database}.{tbl.name}"
         if any(re.search(p, tbl.name) for p in keep_patterns):
             continue

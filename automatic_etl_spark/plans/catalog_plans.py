@@ -254,3 +254,98 @@ def ddl_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("acctbal_total"),
     )
+
+
+# --- T9/Q5: source validation gate across the warehouse ----------------------
+
+
+@register(
+    "source_validation_report",
+    oracle="""
+        SELECT 'region' AS source, true AS ok,
+               (SELECT COUNT(*) FROM (DESCRIBE SELECT * FROM region))
+                   AS n_cols
+        UNION ALL
+        SELECT 'events', true,
+               (SELECT COUNT(*) FROM (DESCRIBE SELECT * FROM events))
+        UNION ALL
+        SELECT 'documents', true,
+               (SELECT COUNT(*) FROM (DESCRIBE SELECT * FROM documents))
+        UNION ALL
+        SELECT 'missing_table', false, 0
+    """,
+)
+def source_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9/Q5 live: probe a set of sources (lazy factories — the probe
+    collects ONE row each, the reference's SELECT-1 health check), and
+    report per-source status. A deliberately missing table must come
+    back ok=false with the error contained, never raised — per-source
+    isolation is what lets a 500-table ingest continue past one broken
+    grant."""
+    from automatic_etl_spark.operators.profile import validate_source
+
+    probes = {
+        "region": lambda: table(spark, sf_dir, "region"),
+        "events": lambda: table(spark, sf_dir, "events"),
+        "documents": lambda: table(spark, sf_dir, "documents"),
+        "missing_table": lambda: table(spark, sf_dir, "missing_table"),
+    }
+    rows = []
+    for name, factory in probes.items():
+        r = validate_source(factory)
+        rows.append((name, r["ok"], len(r["columns"])))
+    return spark.createDataFrame(
+        rows, "source string, ok boolean, n_cols long"
+    )
+
+
+# --- D7 + D8: database bootstrap + usefulness-threshold cleanup --------------
+
+
+@register(
+    "catalog_cleanup_report",
+    oracle="""
+        SELECT 'keep_customer' AS table_name,
+               (SELECT COUNT(*) FROM customer) >= 10 AS kept
+        UNION ALL
+        SELECT 'keep_pattern_tiny', true
+        UNION ALL
+        SELECT 'drop_tiny',
+               (SELECT COUNT(*) FROM (SELECT * FROM lineitem LIMIT 3)) >= 10
+    """,
+)
+def catalog_cleanup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7/D8 live: bootstrap a database, create three tables (a real
+    fixture copy, a tiny one protected by a keep-pattern, a tiny one
+    not protected), run the usefulness cleanup, and report which
+    survived. The keep-pattern table proves the guard; the oracle
+    derives keep/drop from the same row counts."""
+    import uuid
+
+    from automatic_etl_spark.operators.ddl import (
+        bootstrap_databases,
+        cleanup_catalog,
+    )
+
+    conn = f"conn{uuid.uuid4().hex[:8]}"
+    db = bootstrap_databases(spark, [conn])[0]
+    cust = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem").limit(3)
+    cust.write.saveAsTable(f"{db}.keep_customer")
+    li.write.saveAsTable(f"{db}.keep_pattern_tiny")
+    li.write.saveAsTable(f"{db}.drop_tiny")
+    cleanup_catalog(spark, db, min_rows=10, keep_patterns=(r"^keep_pattern",))
+    survivors = {
+        t.name for t in spark.catalog.listTables(db) if not t.isTemporary
+    }
+    # The report is materialized above; drop the scratch database so
+    # repeated runs leave no warehouse residue.
+    spark.sql(f"DROP DATABASE {db} CASCADE")
+    return spark.createDataFrame(
+        [
+            ("keep_customer", "keep_customer" in survivors),
+            ("keep_pattern_tiny", "keep_pattern_tiny" in survivors),
+            ("drop_tiny", "drop_tiny" in survivors),
+        ],
+        "table_name string, kept boolean",
+    )

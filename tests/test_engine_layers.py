@@ -861,3 +861,28 @@ def test_connected_components_bounded_iterations(spark):
     assert got == {i: 1 for i in range(1, 8)}
     with _pytest.raises(RuntimeError, match="no convergence"):
         connected_components(nodes, edges, max_iter=2)
+
+
+def test_cleanup_catalog_ignores_temp_views(spark, tmp_path):
+    """Session temp views list under every database but cannot be
+    db-qualified; cleanup must skip them (regression: a leftover temp
+    view made catalog cleanup throw TABLE_OR_VIEW_NOT_FOUND)."""
+    import uuid
+
+    from automatic_etl_spark.operators.ddl import cleanup_catalog
+
+    db = f"tmpviews_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        spark.createDataFrame([(1,)], "id long").createOrReplaceTempView(
+            "stale_temp_view"
+        )
+        spark.createDataFrame([(i,) for i in range(3)], "id long").write.option(
+            "path", str(tmp_path / "tiny")
+        ).saveAsTable(f"{db}.tiny")
+        dropped = cleanup_catalog(spark, db, min_rows=10)
+        assert dropped == [f"{db}.tiny"]
+        assert spark.catalog.tableExists("stale_temp_view")
+    finally:
+        spark.catalog.dropTempView("stale_temp_view")
+        spark.sql(f"DROP DATABASE {db} CASCADE")
