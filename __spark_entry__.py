@@ -62,7 +62,7 @@ _CHECK_PRIORITY = [
     "encoding_fallback_chain", "normalize_strings", "fill_defaults",
     "infer_and_cast", "conditional_agg", "decode_binary_roundtrip",
     # fill the 50-slot window with the remaining r02-only signal
-    "left_join_group", "reconciliation",
+    "bool_to_int_agg", "schema_evolution_agg",
     "rollup_agg", "top_k_users", "union_all_labels",
     "limit_scan",
     # §2.11/§2.8 rows upgraded from unit-only to oracle-checked in r04

@@ -618,3 +618,34 @@ def infer_and_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_total"),
         F.countDistinct("flag_str").alias("flag_distinct"),
     )
+
+
+# --- C9: bool → int (oracle-checked; was unit-only through round 3) ----------
+
+
+@register(
+    "bool_to_int_agg",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS purchase_flags,
+               CAST(COUNT(CASE WHEN event_type <> 'error'
+                               THEN 1 END) AS BIGINT) AS non_null_flags
+        FROM events GROUP BY event_type
+    """,
+)
+def bool_to_int_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 live: a planted boolean column (NULL for 'error' rows) runs
+    through bool_to_int; the aggregate pins true→1, false→0, and
+    NULL→NULL passthrough."""
+    events = table(spark, sf_dir, "events")
+    flag = F.when(
+        F.col("event_type") != "error", F.col("event_type") == "purchase"
+    )
+    ints = events.select(
+        "event_type", cl.bool_to_int(flag).alias("flag_int")
+    )
+    return ints.groupBy("event_type").agg(
+        F.coalesce(F.sum("flag_int"), F.lit(0)).alias("purchase_flags"),
+        F.count("flag_int").alias("non_null_flags"),
+    )

@@ -273,3 +273,47 @@ def mor_compacted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = mor.compact(spark, path, keys=["event_id"])
     assert stats["parts_before"] == 3 and stats["parts_after"] == 1
     return _mor_rollup(mor.merge_on_read(spark, path, keys=["event_id"]))
+
+
+# --- D5: schema evolution via mergeSchema (oracle-checked) -------------------
+
+
+@register(
+    "schema_evolution_agg",
+    oracle="""
+        SELECT COUNT(*) AS cnt,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_total,
+               CAST(COUNT(nat) AS BIGINT) AS nat_present,
+               CAST(COALESCE(SUM(nat), 0) AS BIGINT) AS nat_total
+        FROM (
+            SELECT c_custkey, CAST(NULL AS BIGINT) AS nat FROM customer
+            UNION ALL
+            SELECT c_custkey, c_nationkey FROM customer
+        )
+    """,
+)
+def schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 live: writer v1 lands 1 column set, writer v2 adds a column;
+    ``read_merged`` (mergeSchema) surfaces the union schema with NULLs
+    on the v1 rows — the correct-up-front evolution path vs the
+    reference's post-hoc ALTER ... Nullable repair. The aggregate pins
+    row conservation, NULL backfill, and value fidelity."""
+    import os
+
+    from automatic_etl_spark.sources.parquet import read_merged
+
+    cust = table(spark, sf_dir, "customer")
+    target = tempfile.mkdtemp(prefix="evolve_")
+    cust.select("c_custkey").write.mode("append").parquet(
+        os.path.join(target, "v=1")
+    )
+    cust.select("c_custkey", F.col("c_nationkey").alias("nat")).write.mode(
+        "append"
+    ).parquet(os.path.join(target, "v=2"))
+    merged = read_merged(spark, target)
+    return merged.agg(
+        F.count("*").alias("cnt"),
+        F.sum("c_custkey").alias("key_total"),
+        F.count("nat").alias("nat_present"),
+        F.coalesce(F.sum("nat"), F.lit(0)).alias("nat_total"),
+    )
