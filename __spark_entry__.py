@@ -63,7 +63,8 @@ _CHECK_PRIORITY = [
     "infer_and_cast", "conditional_agg", "decode_binary_roundtrip",
     # fill the 50-slot window with the remaining r02-only signal
     "bool_to_int_agg", "schema_evolution_agg",
-    "rollup_agg", "top_k_users", "union_all_labels",
+    "streaming_upsert_pipe", "decimal_fidelity_agg",
+    "rollup_agg",
     "limit_scan",
     # §2.11/§2.8 rows upgraded from unit-only to oracle-checked in r04
     "cleaning_observe_stats", "usefulness_classification",

@@ -349,3 +349,89 @@ def catalog_cleanup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "table_name string, kept boolean",
     )
+
+
+# --- D2/D3 layout chooser + Q6 orchestration status (oracle-checked) ---------
+
+
+@register(
+    "layout_chooser_report",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('user_events_log', 'log', 'ts', false),
+            ('catalogo_tipos', 'reference', NULL, true),
+            ('plain_facts', 'default', NULL, false)
+        ) AS t(table_name, table_kind, partition_column, upsert)
+    """,
+)
+def layout_chooser_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3 heuristics over the real events schema: log-named tables
+    month-partition on their temporal column, reference-named tables
+    upsert (ReplacingMergeTree analog), everything else is a plain
+    sorted table (reference tools/create_clickhouse_models.py
+    heuristics)."""
+    from automatic_etl_spark.operators.ddl import choose_layout
+
+    schema = table(spark, sf_dir, "events").schema
+    rows = []
+    for name in ("user_events_log", "catalogo_tipos", "plain_facts"):
+        lay = choose_layout(name, schema, ("event_id",))
+        rows.append((name, lay.table_kind, lay.partition_column, lay.upsert))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, table_kind string, partition_column string, "
+        "upsert boolean",
+    )
+
+
+@register(
+    "pipeline_status_report",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('overall', 'success', CAST(1 AS BIGINT)),
+            ('discover', 'success', CAST(1 AS BIGINT)),
+            ('flaky_ingest', 'success', CAST(2 AS BIGINT)),
+            ('blocked_views', 'success', CAST(1 AS BIGINT))
+        ) AS t(phase, status, attempts)
+    """,
+)
+def pipeline_status_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 live: a 3-phase DAG where the middle phase fails once with a
+    recoverable error and succeeds on retry; the status report must
+    show attempts=2 for it, success overall, and the dependent phase
+    run after it (reference tools/ingest_runner.py:2250-2268 status
+    JSON)."""
+    from automatic_etl_spark.orchestrator import (
+        Orchestrator,
+        Phase,
+        RecoverableError,
+        status_report,
+    )
+
+    state = {"failures": 0}
+
+    def flaky(_ctx):
+        if state["failures"] == 0:
+            state["failures"] += 1
+            raise RecoverableError("transient connection loss")
+        return "ok"
+
+    results = (
+        Orchestrator()
+        .add(Phase("discover", lambda _ctx: ["events"]))
+        .add(Phase("flaky_ingest", flaky, depends_on=("discover",)))
+        .add(
+            Phase(
+                "blocked_views", lambda _ctx: True, depends_on=("flaky_ingest",)
+            )
+        )
+        .run()
+    )
+    report = status_report(results)
+    rows = [
+        ("overall", "success" if report["success"] else "failed", 1)
+    ] + [
+        (name, p["status"], p["attempts"])
+        for name, p in report["phases"].items()
+    ]
+    return spark.createDataFrame(rows, "phase string, status string, attempts long")

@@ -577,3 +577,61 @@ def streaming_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination()
     spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.table(name)
+
+
+@register(
+    "streaming_upsert_pipe",
+    oracle="""
+        WITH latest AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+            ) AS rn
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               CAST(SUM(user_id) AS BIGINT) AS user_total,
+               CAST(SUM(event_id) AS BIGINT) AS event_id_total
+        FROM latest WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def streaming_upsert_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/T6 end to end as an oracle query: the event stream replays
+    in micro-batches (maxFilesPerTrigger=1) through the foreachBatch
+    last-writer-wins upsert into a parquet silver table; reading the
+    silver table back must equal the batch LWW dedup — the oracle. At
+    scale the same sink becomes the partition-pruned variant
+    (foreach_batch_upsert_partitioned) or Delta MERGE INTO."""
+    import os
+
+    from automatic_etl_spark.session import default_parallelism
+
+    path = stage_stream_dir(spark, sf_dir, "events")
+    silver = tempfile.mkdtemp(prefix="upsert_silver_") + "/t"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    query = (
+        stream.writeStream.foreachBatch(
+            cdc.foreach_batch_upsert(silver, ["user_id"], ["ts", "event_id"])
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return (
+        spark.read.parquet(silver)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("user_id").alias("user_total"),
+            F.sum("event_id").alias("event_id_total"),
+        )
+    )

@@ -649,3 +649,33 @@ def bool_to_int_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("flag_int"), F.lit(0)).alias("purchase_flags"),
         F.count("flag_int").alias("non_null_flags"),
     )
+
+
+# --- C10: decimal fidelity (oracle-checked) ----------------------------------
+
+
+@register(
+    "decimal_fidelity_agg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS price_total,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4)))
+                    AS DECIMAL(38,4)) AS discount_total
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def decimal_fidelity_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 live: money-typed aggregation stays in DecimalType end to
+    end — no double rounding anywhere in the plan, and the DECIMAL
+    result hashes identically across engines (the fidelity contract
+    the reference loses by round-tripping through pandas floats)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("price_total"),
+        F.sum(F.col("l_discount").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("discount_total"),
+    )
