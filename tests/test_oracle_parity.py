@@ -35,6 +35,10 @@ ORDER_SENSITIVE = [
         "daily_moving_avg", "scd2_history", "groupwise_max_orders",
         "value_percentiles", "countmin_heavy_hitters",
         "waiting_suppliers", "nation_profit", "min_cost_supplier",
+        # round-4 additions with rank/top-k/iterative shapes
+        "sample_scan", "embedding_quantize_recall",
+        "near_dup_canonical", "top_bigram_fraction",
+        "streaming_upsert_pipe",
     )
     if n in ORACLE_NAMES
 ]
