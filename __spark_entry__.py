@@ -64,7 +64,7 @@ _CHECK_PRIORITY = [
     # fill the 50-slot window with the remaining r02-only signal
     "bool_to_int_agg", "schema_evolution_agg",
     "streaming_upsert_pipe", "decimal_fidelity_agg",
-    "rollup_agg",
+    "streaming_upsert_partitioned_pipe",
     "limit_scan",
     # §2.11/§2.8 rows upgraded from unit-only to oracle-checked in r04
     "cleaning_observe_stats", "usefulness_classification",
