@@ -65,7 +65,7 @@ _CHECK_PRIORITY = [
     "bool_to_int_agg", "schema_evolution_agg",
     "streaming_upsert_pipe", "decimal_fidelity_agg",
     "streaming_upsert_partitioned_pipe",
-    "limit_scan",
+    "jdbc_roundtrip_agg",
     # §2.11/§2.8 rows upgraded from unit-only to oracle-checked in r04
     "cleaning_observe_stats", "usefulness_classification",
     "ddl_apply_roundtrip", "source_validation_report",

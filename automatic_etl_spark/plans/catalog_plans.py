@@ -435,3 +435,57 @@ def pipeline_status_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, p in report["phases"].items()
     ]
     return spark.createDataFrame(rows, "phase string, status string, attempts long")
+
+
+# --- S1/S11 live: JDBC write → chunked partitioned scan → aggregate ----------
+
+
+@register(
+    "jdbc_roundtrip_agg",
+    oracle="""
+        SELECT COUNT(*) AS cnt,
+               CAST(SUM(c_custkey) AS BIGINT) AS key_total,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS acctbal_total
+        FROM customer
+    """,
+)
+def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S11 against a REAL JDBC database: the fixture customer table
+    goes out through the engine's JDBC sink into embedded Apache Derby
+    (the in-sandbox stand-in for MySQL) and comes back through the
+    chunked scan path — 4 range partitions on the PK, the reference's
+    50k-chunk pattern (tools/ingest_runner.py:1475). The aggregate
+    over the JDBC read must equal the aggregate over the original
+    parquet — the full out-and-back fidelity check."""
+    import tempfile
+
+    from automatic_etl_spark.sources import jdbc
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    lo, hi = cust.agg(
+        F.min("c_custkey"), F.max("c_custkey")
+    ).first()
+    src = jdbc.JdbcSource(
+        url=f"jdbc:derby:{tempfile.mkdtemp(prefix='jdbc_rt_')}/db;create=true",
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+    jdbc.write_table(cust, src, "customer_rt", mode="append", batchsize=500)
+    back = jdbc.read_table(
+        spark,
+        src,
+        "customer_rt",
+        partition_column="c_custkey",
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+    )
+    return back.agg(
+        F.count("*").alias("cnt"),
+        F.sum("c_custkey").alias("key_total"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("acctbal_total"),
+    )
