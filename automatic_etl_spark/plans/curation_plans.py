@@ -518,8 +518,8 @@ _SQL_DECON_GRAMS = f"""
             SELECT DISTINCT doc_id, lang,
                    unnest(list_transform(
                        generate_series(1, len(t) - {DECON_N - 1}),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                            || ' ' || t[i+3] || ' ' || t[i+4]
+                       i -> {" || ' ' || ".join(f"t[i+{j}]" if j else "t[i]"
+                                                for j in range(DECON_N))}
                    )) AS gram
             FROM toks
         )
@@ -692,7 +692,7 @@ MIX_THRESHOLDS = {0: None, 1: "8000", 2: "4000", 3: "1999"}
     oracle=f"""
         WITH keyed AS (
             SELECT doc_id, source,
-                   CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4
+                   TRY_CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4
                        AS grp,
                    substr(md5('{MIX_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 4)
                        AS h
@@ -716,7 +716,13 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted corpus mixing with hash-deterministic keep
     decisions (keep 100%/50%/25%/10% by source group). Pure row-local
     Column expressions — no shuffle until the tiny audit aggregate, and
-    the keep set is invariant under repartitioning and task retries."""
+    the keep set is invariant under repartitioning and task retries.
+
+    Non-matching ``source`` policy, pinned on BOTH sides: a source not
+    matching ``src<digits>`` yields NULL grp (Spark cast-of-'' /
+    DuckDB TRY_CAST) and every keep predicate is false on NULL, so the
+    row is dropped — fixture drift surfaces as a value mismatch in the
+    audit, never as an oracle crash."""
     docs = table(spark, sf_dir, "documents")
     grp = (
         F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 4

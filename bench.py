@@ -9,6 +9,18 @@ JSON line: ``{"metric": ..., "value": N, "unit": "sec",
 Headliners cover the engine's hot paths: the star join, window dedup,
 whole-table cleaning pipeline, grouped aggregation, rollup, top-N —
 the plans whose shape dominates at 100 TB.
+
+Methodology (pinned in round 5): measurements run in FRESH JVMs, one
+subprocess per headline group. Rounds 2→4 showed a uniform ~17% drift
+across all 35 common queries with unchanged plans — session age, not
+plan shape (state-store providers, codegen cache, heap fragmentation
+accumulate). Forking per group bounds session age to a handful of
+queries, and each query's ``session_age_sec`` is recorded so any
+residual drift is attributable. Within a group the r4 discipline
+stays: warm each query immediately before measuring it on the
+smallest fixture, reset session state outside the timed window, and
+measure streaming (stateful, state-store-leaving) queries in the last
+group.
 """
 
 from __future__ import annotations
@@ -16,102 +28,72 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Measurement order: Python-worker paths (mapInPandas) and iterative
-# jobs first, batch SQL in the middle, STREAMING LAST. Streaming
-# queries leave state-store providers and memory-sink tables behind in
-# the session; measuring them last keeps that session-age overhead out
-# of every other query's window (A/B at sf0.1: multimodal_features
-# read 6.5 s late in the sequence vs ~1.2 s early — same plan).
-HEADLINE = (
+# One tuple per fresh-JVM group, in measurement order. Python-worker
+# paths (mapInPandas) and iterative jobs first, batch SQL in the
+# middle, STREAMING LAST within its own JVM so state stores and
+# memory-sink tables never age any other query's window.
+GROUPS: tuple[tuple[str, ...], ...] = (
     # Python-path + iterative (most sensitive to session age)
-    "multimodal_features",
-    "kmeans_two_iter",
-    "near_dup_canonical",
+    ("multimodal_features", "kmeans_two_iter", "near_dup_canonical"),
     # training-data ops
-    "token_stats",
-    "curation_funnel",
-    "minhash_lsh_dedup",
-    "simhash_buckets",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "embedding_cosine_dedup",
-    "pii_scan_stats",
-    "tfidf_top_terms",
-    "stratified_split",
-    # approx sketches (the 100 TB distinct/quantile path)
-    "hll_distinct_check",
-    # relational / BI hot paths
-    "revenue_by_nation",
-    "pricing_summary",
-    "shipping_priority",
-    "dedup_latest",
-    "grouped_count_multi",
-    "rollup_agg",
-    "recent_n",
-    "daily_moving_avg",
-    "reconciliation",
-    # cleaning pipeline (whole-table single projection)
-    "clean_table_pipeline",
-    # analytics view layer
-    "analytics_view_dates",
-    # custom operators (Spark-lacking surface)
-    "asof_join_lag",
-    "range_join_windows",
-    "time_rollup",
-    # decision-support join strategies (semi / anti / HAVING join-back)
-    "priority_semi_count",
-    "inactive_customers_anti",
-    "large_order_customers",
-    "groupwise_max_orders",
-    "scd2_history",
-    "text_source_agg",
-    # CDC path (JSON envelope roundtrip + last-writer-wins)
-    "cdc_unwrap_dedup",
-    # streaming (availableNow, stateful) — keep last: state stores and
-    # memory-sink tables persist for the session's remainder
-    "streaming_hourly_counts",
-    "stream_stream_join",
+    (
+        "token_stats", "curation_funnel", "minhash_lsh_dedup",
+        "simhash_buckets", "ann_bruteforce_topk", "ann_ivf_topk",
+        "embedding_cosine_dedup", "pii_scan_stats", "tfidf_top_terms",
+        "stratified_split",
+    ),
+    # approx sketches + relational / BI hot paths
+    (
+        "hll_distinct_check", "revenue_by_nation", "pricing_summary",
+        "shipping_priority", "dedup_latest", "grouped_count_multi",
+        "rollup_agg", "recent_n", "daily_moving_avg", "reconciliation",
+    ),
+    # cleaning pipeline, analytics views, custom temporal operators
+    (
+        "clean_table_pipeline", "analytics_view_dates", "asof_join_lag",
+        "range_join_windows", "time_rollup",
+    ),
+    # decision-support join strategies + CDC envelope path
+    (
+        "priority_semi_count", "inactive_customers_anti",
+        "large_order_customers", "groupwise_max_orders", "scd2_history",
+        "text_source_agg", "cdc_unwrap_dedup",
+    ),
+    # streaming (availableNow, stateful) — last, own JVM
+    ("streaming_hourly_counts", "stream_stream_join"),
 )
 
+HEADLINE: tuple[str, ...] = tuple(n for g in GROUPS for n in g)
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    match = re.search(r"sf([\d.]+)", sf_dir)
-    sf = float(match.group(1).rstrip(".")) if match else -1.0
 
-    from automatic_etl_spark.session import get_spark
+def run_group(names: tuple[str, ...], sf_dir: str) -> None:
+    """Child process: measure one group in a fresh JVM; print one JSON
+    line with timings, per-query session age, and contained errors."""
     from automatic_etl_spark.plans.all_plans import REGISTRY
+    from automatic_etl_spark.session import get_spark
 
     spark = get_spark(app_name="automatic-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    session_start = time.perf_counter()
 
     # Warm IMMEDIATELY before each measurement, on the SMALLEST fixture:
     # the same plan shape generates the same codegen classes and spawns
     # the same Python workers (mapInPandas paths), so the measured run
-    # reflects execution, not JIT/worker startup. Interleaving matters —
-    # a single up-front warm loop decays by the time late queries are
-    # measured (idle Python workers respawned, costing multimodal ~5 s
-    # of phantom time in an A/B at sf0.1).
+    # reflects execution, not JIT/worker startup.
     warm_dir = "/root/testdata/sf0.001"
-    import os as _os
-
-    warm = _os.path.isdir(warm_dir)
+    warm = os.path.isdir(warm_dir)
     if not warm:
         REGISTRY["count_star"][0](spark, sf_dir).collect()
 
-    # Per-query fault isolation: one broken query must never zero the
-    # whole round's bench signal (BENCH_r03 lesson) — record its error,
-    # keep timing the rest, and ALWAYS emit the JSON line.
     def _reset_session_state() -> None:
         # Queries leave memory-sink temp views, cached blocks, and
-        # garbage behind; measured A/B: stream_stream_join reads ~3 s
-        # slower after 30 prior queries, and this reset recovers most
-        # of it. Runs OUTSIDE the timed window.
+        # garbage behind; reset OUTSIDE the timed window.
         for t in spark.catalog.listTables():
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
@@ -119,19 +101,59 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
+    ages: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in names:
         fn, _oracle = REGISTRY[name]
         try:
             if warm:
                 fn(spark, warm_dir).collect()
             _reset_session_state()
+            ages[name] = round(time.perf_counter() - session_start, 1)
             start = time.perf_counter()
             fn(spark, sf_dir).collect()
             timings[name] = round(time.perf_counter() - start, 3)
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+    print(json.dumps({"queries": timings, "session_age_sec": ages,
+                      "errors": errors}))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if len(sys.argv) == 3 and sys.argv[1] == "--child":
+        run_group(GROUPS[int(sys.argv[2])], sf_dir)
+        return
+
+    match = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(match.group(1).rstrip(".")) if match else -1.0
+
+    # Per-group fault isolation on top of per-query isolation inside
+    # the child: a wedged JVM loses one group's signal, never the
+    # round's (BENCH_r03 lesson).
+    timings: dict[str, float] = {}
+    ages: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for i, names in enumerate(GROUPS):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(i)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            child = json.loads(line)
+            timings.update(child["queries"])
+            ages.update(child["session_age_sec"])
+            errors.update(child["errors"])
+        except (json.JSONDecodeError, KeyError):
+            tail = (proc.stderr or "")[-300:]
+            for name in names:
+                errors[name] = f"group {i} JVM failed rc={proc.returncode}: {tail}"
+            print(f"bench: group {i} FAILED rc={proc.returncode}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -140,6 +162,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # A partial sum must never read as a full run (ADVICE r4):
+        # downstream comparisons check measured == expected first.
+        "queries_measured": len(timings),
+        "queries_expected": len(HEADLINE),
+        "jvm_groups": len(GROUPS),
+        "session_age_sec": ages,
     }
     if errors:
         out["errors"] = errors

@@ -293,6 +293,51 @@ def test_orchestrator_dag_retries_and_skip():
     assert report["success"] is False
 
 
+def test_orchestrator_repair_hook():
+    """Self-repair: a non-recoverable failure triggers the repair hook
+    ONCE, which grants exactly one extra attempt (reference
+    multi_database_ingest.py fix-schemas-then-retry). A phase whose
+    repair declines (returns False) fails without a retry."""
+    state = {"fixed": False, "runs": 0, "repairs": 0}
+
+    def ingest(_):
+        state["runs"] += 1
+        if not state["fixed"]:
+            raise RuntimeError("schema mismatch: missing column c")
+        return "ok"
+
+    def fix(_, err):
+        state["repairs"] += 1
+        assert "schema mismatch" in err
+        state["fixed"] = True
+        return True
+
+    results = (
+        Orchestrator()
+        .add(Phase("ingest", ingest, max_retries=1, repair=fix))
+        .run()
+    )
+    r = results["ingest"]
+    assert (r.status, r.attempts, r.repaired) == ("success", 2, True)
+    assert state == {"fixed": True, "runs": 2, "repairs": 1}
+
+    # repair returning False → no retry, phase fails on attempt 1
+    results = (
+        Orchestrator()
+        .add(
+            Phase(
+                "hopeless",
+                lambda _: (_ for _ in ()).throw(RuntimeError("disk gone")),
+                max_retries=3,
+                repair=lambda _ctx, _err: False,
+            )
+        )
+        .run()
+    )
+    r = results["hopeless"]
+    assert (r.status, r.attempts, r.repaired) == ("failed", 1, False)
+
+
 def test_orchestrator_cycle_detection():
     orch = (
         Orchestrator()

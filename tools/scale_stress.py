@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""10x scale-stress harness (VERDICT r4 #6): measure wall-time scaling
+of the five scale-critical pipelines between sf0.1 and an sf1-ish
+corpus built by replicating the sf0.1 fixtures 10x.
+
+Replication is structure-preserving so work should scale LINEARLY by
+construction, and any superlinear wall-time is a plan defect:
+- documents: replica r shifts doc_id by r*10M (multiples of 20, so the
+  planted near-dup chain classes recur per replica) and rotates the
+  lowercase alphabet of ``text`` by r, so replicas are NOT near-dups
+  of each other — duplicate-group sizes stay constant, group count
+  scales 10x. n_chars is preserved by construction (rotation is 1:1).
+- embeddings: replica r shifts vec_id by r*10M, vectors unchanged.
+  NOTE: 10M % 100 == 0, so the ``vec_id % 100`` query set ALSO scales
+  10x — the expected IVF work model is (queries x probed-list size),
+  i.e. ~100x compute upper bound for ann_ivf_topk, ~10x if probe cost
+  is dominated by per-query constant factors. Reported as-is.
+- events: replica r shifts event_id by r*10M and user_id by r*100k
+  (distinct upsert keys scale linearly -> linear state).
+
+Each measurement runs in a FRESH JVM (same methodology as bench.py),
+warmed on sf0.001 immediately before timing.
+
+Usage:
+    python tools/scale_stress.py            # build + measure + report
+    python tools/scale_stress.py --build    # stage /tmp/sfstress10 only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_DIR = "/root/testdata/sf0.1"
+STRESS_DIR = "/tmp/sfstress10"
+REPLICAS = 10
+SHIFT = 10_000_000
+
+QUERIES = (
+    "minhash_lsh_dedup",
+    "dedup_connected_components",
+    "ann_ivf_topk",
+    "streaming_upsert_partitioned_pipe",
+    "curation_funnel",
+)
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _rot_text(series, r: int):
+    if r == 0:
+        return series
+    rot = _ALPHA[r:] + _ALPHA[:r]
+    trans = str.maketrans(_ALPHA, rot)
+    return series.map(lambda s: s.translate(trans) if s is not None else None)
+
+
+def build_stress_dir() -> None:
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(STRESS_DIR, exist_ok=True)
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem"):
+        dst = os.path.join(STRESS_DIR, f"{name}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(BASE_DIR, f"{name}.parquet"), dst)
+
+    def replicate(name: str, mutate) -> None:
+        dst = os.path.join(STRESS_DIR, f"{name}.parquet")
+        if os.path.exists(dst):
+            return
+        src = pq.read_table(os.path.join(BASE_DIR, f"{name}.parquet"))
+        copies = []
+        for r in range(REPLICAS):
+            df = src.to_pandas()
+            mutate(df, r)
+            copies.append(pa.Table.from_pandas(df, schema=src.schema,
+                                               preserve_index=False))
+        pq.write_table(pa.concat_tables(copies), dst)
+
+    def mut_docs(df, r):
+        df["doc_id"] = df["doc_id"] + r * SHIFT
+        df["text"] = _rot_text(df["text"], r)
+
+    def mut_emb(df, r):
+        df["vec_id"] = df["vec_id"] + r * SHIFT
+
+    def mut_events(df, r):
+        df["event_id"] = df["event_id"] + r * SHIFT
+        df["user_id"] = df["user_id"] + r * 100_000
+
+    replicate("documents", mut_docs)
+    replicate("embeddings", mut_emb)
+    replicate("events", mut_events)
+
+
+def measure_child(name: str, sf_dir: str) -> None:
+    from automatic_etl_spark.plans.all_plans import REGISTRY
+    from automatic_etl_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scale-stress-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn, _ = REGISTRY[name]
+    fn(spark, "/root/testdata/sf0.001").collect()  # warm: codegen + workers
+    start = time.perf_counter()
+    fn(spark, sf_dir).collect()
+    print(json.dumps({"sec": round(time.perf_counter() - start, 2)}))
+
+
+def main() -> None:
+    if len(sys.argv) == 4 and sys.argv[1] == "--child":
+        measure_child(sys.argv[2], sys.argv[3])
+        return
+
+    build_stress_dir()
+    if "--build" in sys.argv:
+        print(f"staged {STRESS_DIR}")
+        return
+
+    report = {}
+    for name in QUERIES:
+        row = {}
+        for label, sf_dir in (("sf0.1", BASE_DIR), ("10x", STRESS_DIR)):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 name, sf_dir],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+            try:
+                row[label] = json.loads(line)["sec"]
+            except (json.JSONDecodeError, KeyError):
+                row[label] = None
+                row[f"{label}_err"] = (proc.stderr or "")[-200:]
+        if row.get("sf0.1") and row.get("10x"):
+            row["factor"] = round(row["10x"] / row["sf0.1"], 2)
+        report[name] = row
+        print(f"{name}: {row}", file=sys.stderr)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
