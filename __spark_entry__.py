@@ -48,6 +48,9 @@ _CHECK_PRIORITY = [
     "decimal_fidelity_agg",
     # (c) new in r05
     "reflect_to_struct", "schema_from_sample", "self_repair_pipeline",
+    "sequence_packing", "boilerplate_ngrams", "pii_redaction",
+    "incremental_dedup", "snapshot_diff", "bm25_topk",
+    "dq_constraint_report",
     # (d) newest green signal is round 1
     "disjunctive_predicate_scan", "exists_semi_join",
     "groupwise_max_orders", "having_filter", "inactive_customers_anti",

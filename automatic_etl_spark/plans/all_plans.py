@@ -20,6 +20,7 @@ from automatic_etl_spark.plans import (  # noqa: F401
     skew_plans,
     storage_plans,
     text_plans,
+    training_plans,
     views_plans,
 )
 from automatic_etl_spark.plans.registry import REGISTRY

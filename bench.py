@@ -48,6 +48,13 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "embedding_cosine_dedup", "pii_scan_stats", "tfidf_top_terms",
         "stratified_split",
     ),
+    # round-5 training-data ops (packing, boilerplate, retrieval,
+    # incremental dedup, snapshot CDC, DQ suite)
+    (
+        "sequence_packing", "boilerplate_ngrams", "bm25_topk",
+        "incremental_dedup", "pii_redaction", "snapshot_diff",
+        "dq_constraint_report",
+    ),
     # approx sketches + relational / BI hot paths
     (
         "hll_distinct_check", "revenue_by_nation", "pricing_summary",

@@ -39,6 +39,8 @@ ORDER_SENSITIVE = [
         "sample_scan", "embedding_quantize_recall",
         "near_dup_canonical", "top_bigram_fraction",
         "streaming_upsert_pipe",
+        # round-5 additions with window/rank shapes
+        "sequence_packing", "bm25_topk", "incremental_dedup",
     )
     if n in ORACLE_NAMES
 ]
