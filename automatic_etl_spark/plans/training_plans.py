@@ -554,13 +554,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("dl").cast("double") / F.count("*"), 6).alias("avgdl"),
     )
-    long_form = None
-    for t in BM25_TERMS:
-        part = scored_docs.select(
-            "doc_id", "dl", F.lit(t).alias("term"),
-            F.col(f"tf_{t}").alias("tf"),
-        )
-        long_form = part if long_form is None else long_form.unionAll(part)
+    # one scan → long form via stack (a unionAll of per-term selects
+    # would re-scan documents once per term — T scans at T query terms)
+    stack_args = ", ".join(f"'{t}', tf_{t}" for t in BM25_TERMS)
+    long_form = scored_docs.select(
+        "doc_id",
+        "dl",
+        F.expr(
+            f"stack({len(BM25_TERMS)}, {stack_args}) AS (term, tf)"
+        ),
+    )
     df_counts = long_form.groupBy("term").agg(
         F.sum((F.col("tf") > 0).cast("int")).alias("df_cnt")
     )
@@ -659,34 +662,37 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality suite (Deequ-shaped): completeness,
-    uniqueness, accepted values, numeric range, referential integrity —
-    each one scalar aggregate over a single scan, unioned into a
-    6-row report. At 100 TB the per-table checks share one pass per
-    table (Catalyst collapses the union's scans per source), and the
-    FK check is a broadcast-able anti join on the orders key."""
+    uniqueness, accepted values, numeric range, referential integrity.
+    All four orders checks come out of ONE aggregate over one scan
+    (then pivot to rows via stack), lineitem's range check is one more
+    scan, and the FK check is a broadcast anti join — 3 passes total
+    at 100 TB, not one per constraint (a naive per-check union re-scans
+    the fact table once per constraint; Catalyst does NOT merge those
+    scans)."""
     orders = table(spark, sf_dir, "orders")
     lineitem = table(spark, sf_dir, "lineitem")
 
-    def check(name: str, observed, passed) -> DataFrame:
-        return (
-            observed.select(
-                F.lit(name).alias("constraint_name"),
-                F.col("observed"),
-                passed.cast("int").alias("passed"),
-            )
-        )
-
-    nonempty = orders.agg(F.count("*").alias("observed"))
-    complete = orders.agg(
-        F.sum(F.col("o_custkey").isNull().cast("int")).alias("observed")
-    )
-    unique = orders.agg(
-        (F.count("*") - F.countDistinct("o_orderkey")).alias("observed")
-    )
-    accepted = orders.agg(
+    orders_agg = orders.agg(
+        F.count("*").alias("total"),
+        F.sum(F.col("o_custkey").isNull().cast("int")).alias("null_cust"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_keys"),
         F.sum(
             (~F.col("o_orderstatus").isin("O", "F", "P")).cast("int")
-        ).alias("observed")
+        ).alias("bad_status"),
+    )
+    orders_rows = orders_agg.select(
+        F.expr(
+            "stack(4,"
+            " 'orders_nonempty', total,"
+            "     CASE WHEN total > 0 THEN 1 ELSE 0 END,"
+            " 'o_custkey_complete', null_cust,"
+            "     CASE WHEN null_cust = 0 THEN 1 ELSE 0 END,"
+            " 'o_orderkey_unique', dup_keys,"
+            "     CASE WHEN dup_keys = 0 THEN 1 ELSE 0 END,"
+            " 'o_orderstatus_accepted', bad_status,"
+            "     CASE WHEN bad_status = 0 THEN 1 ELSE 0 END"
+            ") AS (constraint_name, observed, passed)"
+        )
     )
     in_range = lineitem.agg(
         F.sum(
@@ -694,21 +700,22 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "int"
             )
         ).alias("observed")
+    ).select(
+        F.lit("l_quantity_in_range").alias("constraint_name"),
+        F.col("observed"),
+        (F.col("observed") == 0).cast("int").alias("passed"),
     )
     orphans = (
         lineitem.join(
             F.broadcast(orders.select("o_orderkey")),
             lineitem.l_orderkey == orders.o_orderkey,
             "left_anti",
-        ).agg(F.count("*").alias("observed"))
-    )
-    return (
-        check("orders_nonempty", nonempty, F.col("observed") > 0)
-        .unionAll(check("o_custkey_complete", complete, F.col("observed") == 0))
-        .unionAll(check("o_orderkey_unique", unique, F.col("observed") == 0))
-        .unionAll(
-            check("o_orderstatus_accepted", accepted, F.col("observed") == 0)
         )
-        .unionAll(check("l_quantity_in_range", in_range, F.col("observed") == 0))
-        .unionAll(check("lineitem_fk_orders", orphans, F.col("observed") == 0))
+        .agg(F.count("*").alias("observed"))
+        .select(
+            F.lit("lineitem_fk_orders").alias("constraint_name"),
+            F.col("observed"),
+            (F.col("observed") == 0).cast("int").alias("passed"),
+        )
     )
+    return orders_rows.unionAll(in_range).unionAll(orphans)
