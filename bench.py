@@ -21,6 +21,13 @@ stays: warm each query immediately before measuring it on the
 smallest fixture, reset session state outside the timed window, and
 measure streaming (stateful, state-store-leaving) queries in the last
 group.
+
+Round-5 addition: each query is measured TWICE post-warm and the MIN
+is reported (both samples land in ``runs``). The sandbox VM shows
+multi-x scheduler-noise spikes concentrated on multi-job iterative
+queries (near_dup_canonical measured 10-30 s across identical
+back-to-back runs); min-of-2 suppresses the spike tail while the raw
+pairs keep the noise floor observable.
 """
 
 from __future__ import annotations
@@ -108,6 +115,7 @@ def run_group(names: tuple[str, ...], sf_dir: str) -> None:
         spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     ages: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
@@ -115,16 +123,27 @@ def run_group(names: tuple[str, ...], sf_dir: str) -> None:
         try:
             if warm:
                 fn(spark, warm_dir).collect()
-            _reset_session_state()
-            ages[name] = round(time.perf_counter() - session_start, 1)
-            start = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - start, 3)
+            # Best-of-2: this sandbox's VM shows multi-x scheduler-noise
+            # spikes on multi-job iterative queries (round-5 finding:
+            # near_dup_canonical 10-30 s across identical runs). Two
+            # adjacent post-warm measurements with the min reported
+            # suppress spike noise; both raw values are recorded so the
+            # noise floor stays observable in the JSON.
+            samples: list[float] = []
+            for _ in range(2):
+                _reset_session_state()
+                if not samples:
+                    ages[name] = round(time.perf_counter() - session_start, 1)
+                start = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                samples.append(round(time.perf_counter() - start, 3))
+            runs[name] = samples
+            timings[name] = min(samples)
         except Exception as exc:  # noqa: BLE001 — isolation is the point
             errors[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
-    print(json.dumps({"queries": timings, "session_age_sec": ages,
-                      "errors": errors}))
+    print(json.dumps({"queries": timings, "runs": runs,
+                      "session_age_sec": ages, "errors": errors}))
 
 
 def main() -> None:
@@ -141,6 +160,7 @@ def main() -> None:
     # the child: a wedged JVM loses one group's signal, never the
     # round's (BENCH_r03 lesson).
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     ages: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, names in enumerate(GROUPS):
@@ -154,6 +174,7 @@ def main() -> None:
         try:
             child = json.loads(line)
             timings.update(child["queries"])
+            runs.update(child.get("runs", {}))
             ages.update(child["session_age_sec"])
             errors.update(child["errors"])
         except (json.JSONDecodeError, KeyError):
@@ -175,6 +196,8 @@ def main() -> None:
         "queries_expected": len(HEADLINE),
         "jvm_groups": len(GROUPS),
         "session_age_sec": ages,
+        # both raw samples per query (timings = min of the two)
+        "runs": runs,
     }
     if errors:
         out["errors"] = errors
