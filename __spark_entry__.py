@@ -51,6 +51,8 @@ _CHECK_PRIORITY = [
     "sequence_packing", "boilerplate_ngrams", "pii_redaction",
     "incremental_dedup", "snapshot_diff", "bm25_topk",
     "dq_constraint_report",
+    "pivot_status_priority", "cube_sales_margins", "reservoir_per_group",
+    "table_checksum_buckets", "zorder_layout_stats",
     # (d) newest green signal is round 1
     "disjunctive_predicate_scan", "exists_semi_join",
     "groupwise_max_orders", "having_filter", "inactive_customers_anti",

@@ -7,6 +7,7 @@ longer applies).
 """
 
 from automatic_etl_spark.plans import (  # noqa: F401
+    analytics_plans,
     catalog_plans,
     cdc_plans,
     cleaning_plans,

@@ -41,6 +41,7 @@ ORDER_SENSITIVE = [
         "streaming_upsert_pipe",
         # round-5 additions with window/rank shapes
         "sequence_packing", "bm25_topk", "incremental_dedup",
+        "reservoir_per_group",
     )
     if n in ORACLE_NAMES
 ]
