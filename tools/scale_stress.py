@@ -49,6 +49,13 @@ QUERIES = (
     "ann_ivf_topk",
     "streaming_upsert_partitioned_pipe",
     "curation_funnel",
+    # round-5 additions: the new pack's shuffle-heavy shapes
+    "boilerplate_ngrams",   # gram-keyed DF aggregate (zipfian skew)
+    "incremental_dedup",    # fp-keyed join batch-vs-corpus
+    "sequence_packing",     # per-bucket window sort (fixed 8 buckets
+                            # locally; bucket count scales with the
+                            # cluster in production)
+    "bm25_topk",            # stack long-form + per-term rank
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -126,8 +133,12 @@ def main() -> None:
         print(f"staged {STRESS_DIR}")
         return
 
+    # optional positional query names: measure only those
+    wanted = [a for a in sys.argv[1:] if not a.startswith("-")]
+    names = [n for n in QUERIES if not wanted or n in wanted]
+
     report = {}
-    for name in QUERIES:
+    for name in names:
         row = {}
         for label, sf_dir in (("sf0.1", BASE_DIR), ("10x", STRESS_DIR)):
             proc = subprocess.run(
