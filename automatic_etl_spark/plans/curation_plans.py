@@ -153,6 +153,51 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cc_pointer_doubling",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_COMPONENTS},
+        csizes AS (
+            SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+        )
+        SELECT COUNT(*) AS n_components,
+               CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS multi_components,
+               MAX(sz) AS largest_component,
+               CAST(SUM(sz) AS BIGINT) AS n_docs,
+               CAST(SUM(component) AS BIGINT) AS component_id_total
+        FROM csizes
+    """,
+)
+def dedup_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components as `dedup_connected_components`, computed with
+    the hook+compress (pointer-jumping) variant: O(log diameter)
+    rounds instead of O(diameter) — the scale path when dup clusters
+    are long chains rather than tight cliques (operators/graph.py
+    `compress=True`; Shiloach-Vishkin). Same oracle because the output
+    contract is identical — the two algorithms must agree exactly."""
+    corpus = _chain_corpus(spark, sf_dir)
+    sh = td.shingle_rows(corpus)
+    signatures = td.minhash_signatures(sh, NUM_HASHES)
+    candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)
+    edges = (
+        td.jaccard_pairs(sh, candidates=candidates)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(
+        corpus.select("doc_id"), edges, compress=True
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.count("*").alias("n_components"),
+        F.sum((F.col("sz") > 1).cast("int")).alias("multi_components"),
+        F.max("sz").alias("largest_component"),
+        F.sum("sz").alias("n_docs"),
+        F.sum("component").alias("component_id_total"),
+    )
+
+
+@register(
     "near_dup_canonical",
     oracle=f"""
         WITH RECURSIVE {_SQL_COMPONENTS}

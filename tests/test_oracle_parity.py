@@ -103,6 +103,32 @@ def test_check_priority_names_exist():
     assert len(e._CHECK_PRIORITY) == len(set(e._CHECK_PRIORITY))
 
 
+def test_pointer_doubling_log_rounds_on_chain(spark):
+    """A 64-node path graph has diameter 63: plain label propagation
+    needs ~63 rounds (raises at max_iter=10), hook+compress converges
+    within 10 — the O(log d) claim, demonstrated, and both variants
+    agree exactly where both converge."""
+    import pytest as _pytest
+
+    from automatic_etl_spark.operators.graph import connected_components
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    with _pytest.raises(RuntimeError):
+        connected_components(nodes, edges, max_iter=10).collect()
+    fast = connected_components(nodes, edges, max_iter=10, compress=True)
+    assert {(r.node, r.component) for r in fast.collect()} == {
+        (i, 0) for i in range(n)
+    }
+    slow = connected_components(nodes, edges, max_iter=70)
+    assert sorted(map(tuple, slow.collect())) == sorted(
+        map(tuple, fast.collect())
+    )
+
+
 def test_connected_components_explicit_graph(spark):
     """Chain a-b-c, triangle d-e-f, singleton g → 3 components labeled
     by their minimum node id."""
