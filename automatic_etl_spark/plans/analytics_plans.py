@@ -94,6 +94,48 @@ def cube_sales_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Unpivot / melt ----------------------------------------------------------
+
+UNPIVOT_METRICS = ("qty_total", "item_cnt", "distinct_orders")
+
+
+@register(
+    "unpivot_returnflag_metrics",
+    oracle=f"""
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS qty_total,
+                   COUNT(*) AS item_cnt,
+                   COUNT(DISTINCT l_orderkey) AS distinct_orders
+            FROM lineitem GROUP BY l_returnflag
+        )
+        {" UNION ALL ".join(
+            f"SELECT l_returnflag, '{m}' AS metric, {m} AS value FROM wide"
+            for m in UNPIVOT_METRICS
+        )}
+    """,
+)
+def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag aggregates → long (flag, metric,
+    value) triples via `DataFrame.unpivot` — the write-side complement
+    of pivot, and the shape metric stores ingest. The wide aggregate
+    is one pass; the melt is a zero-shuffle projection (Spark expands
+    rows map-side), so the plan is agg + Expand, nothing else."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_total"),
+        F.count("*").alias("item_cnt"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=list(UNPIVOT_METRICS),
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 # --- Deterministic per-group reservoir ---------------------------------------
 # "Reservoir sample of N per group" with the reservoir decided by a
 # salted hash ranking, not an RNG — the same rows win on every engine,
