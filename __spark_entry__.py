@@ -54,6 +54,7 @@ _CHECK_PRIORITY = [
     "pivot_status_priority", "cube_sales_margins", "reservoir_per_group",
     "table_checksum_buckets", "zorder_layout_stats",
     "dedup_cc_pointer_doubling", "unpivot_returnflag_metrics",
+    "funnel_conversion", "retention_cohorts", "corr_regression_moments",
     # (d) newest green signal is round 1
     "disjunctive_predicate_scan", "exists_semi_join",
     "groupwise_max_orders", "having_filter", "inactive_customers_anti",

@@ -307,3 +307,208 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zval").alias("z_max"),
         )
     )
+
+
+# --- Ordered funnel conversion -----------------------------------------------
+# Product-analytics staple: how many users did view -> click ->
+# purchase IN TIMESTAMP ORDER. Each stage is "first qualifying event
+# strictly after the previous stage's time" — a sequential dependency,
+# expressed as three user-keyed aggregates that all reuse one
+# user_id partitioning (Spark plans a single exchange chain, no
+# re-shuffle between stages).
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id,
+                   MIN(ts) FILTER (WHERE event_type = 'view') AS t1
+            FROM events GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL
+              AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM s1) AS users_total,
+               (SELECT COUNT(*) FROM s1 WHERE t1 IS NOT NULL)
+                   AS reached_view,
+               (SELECT COUNT(*) FROM s2) AS reached_click,
+               (SELECT COUNT(*) FROM s3) AS reached_purchase
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel over per-user event streams. Stage k's
+    anchor is the MIN event time strictly after stage k-1's anchor, so
+    out-of-order arrivals can't fake a conversion. All three stage
+    aggregates key on user_id — one partitioning reused end to end;
+    the final 1-row rollup is three broadcast-joined scalars."""
+    ev = table(spark, sf_dir, "events")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .filter(
+            (F.col("event_type") == "click")
+            & F.col("t1").isNotNull()
+            & (F.col("ts") > F.col("t1"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    a1 = s1.agg(
+        F.count("*").alias("users_total"),
+        F.count("t1").alias("reached_view"),
+    )
+    a2 = s2.agg(F.count("*").alias("reached_click"))
+    a3 = s3.agg(F.count("*").alias("reached_purchase"))
+    return a1.crossJoin(F.broadcast(a2)).crossJoin(F.broadcast(a3))
+
+
+# --- Retention cohorts -------------------------------------------------------
+
+RETENTION_EPOCH = "2024-01-01"
+
+
+@register(
+    "retention_cohorts",
+    oracle=f"""
+        WITH weeks AS (
+            SELECT user_id,
+                   date_diff('day', DATE '{RETENTION_EPOCH}',
+                             CAST(ts AS DATE)) // 7 AS wk
+            FROM events
+        ),
+        firsts AS (
+            SELECT user_id, MIN(wk) AS cohort_week FROM weeks GROUP BY user_id
+        )
+        SELECT f.cohort_week,
+               w.wk - f.cohort_week AS week_offset,
+               COUNT(DISTINCT w.user_id) AS active_users
+        FROM weeks w JOIN firsts f ON w.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-active week,
+    counted distinct in each later week offset. Week index is integer
+    day-arithmetic from a pinned epoch (no engine week-numbering
+    semantics involved). Two user-keyed aggregates sharing one
+    partitioning + a cohort-keyed rollup."""
+    ev = table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id",
+        F.expr(
+            f"datediff(to_date(ts), DATE'{RETENTION_EPOCH}') DIV 7"
+        ).alias("wk"),
+    )
+    firsts = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        weeks.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# --- Exact-moment correlation / regression -----------------------------------
+# Distributed Pearson correlation and OLS slope/intercept WITHOUT the
+# order-dependence of naive float aggregation: the five moments are
+# EXACT integer sums (quantity as-is, price floored to dollars), so
+# partitioning cannot change them; both engines then derive
+# corr/slope/intercept from identical integers with identical IEEE
+# arithmetic, rounded once. At 100 TB swap the BIGINT moment sums for
+# DECIMAL(38,0) (sum of y² crosses 2^63 around 10^12 rows at these
+# magnitudes); the derivation is unchanged.
+
+
+@register(
+    "corr_regression_moments",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM (
+                SELECT l_returnflag,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+                FROM lineitem
+            ) GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                     6) AS corr_qty_price,
+               round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx),
+                     6) AS slope,
+               round((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx),
+                     6) AS intercept
+        FROM m
+    """,
+)
+def corr_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r and OLS fit of price-vs-quantity per return flag via
+    exact integer moments (see module comment): one scan, one grouped
+    aggregate with map-side partials, then row-local double math."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor("l_extendedprice").cast("bigint").alias("y"),
+    )
+    m = pts.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * F.col("sy")
+    var_x = n * sxx - sx * F.col("sx")
+    var_y = n * syy - sy * F.col("sy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(cov_n / var_x, 6).alias("slope"),
+        F.round((sy * F.col("sxx") - sx * F.col("sxy")) / var_x, 6).alias(
+            "intercept"
+        ),
+    )
