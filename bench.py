@@ -60,7 +60,8 @@ GROUPS: tuple[tuple[str, ...], ...] = (
     (
         "sequence_packing", "boilerplate_ngrams", "bm25_topk",
         "incremental_dedup", "pii_redaction", "snapshot_diff",
-        "dq_constraint_report",
+        "dq_constraint_report", "cube_sales_margins",
+        "funnel_conversion", "table_checksum_buckets",
     ),
     # approx sketches + relational / BI hot paths
     (
