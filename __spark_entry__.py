@@ -55,6 +55,7 @@ _CHECK_PRIORITY = [
     "table_checksum_buckets", "zorder_layout_stats",
     "dedup_cc_pointer_doubling", "unpivot_returnflag_metrics",
     "funnel_conversion", "retention_cohorts", "corr_regression_moments",
+    "dup_graph_triangles", "value_histogram_equiwidth",
     # (d) newest green signal is round 1
     "disjunctive_predicate_scan", "exists_semi_join",
     "groupwise_max_orders", "having_filter", "inactive_customers_anti",

@@ -512,3 +512,41 @@ def corr_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# --- Equi-width histogram ----------------------------------------------------
+
+HIST_WIDTH = 25  # bucket width over events.value (range ~0-350)
+
+
+@register(
+    "value_histogram_equiwidth",
+    oracle=f"""
+        SELECT CAST(FLOOR(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+               COUNT(*) AS cnt,
+               MIN(value) AS v_min,
+               MAX(value) AS v_max
+        FROM events GROUP BY bucket
+    """,
+)
+def value_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the event value: bucket = floor(v/w) is
+    row-local integer math, so the whole histogram is one map-side
+    pass + a tiny aggregate — the scalable exact histogram
+    (equi-DEPTH needs quantiles; see value_percentiles /
+    approx_quantile_check for that pair)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.floor(F.col("value") / HIST_WIDTH).cast("bigint").alias(
+                "bucket"
+            ),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+    )

@@ -72,11 +72,10 @@ _SQL_CHAIN_CORPUS = f"""
         )
 """
 
-# LSH candidates → Jaccard-verified edges → recursive min-label
-# components. The recursion computes reachability (node, reachable-
-# from) and takes MIN per node — exactly the fixpoint the Spark-side
-# label propagation converges to.
-_SQL_COMPONENTS = f"""
+# Shared prefix: corpus → shingles → signatures → LSH candidates →
+# Jaccard-verified edges (a_id < b_id). Reused by the components CTE
+# below and the triangle-count oracle.
+_SQL_EDGE_CHAIN = f"""
         {_SQL_CHAIN_CORPUS},
         {_SQL_SHINGLES},
         {_SQL_SIGNATURES},
@@ -90,7 +89,14 @@ _SQL_COMPONENTS = f"""
             SELECT jac.a_id, jac.b_id FROM jac
             JOIN cand ON jac.a_id = cand.a_id AND jac.b_id = cand.b_id
             WHERE jac.jaccard >= {JACCARD_THRESHOLD}
-        ),
+        )
+"""
+
+# The recursion computes reachability (node, reachable-from) and takes
+# MIN per node — exactly the fixpoint the Spark-side label propagation
+# converges to.
+_SQL_COMPONENTS = f"""
+        {_SQL_EDGE_CHAIN},
         sym AS (
             SELECT a_id AS src, b_id AS dst FROM edges
             UNION
@@ -105,9 +111,11 @@ _SQL_COMPONENTS = f"""
 """
 
 
-def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(node, component) over the chain corpus — LSH pairs verified by
-    candidate-driven Jaccard, then min-label propagation."""
+def _near_dup_edges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(corpus, verified edge list a_id < b_id) — the shared front of
+    every near-dup graph query (Spark mirror of _SQL_EDGE_CHAIN)."""
     corpus = _chain_corpus(spark, sf_dir)
     sh = td.shingle_rows(corpus)
     signatures = td.minhash_signatures(sh, NUM_HASHES)
@@ -117,6 +125,13 @@ def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a_id", "b_id")
     )
+    return corpus, edges
+
+
+def _near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, component) over the chain corpus — LSH pairs verified by
+    candidate-driven Jaccard, then min-label propagation."""
+    corpus, edges = _near_dup_edges(spark, sf_dir)
     return connected_components(corpus.select("doc_id"), edges)
 
 
@@ -175,15 +190,7 @@ def dedup_cc_pointer_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     are long chains rather than tight cliques (operators/graph.py
     `compress=True`; Shiloach-Vishkin). Same oracle because the output
     contract is identical — the two algorithms must agree exactly."""
-    corpus = _chain_corpus(spark, sf_dir)
-    sh = td.shingle_rows(corpus)
-    signatures = td.minhash_signatures(sh, NUM_HASHES)
-    candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)
-    edges = (
-        td.jaccard_pairs(sh, candidates=candidates)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("a_id", "b_id")
-    )
+    corpus, edges = _near_dup_edges(spark, sf_dir)
     comp = connected_components(
         corpus.select("doc_id"), edges, compress=True
     )
@@ -914,3 +921,48 @@ def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- Dup-graph triangle census -----------------------------------------------
+
+
+@register(
+    "dup_graph_triangles",
+    oracle=f"""
+        WITH {_SQL_EDGE_CHAIN},
+        tri AS (
+            SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.a_id = e1.b_id
+            JOIN edges e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+        )
+        SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+               COUNT(*) AS n_triangles,
+               CAST(COALESCE(SUM(a + b + c), 0) AS BIGINT)
+                   AS triangle_id_total
+        FROM tri
+    """,
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph — the cluster-quality
+    probe (a chain component has 0 triangles; a clique of k has
+    k·(k-1)·(k-2)/6; the planted {d, d+1M, d+2M} groups are triangles
+    by construction). Ordered-edge trick: every edge is stored a<b, so
+    each triangle a<b<c is generated EXACTLY once by joining
+    (a,b)+(b,c)+(a,c) — no ×6 duplication and no post-dedup. Two
+    edge-keyed joins, O(Σ deg²) candidate work — the standard
+    distributed triangle-count shape; at 100 TB the hot nodes get the
+    same skew treatment as every other edge join (AQE skew split)."""
+    _corpus, edges = _near_dup_edges(spark, sf_dir)
+    e1 = edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    e2 = edges.select(F.col("a_id").alias("b"), F.col("b_id").alias("c"))
+    e3 = edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    stats = tri.agg(
+        F.count("*").alias("n_triangles"),
+        F.coalesce(
+            F.sum(F.col("a") + F.col("b") + F.col("c")), F.lit(0)
+        ).alias("triangle_id_total"),
+    )
+    return n_edges.crossJoin(F.broadcast(stats))
