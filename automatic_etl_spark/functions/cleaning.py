@@ -135,16 +135,31 @@ def format_time(c: Column | str) -> Column:
 
 # --- C5 + C6: integer cleaning -----------------------------------------------
 
+# The PINNED numeric-text contract: plain decimal or scientific
+# notation only. Every engine's native parser accepts a different
+# superset — Java/Spark casts take '0d'/'5f' suffixes, Python's
+# float() takes '1_000' and 'inf', DuckDB rejects both — so numeric
+# coercion guards on this portable subset before any cast (found by
+# the hypothesis property sweep: Spark parsed '0d' → 0 where the
+# pandas-model and DuckDB both null it).
+NUMERIC_TEXT_PATTERN = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+
+
+def _numeric_text(s: Column) -> Column:
+    """NULL-on-nonconforming gate for the numeric-text contract."""
+    return F.when(s.rlike(NUMERIC_TEXT_PATTERN), s)
+
 
 def clean_integers(c: Column | str, pk: bool = False) -> Column:
     """String/float-ish → LongType with C5 semantics.
 
     Sentinels → NULL; ``"123.0"`` → 123; non-integral floats → NULL;
-    unparseable → NULL; PK/NOT-NULL columns get 0 instead of NULL
-    (ingest_runner.py:540-544).
+    unparseable → NULL (per NUMERIC_TEXT_PATTERN — stricter than raw
+    engine casts, see the contract note above); PK/NOT-NULL columns
+    get 0 instead of NULL (ingest_runner.py:540-544).
     """
     s = F.trim(_col(c).cast("string"))
-    d = F.when(~s.isin(*NULL_SENTINELS), s).try_cast("double")
+    d = F.when(~s.isin(*NULL_SENTINELS), _numeric_text(s)).try_cast("double")
     as_long = F.when(d == F.floor(d), d).try_cast("long")
     return F.coalesce(as_long, F.lit(0)) if pk else as_long
 
@@ -170,9 +185,18 @@ def clamp_numeric(c: Column | str, target_type: str = "Int32") -> Column:
 # --- C8: float special values ------------------------------------------------
 
 
-def clean_floats(c: Column | str) -> Column:
-    """NaN/±Inf → NULL (ingest_runner.py:877-889)."""
-    col = _col(c).try_cast("double")
+def clean_floats(c: Column | str, from_text: bool = False) -> Column:
+    """NaN/±Inf → NULL (ingest_runner.py:877-889).
+
+    ``from_text=True`` additionally gates on NUMERIC_TEXT_PATTERN —
+    use it when the input column is a raw string (CSV/JSON ingests),
+    where engine-native casts accept engine-specific supersets ('0d'
+    in Java, '1_0' in Python). Already-numeric columns skip the
+    string round-trip entirely (the hot path at scale)."""
+    col = _col(c)
+    if from_text:
+        col = _numeric_text(F.trim(col.cast("string")))
+    col = col.try_cast("double")
     bad = F.isnan(col) | (col == F.lit(float("inf"))) | (
         col == F.lit(float("-inf"))
     )
@@ -254,7 +278,14 @@ def clean_table(df, specs: dict[str, dict]):
         elif kind == "integer":
             col = clean_integers(name, pk=pk or not nullable)
         elif kind == "float":
-            col = clean_floats(name)
+            # raw-string sources (CSV/JSON) get the strict numeric-text
+            # gate; already-numeric columns take the cast-only fast path
+            from pyspark.sql.types import StringType
+
+            col = clean_floats(
+                name,
+                from_text=isinstance(df.schema[name].dataType, StringType),
+            )
         elif kind == "bool":
             col = bool_to_int(name)
         elif kind == "time":

@@ -550,3 +550,49 @@ def value_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("v_max"),
         )
     )
+
+
+# --- VARIANT semi-structured extraction --------------------------------------
+# Spark 4's VARIANT type: parse the JSON props column ONCE into the
+# binary variant encoding, then field extractions are cheap typed
+# reads — the engine-native answer to repeated get_json_object parses
+# (which re-parse the JSON string per extraction). P6/P7 cover the
+# string-path API; this covers the typed path.
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS events,
+               CAST(COUNT(k) AS BIGINT) AS k_present,
+               CAST(SUM(k) AS BIGINT) AS k_total,
+               MIN(k) AS k_min,
+               MAX(k) AS k_max
+        FROM (
+            SELECT event_type,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        ) GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed semi-structured extraction via VARIANT (parse_json →
+    try_variant_get): per event type, presence and range stats of the
+    numeric `k` prop. One parse per row regardless of how many fields
+    are later extracted; extraction is a typed read inside codegen.
+    try_variant_get returns NULL on missing/mistyped fields — the same
+    tolerate-and-null contract as the cleaning library."""
+    ev = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.count("k").alias("k_present"),
+            F.sum("k").alias("k_total"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )

@@ -35,19 +35,27 @@ int_like = st.one_of(
 )
 
 
+import re as _re
+
+_NUMERIC_TEXT = _re.compile(cl.NUMERIC_TEXT_PATTERN)
+
+
 def _expected_clean_integer(s: str, pk: bool) -> int | None:
     t = s.strip()
     out = None
-    if t not in cl.NULL_SENTINELS:
-        try:
-            d = float(t)
-            if math.isfinite(d) and d == math.floor(d):
-                i = int(math.floor(d))
-                # try_cast(long) nulls outside int64
-                if -(2**63) <= i <= 2**63 - 1:
-                    out = i
-        except ValueError:
-            out = None
+    # The model enforces the SAME pinned numeric-text contract as the
+    # engine (cl.NUMERIC_TEXT_PATTERN) — NOT Python's float(), which
+    # accepts a wider set ('1_0', 'inf', '0x..'-adjacent forms) than
+    # either Spark's guarded cast or DuckDB. The hypothesis sweep
+    # found Spark's raw cast parsing '0d' (Java suffix form) → 0; the
+    # gate nulls it on both sides now.
+    if t not in cl.NULL_SENTINELS and _NUMERIC_TEXT.match(t):
+        d = float(t)
+        if math.isfinite(d) and d == math.floor(d):
+            i = int(math.floor(d))
+            # try_cast(long) nulls outside int64
+            if -(2**63) <= i <= 2**63 - 1:
+                out = i
     return (0 if out is None else out) if pk else out
 
 
@@ -114,6 +122,31 @@ def test_clean_floats_and_clamp(spark, values):
         else:
             assert r["f"] == v
             assert -32768 <= r["clamped"] <= 32767
+
+
+@PROP
+@given(values=st.lists(int_like, min_size=1, max_size=60))
+def test_clean_floats_from_text_matches_model(spark, values):
+    """Raw-text float coercion obeys the pinned numeric-text contract:
+    conforming text parses, everything else (suffix forms, underscores,
+    inf spellings) nulls — identically to the Python model below."""
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    got = [
+        r["f"]
+        for r in df.select(
+            cl.clean_floats("raw", from_text=True).alias("f")
+        ).collect()
+    ]
+    expected = []
+    for v in values:
+        t = v.strip()
+        out = None
+        if _NUMERIC_TEXT.match(t):
+            d = float(t)
+            if math.isfinite(d):
+                out = d
+        expected.append(out)
+    assert got == expected
 
 
 @PROP
