@@ -56,6 +56,9 @@ QUERIES = (
                             # locally; bucket count scales with the
                             # cluster in production)
     "bm25_topk",            # stack long-form + per-term rank
+    "funnel_conversion",    # three chained user-keyed aggregates
+    "retention_cohorts",    # user-keyed min + cohort rollup
+    "variant_props_stats",  # parse_json/variant map-side pass
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
