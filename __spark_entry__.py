@@ -56,7 +56,7 @@ _CHECK_PRIORITY = [
     "dedup_cc_pointer_doubling", "unpivot_returnflag_metrics",
     "funnel_conversion", "retention_cohorts", "corr_regression_moments",
     "dup_graph_triangles", "value_histogram_equiwidth",
-    "variant_props_stats",
+    "variant_props_stats", "pps_systematic_sample",
     # (d) newest green signal is round 1
     "disjunctive_predicate_scan", "exists_semi_join",
     "groupwise_max_orders", "having_filter", "inactive_customers_anti",

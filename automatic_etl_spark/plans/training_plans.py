@@ -719,3 +719,85 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return orders_rows.unionAll(in_range).unionAll(orphans)
+
+
+# --- Systematic PPS sampling -------------------------------------------------
+# Probability-proportional-to-size sampling without an RNG and without
+# floats: lay each stratum's docs on a line scaled by weight (token
+# mass), then pick every doc whose weight span crosses a stride
+# boundary. Inclusion probability ~ weight/stride, the sample is
+# deterministic (doc_id order), and EVERYTHING is integer arithmetic —
+# no rounding boundary to drift cross-engine. The training-mix
+# primitive for "sample ∝ size" corpora draws.
+
+PPS_TARGET_PER_LANG = 40
+
+
+@register(
+    "pps_systematic_sample",
+    oracle=f"""
+        WITH weighted AS (
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w
+            FROM documents
+        ),
+        strata AS (
+            SELECT lang,
+                   GREATEST(CAST(SUM(w) AS BIGINT) // {PPS_TARGET_PER_LANG},
+                            1) AS stride
+            FROM weighted GROUP BY lang
+        ),
+        lined AS (
+            SELECT wd.doc_id, wd.lang, wd.w, st.stride,
+                   COALESCE(SUM(wd.w) OVER (
+                       PARTITION BY wd.lang ORDER BY wd.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM weighted wd JOIN strata st ON wd.lang = st.lang
+        ),
+        picked AS (
+            SELECT * FROM lined
+            WHERE (cum_before + w) // stride > cum_before // stride
+        )
+        SELECT lang,
+               COUNT(*) AS picked_cnt,
+               CAST(SUM(doc_id) AS BIGINT) AS picked_id_total,
+               CAST(SUM(w) AS BIGINT) AS picked_weight_total
+        FROM picked GROUP BY lang
+    """,
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sample of ~{PPS_TARGET_PER_LANG} docs per
+    language, weight = n_chars. A doc is picked iff its weight span
+    [cum_before, cum_before + w) crosses a stride boundary — inclusion
+    chance ∝ weight, no RNG, no floats, reproducible across engines /
+    partitionings / retries. One stratum-keyed window (strata count
+    scales with the corpus in production — same shape note as
+    sequence_packing) + a broadcast of the per-stratum strides."""
+    docs = table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("w")
+    )
+    strata = weighted.groupBy("lang").agg(
+        F.greatest(
+            F.expr(f"sum(w) DIV {PPS_TARGET_PER_LANG}"), F.lit(1)
+        ).alias("stride")
+    )
+    w_win = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lined = (
+        weighted.join(F.broadcast(strata), "lang")
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("w").over(w_win), F.lit(0))
+        )
+    )
+    picked = lined.filter(
+        F.expr("(cum_before + w) DIV stride > cum_before DIV stride")
+    )
+    return picked.groupBy("lang").agg(
+        F.count("*").alias("picked_cnt"),
+        F.sum("doc_id").alias("picked_id_total"),
+        F.sum("w").alias("picked_weight_total"),
+    )
