@@ -1,0 +1,608 @@
+"""Round-5 second pack: semantic dedup, substring-level dedup,
+training-sequence chunking, blocked fuzzy entity resolution, graph
+centrality, and robust outlier detection.
+
+These extend the beyond-reference LLM-pipeline suite with the curation
+stages published pipelines run that the earlier packs did not cover:
+
+- ``semdedup_prune`` — SemDeDup (Abbas et al., 2023): k-means-style
+  cluster assignment bounds the pairwise cosine term, then keep-min
+  pruning inside each cluster. The published answer to "embedding
+  near-dup at 100 TB without all-pairs".
+- ``repeated_window_dedup`` — the Spark-shaped approximation of exact
+  substring dedup (Lee et al., 2021): fixed-width token windows
+  hashed and counted across documents. Suffix arrays don't
+  distribute; W-token window fingerprints do (explode + groupBy).
+- ``chunk_stride_stats`` — sliding-window chunking of documents into
+  fixed-size training sequences with overlap (the tokenize-and-chunk
+  step before sequence packing).
+- ``fuzzy_match_recovery`` — entity resolution: normalize → block →
+  score candidates with edit distance → pick argmin. The reference
+  reconciles tables by exact keys (tools/verificar_datos.py row-count
+  pairing); this is the fuzzy-key version of the same audit intent.
+- ``pagerank_two_iter`` — two unrolled PageRank iterations over the
+  verified near-dup graph (the iterative-join pattern beside
+  connected components; Spark's canonical Pregel example, expressed
+  as DataFrame joins with exact decimal contribution sums).
+- ``outlier_iqr_report`` — per-group robust outliers via PINNED
+  type-1 (lower) quantiles: element selection by row_number, no
+  interpolation, so both engines pick the identical double and the
+  Tukey fences are bit-identical.
+
+Every float that crosses the engine boundary is either selected (not
+computed), derived from identical IEEE arithmetic, or rounded at one
+pinned site on both sides before any decimal cast (the
+embedding_norm_stats precedent: round-then-cast at the SAME scale is
+unambiguous; casting unrounded doubles is the decimal_fidelity trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automatic_etl_spark.functions import text as tx
+from automatic_etl_spark.functions import vectors as vec
+from automatic_etl_spark.operators import similarity as sim
+from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.similarity_plans import (
+    _SQL_ASSIGN,
+    _sql_bucket,
+    CENTROID_MOD,
+    DEDUP_THRESHOLD,
+)
+from automatic_etl_spark.sources.parquet import table
+
+# --- SemDeDup: cluster-then-prune semantic dedup -----------------------------
+# Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"): cluster embeddings with k-means,
+# then compare pairs ONLY within a cluster and drop all but one of any
+# cosine-near group. The cluster assignment bounds the quadratic term:
+# at 100 TB you raise k so cluster sizes stay bounded (cross-cluster
+# dups are missed by design — the published recall/cost tradeoff).
+# Keep rule pinned to keep-min: a vector is pruned iff it matches a
+# LOWER-id vector in its cluster (same survivor policy as W1/W4 and
+# near_dup_canonical).
+
+SEM_THRESHOLD = 0.35
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+        WITH {_SQL_ASSIGN},
+        pairs AS (
+            SELECT a.list_id, a.n_id AS a_id, b.n_id AS b_id
+            FROM assign a JOIN assign b
+              ON a.list_id = b.list_id AND a.n_id < b.n_id
+            WHERE round(list_dot_product(a.nv, b.nv)
+                        / (sqrt(list_dot_product(a.nv, a.nv))
+                           * sqrt(list_dot_product(b.nv, b.nv))), 6)
+                  >= {SEM_THRESHOLD}
+        ),
+        pruned AS (
+            SELECT list_id, COUNT(DISTINCT b_id) AS n_pruned
+            FROM pairs GROUP BY list_id
+        ),
+        members AS (
+            SELECT list_id, COUNT(*) AS n_members FROM assign GROUP BY list_id
+        )
+        SELECT m.list_id, m.n_members,
+               COALESCE(p.n_pruned, 0) AS n_pruned,
+               m.n_members - COALESCE(p.n_pruned, 0) AS n_kept
+        FROM members m LEFT JOIN pruned p USING (list_id)
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over ``embeddings``: IVF-style assignment to the fixed
+    seed centroids (vec_id % 67 == 3), intra-cluster cosine pairs at
+    threshold, keep-min pruning. Returns per-cluster
+    (list_id, n_members, n_pruned, n_kept).
+
+    Plan shape: one broadcast (centroids) + one argmax groupBy for the
+    assignment, then a self-join keyed on list_id — the pair
+    generation shuffles once on the cluster key and never crosses
+    clusters. Reference parity: extends the keep-one-per-key dedup
+    contract (tools/ingest_runner.py:1576-1588) to semantic keys.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = sim.prepare(emb, role="n")
+    centroids = sim.prepare(
+        emb.filter(F.col("vec_id") % CENTROID_MOD == 3), role="c"
+    )
+    inverted = sim.ivf_assign(corpus, centroids)
+
+    left = inverted.select(
+        "list_id", F.col("n_id").alias("a_id"), F.col("n_vec").alias("a_vec")
+    )
+    right = inverted.select(
+        "list_id", F.col("n_id").alias("b_id"), F.col("n_vec").alias("b_vec")
+    )
+    pairs = (
+        left.join(right, "list_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(vec.cosine("a_vec", "b_vec"), 6) >= SEM_THRESHOLD
+        )
+    )
+    pruned = pairs.groupBy("list_id").agg(
+        F.count_distinct("b_id").alias("n_pruned")
+    )
+    members = inverted.groupBy("list_id").agg(F.count("*").alias("n_members"))
+    return (
+        members.join(pruned, "list_id", "left")
+        .select(
+            "list_id",
+            "n_members",
+            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
+            (F.col("n_members") - F.coalesce("n_pruned", F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+# --- Repeated-window (substring-level) dedup ---------------------------------
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better") dedups exact substrings of >= 50 tokens via suffix arrays.
+# Suffix arrays don't distribute; the Spark-shaped equivalent is
+# fixed-width token-window fingerprints: every W-token window, hashed,
+# counted across documents — a window shared by >= 2 docs marks a
+# duplicated span. One explode + two hash shuffles, both with map-side
+# partial aggregation; boilerplate (hot windows) skews the gram key,
+# which AQE skew-join handles on the count-join back.
+
+WIN_W = 8  # fixture docs are 10-99 tokens; production would use ~50
+
+
+@register(
+    "repeated_window_dedup",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - {WIN_W - 1}),
+                       i -> {" || ' ' || ".join(
+                           f"t[i+{j}]" if j else "t[i]"
+                           for j in range(WIN_W)
+                       )}
+                   )) AS g
+            FROM toks
+        ),
+        gcnt AS (SELECT g, COUNT(*) AS docs_with FROM sh GROUP BY g),
+        per_doc AS (
+            SELECT sh.doc_id,
+                   COUNT(*) AS n_windows,
+                   COUNT(*) FILTER (WHERE gcnt.docs_with >= 2) AS n_shared
+            FROM sh JOIN gcnt USING (g)
+            GROUP BY sh.doc_id
+        )
+        SELECT doc_id, n_windows, n_shared,
+               round(CAST(n_shared AS DOUBLE) / n_windows, 6) AS shared_frac
+        FROM per_doc
+    """,
+)
+def repeated_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span report over ``documents``: distinct
+    W-token windows, windows shared with another document, and the
+    shared fraction. Returns (doc_id, n_windows, n_shared,
+    shared_frac); documents shorter than W tokens have no windows and
+    do not appear."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ex = docs.select(
+        "doc_id", F.explode(tx.shingles("text", WIN_W)).alias("g")
+    )
+    gcnt = ex.groupBy("g").agg(F.count("*").alias("docs_with"))
+    per_doc = (
+        ex.join(gcnt, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("docs_with") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("n_windows"), 6
+        ).alias("shared_frac"),
+    )
+
+
+# --- Sliding-window chunking -------------------------------------------------
+# The tokenize-and-chunk step before sequence packing: each document
+# becomes ceil-ish many CHUNK-token training sequences starting every
+# STRIDE tokens (overlap = CHUNK - STRIDE), the standard LM data-prep
+# shape. Pure per-row array expressions — embarrassingly parallel, no
+# shuffle until a downstream aggregation; integer arithmetic
+# throughout, so the oracle is exact by construction.
+
+CHUNK = 32
+STRIDE = 24
+
+
+@register(
+    "chunk_stride_stats",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   len(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS n_tok
+            FROM documents
+        ),
+        ch AS (
+            SELECT doc_id, n_tok,
+                   generate_series(1, n_tok, {STRIDE}) AS starts
+            FROM toks WHERE n_tok >= 1
+        )
+        SELECT doc_id, n_tok,
+               len(starts) AS n_chunks,
+               CAST(list_sum(list_transform(
+                   starts, s -> least({CHUNK}, n_tok - s + 1)
+               )) AS BIGINT) AS chunk_tokens,
+               round(CAST(len(starts) * {CHUNK} - list_sum(list_transform(
+                         starts, s -> least({CHUNK}, n_tok - s + 1)))
+                     AS DOUBLE) / (len(starts) * {CHUNK}), 6) AS pad_frac
+        FROM ch
+    """,
+)
+def chunk_stride_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking plan for ``documents``: starts every STRIDE tokens,
+    chunks capped at CHUNK tokens, final partial chunk kept. Returns
+    (doc_id, n_tok, n_chunks, chunk_tokens, pad_frac) where pad_frac
+    is the padding waste if each chunk were padded to CHUNK."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tok = tx.token_count("text")
+    d = docs.select("doc_id", n_tok.alias("n_tok")).filter(
+        F.col("n_tok") >= 1
+    )
+    starts = F.sequence(
+        F.lit(1), F.col("n_tok"), F.lit(STRIDE)
+    )
+    lens = F.transform(
+        starts, lambda s: F.least(F.lit(CHUNK), F.col("n_tok") - s + 1)
+    )
+    d = d.select(
+        "doc_id",
+        "n_tok",
+        F.size(starts).alias("n_chunks"),
+        F.aggregate(
+            lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("chunk_tokens"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tok",
+        "n_chunks",
+        "chunk_tokens",
+        F.round(
+            (F.col("n_chunks") * CHUNK - F.col("chunk_tokens")).cast("double")
+            / (F.col("n_chunks") * CHUNK),
+            6,
+        ).alias("pad_frac"),
+    )
+
+
+# --- Blocked fuzzy entity resolution -----------------------------------------
+# Normalize → block → candidate-score → argmin: the classic record-
+# linkage pipeline. A "dirty" feed of customer names is OCR-mangled
+# deterministically — letter glyphs 'u'→'v' and 'm'→'rn' (a constant
+# +3 edit distance for every record) plus the digit-glyph collision
+# '7'→'1'. The letter damage is normalizable (blocking still works);
+# the digit collision is NOT, so a record whose key contains a 7
+# links to its 7s→1s "twin" (which always exists and wins by strict
+# distance) — the classic OCR-collision failure mode, surfaced per
+# row by ``is_correct``. Blocking bounds the candidate set (never
+# all-pairs); at 100 TB the block key gets finer so block sizes stay
+# bounded, and the candidate join shuffles once on it. Reference
+# parity: the fuzzy-key version of the reconciliation audit
+# (tools/verificar_datos.py row-count pairing intent).
+
+_DIRTY_MOD = 7  # c_custkey % 7 == 0 → the dirty feed
+_BLOCK_LEN = 15  # 'Customer#' + first 6 of 9 digits
+
+
+@register(
+    "fuzzy_match_recovery",
+    oracle=f"""
+        WITH dirty AS (
+            SELECT c_custkey AS dirty_key,
+                   replace(replace(c_name, 'Customer#', 'Cvstorner#'),
+                           '7', '1') AS dirty_name
+            FROM customer WHERE c_custkey % {_DIRTY_MOD} = 0
+        ),
+        blocked AS (
+            SELECT dirty_key, dirty_name,
+                   substr(replace(dirty_name, 'Cvstorner#', 'Customer#'),
+                          1, {_BLOCK_LEN}) AS bk
+            FROM dirty
+        ),
+        cand AS (
+            SELECT b.dirty_key, b.dirty_name, c.c_custkey,
+                   levenshtein(b.dirty_name, c.c_name) AS lev
+            FROM blocked b JOIN customer c
+              ON substr(c.c_name, 1, {_BLOCK_LEN}) = b.bk
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY dirty_key ORDER BY lev ASC, c_custkey ASC
+            ) AS rn
+            FROM cand
+        )
+        SELECT dirty_key, c_custkey AS matched_key, lev,
+               CAST(dirty_key = c_custkey AS INT) AS is_correct
+        FROM ranked WHERE rn = 1
+    """,
+)
+def fuzzy_match_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on ``customer``: the OCR-mangled feed
+    ('u'→'v', 'm'→'rn', '7'→'1') is blocked on the normalized name
+    prefix and matched to the master row with minimum levenshtein
+    distance (ties → smallest key). Returns per dirty record
+    (dirty_key, matched_key, lev, is_correct); keys containing the
+    digit 7 deterministically mis-link to their 7s→1s twin."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty = cust.filter(F.col("c_custkey") % _DIRTY_MOD == 0).select(
+        F.col("c_custkey").alias("dirty_key"),
+        F.expr(
+            "replace(replace(c_name, 'Customer#', 'Cvstorner#'), '7', '1')"
+        ).alias("dirty_name"),
+    )
+    blocked = dirty.withColumn(
+        "bk",
+        F.substring(
+            F.expr("replace(dirty_name, 'Cvstorner#', 'Customer#')"),
+            1,
+            _BLOCK_LEN,
+        ),
+    )
+    master = cust.withColumn("bk", F.substring("c_name", 1, _BLOCK_LEN))
+    cand = blocked.join(master, "bk").select(
+        "dirty_key",
+        "c_custkey",
+        F.levenshtein("dirty_name", "c_name").alias("lev"),
+    )
+    w = Window.partitionBy("dirty_key").orderBy(
+        F.asc("lev"), F.asc("c_custkey")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dirty_key",
+            F.col("c_custkey").alias("matched_key"),
+            "lev",
+            (F.col("dirty_key") == F.col("c_custkey"))
+            .cast("int")
+            .alias("is_correct"),
+        )
+    )
+
+
+# --- PageRank, two unrolled iterations ---------------------------------------
+# The second iterative-graph operator beside connected components:
+# r_{t+1}(v) = 0.15/N + 0.85 * sum_{u->v} r_t(u)/deg(u) over the
+# symmetrized embedding near-dup graph (sign-projection-blocked cosine
+# pairs at the embedding_cosine_dedup threshold — an irregular graph
+# with real degree variance; the planted text dup-graph is
+# rank-regular K2/K3s, which would collapse PageRank to two values).
+# Dangling mass is NOT redistributed (the Spark-examples PageRank
+# variant, pinned); isolated vectors keep the teleport term. Each
+# iteration is one join (ranks onto edges) + one (dst)-keyed groupBy
+# with map-side partial agg; per-edge contributions are rounded at
+# 1e-9 and summed as DECIMAL so the sum is independent of partitioning
+# and engine (round-then-cast at the same scale).
+
+_PR_DAMP = 0.85
+
+
+def _pr_iterate(ranks: DataFrame, sym: DataFrame, deg: DataFrame) -> DataFrame:
+    """One PageRank round without the teleport term:
+    (node, r) -> (node, r') where r' = 0.85 * sum of in-contributions;
+    the caller adds 0.15/N (it owns the broadcast N singleton)."""
+    contribs = (
+        sym.join(ranks, sym.src == ranks.node)
+        .join(deg, "src")
+        .select(
+            F.col("dst").alias("node"),
+            F.round(F.col("r") / F.col("d"), 9)
+            .cast("decimal(28,9)")
+            .alias("contrib"),
+        )
+        .groupBy("node")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return ranks.select("node").join(contribs, "node", "left").select(
+        "node",
+        (
+            F.lit(_PR_DAMP)
+            * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+        ).alias("r"),
+    )
+
+
+@register(
+    "pagerank_two_iter",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_sql_bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        ),
+        edges AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6)
+                  >= {DEDUP_THRESHOLD}
+        ),
+        sym AS (
+            SELECT a_id AS src, b_id AS dst FROM edges
+            UNION ALL
+            SELECT b_id, a_id FROM edges
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+        deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+        r0 AS (
+            SELECT vec_id AS node, 1.0 / nn.n AS r
+            FROM embeddings CROSS JOIN nn
+        ),
+        c1 AS (
+            SELECT s.dst AS node,
+                   SUM(CAST(round(r0.r / deg.d, 9) AS DECIMAL(28,9))) AS s
+            FROM sym s JOIN r0 ON s.src = r0.node JOIN deg ON s.src = deg.src
+            GROUP BY s.dst
+        ),
+        r1 AS (
+            SELECT r0.node,
+                   0.15 / nn.n
+                   + {_PR_DAMP} * COALESCE(CAST(c1.s AS DOUBLE), 0.0) AS r
+            FROM r0 CROSS JOIN nn LEFT JOIN c1 ON r0.node = c1.node
+        ),
+        c2 AS (
+            SELECT s.dst AS node,
+                   SUM(CAST(round(r1.r / deg.d, 9) AS DECIMAL(28,9))) AS s
+            FROM sym s JOIN r1 ON s.src = r1.node JOIN deg ON s.src = deg.src
+            GROUP BY s.dst
+        )
+        SELECT r1.node,
+               round(0.15 / nn.n
+                     + {_PR_DAMP} * COALESCE(CAST(c2.s AS DOUBLE), 0.0),
+                     9) AS pr
+        FROM r1 CROSS JOIN nn LEFT JOIN c2 ON r1.node = c2.node
+    """,
+)
+def pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank iterations over the embedding near-dup graph
+    (the same sign-projection-blocked cosine edges as
+    embedding_cosine_dedup). Returns (node, pr) for every vector.
+    N enters the plan as a broadcast singleton (no driver-side
+    collect); a production loop would ``localCheckpoint()`` each rank
+    frame to truncate lineage — with 2 unrolled rounds the lazy chain
+    is fine."""
+    emb = table(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    edges = sim.cosine_near_dup_pairs(
+        sim.prepare(emb, role="n"), threshold=DEDUP_THRESHOLD
+    ).select("a_id", "b_id")
+    sym = edges.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionAll(
+        edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    n_df = nodes.agg(F.count("*").cast("double").alias("n"))
+
+    r0 = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    base = F.lit(0.15) / F.col("n")
+    r1 = (
+        _pr_iterate(r0, sym, deg)
+        .withColumnRenamed("r", "raw")
+        .crossJoin(F.broadcast(n_df))
+        .select("node", (base + F.col("raw")).alias("r"))
+    )
+    r2 = (
+        _pr_iterate(r1, sym, deg)
+        .withColumnRenamed("r", "raw")
+        .crossJoin(F.broadcast(n_df))
+        .select("node", F.round(base + F.col("raw"), 9).alias("pr"))
+    )
+    return r2
+
+
+# --- Robust outliers via pinned type-1 quantiles -----------------------------
+# Tukey fences per group with quartiles defined as ELEMENT SELECTION
+# (type-1 / lower quantile: the smallest value whose cumulative count
+# reaches ceil(p*n)) — no interpolation, so both engines pick the
+# identical stored double and the fences lo/hi are bit-identical IEEE
+# expressions over them. Scale design: the quantile does NOT sort raw
+# rows in a per-group window (a 100 TB group would be one giant
+# partition); it first collapses to (group, value, count) with a
+# map-side-combined groupBy, then runs the cumulative window over the
+# DISTINCT-value frame only — bounded by value cardinality, not row
+# count. (For truly continuous values you'd pre-bucket; fixture values
+# are 2-decimal currency-like, the common case this exact path
+# serves.) Fence counting broadcasts the 5-row stats frame back.
+
+@register(
+    "outlier_iqr_report",
+    oracle="""
+        WITH vc AS (
+            SELECT event_type, value, COUNT(*) AS c
+            FROM events GROUP BY event_type, value
+        ),
+        cum AS (
+            SELECT event_type, value,
+                   SUM(c) OVER (
+                       PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cc,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM vc
+        ),
+        q AS (
+            SELECT event_type, MAX(n) AS n_events,
+                   MIN(CASE WHEN cc >= CAST(floor((n + 3) / 4.0) AS BIGINT)
+                       THEN value END) AS q1,
+                   MIN(CASE WHEN cc >= CAST(floor((3 * n + 3) / 4.0) AS BIGINT)
+                       THEN value END) AS q3
+            FROM cum GROUP BY event_type
+        )
+        SELECT q.event_type, CAST(q.n_events AS BIGINT) AS n_events,
+               q.q1, q.q3,
+               COUNT(*) FILTER (
+                   WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                      OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+               ) AS n_outliers
+        FROM q JOIN events e USING (event_type)
+        GROUP BY q.event_type, q.n_events, q.q1, q.q3
+    """,
+)
+def outlier_iqr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Tukey-fence outlier report over ``events``:
+    (event_type, n_events, q1, q3, n_outliers) with q1/q3 the type-1
+    quartiles computed by value-compressed cumulative counts."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    vc = ev.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.select(
+        "event_type",
+        "value",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    idx1 = F.floor((F.col("n") + 3) / F.lit(4.0)).cast("long")
+    idx3 = F.floor((3 * F.col("n") + 3) / F.lit(4.0)).cast("long")
+    q = cum.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.min(F.when(F.col("cc") >= idx1, F.col("value"))).alias("q1"),
+        F.min(F.when(F.col("cc") >= idx3, F.col("value"))).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n_events", "q1", "q3")
+        .agg(
+            F.sum(
+                ((F.col("value") < lo) | (F.col("value") > hi)).cast("long")
+            ).alias("n_outliers")
+        )
+    )

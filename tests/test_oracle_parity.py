@@ -41,7 +41,8 @@ ORDER_SENSITIVE = [
         "streaming_upsert_pipe",
         # round-5 additions with window/rank shapes
         "sequence_packing", "bm25_topk", "incremental_dedup",
-        "reservoir_per_group",
+        "reservoir_per_group", "fuzzy_match_recovery",
+        "outlier_iqr_report",
     )
     if n in ORACLE_NAMES
 ]

@@ -59,6 +59,18 @@ QUERIES = (
     "funnel_conversion",    # three chained user-keyed aggregates
     "retention_cohorts",    # user-keyed min + cohort rollup
     "variant_props_stats",  # parse_json/variant map-side pass
+    # round-5 second pack
+    "repeated_window_dedup",  # gram-keyed explode + two hash shuffles
+    "chunk_stride_stats",     # pure per-row array exprs (linear floor)
+    "outlier_iqr_report",     # value-compressed quantile windows
+    "semdedup_prune",         # intra-cluster pairs: with the FIXED seed
+                              # centroid set, cluster sizes scale 10x so
+                              # pair work is ~100x — the published scale
+                              # path is k ∝ N (finer clusters), same
+                              # caveat class as ann_ivf_topk above
+    "pagerank_two_iter",      # edge build shares semdedup's caveat
+                              # (fixed 8 sign buckets → ~100x pairs);
+                              # the PR iterations themselves are O(E)
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
