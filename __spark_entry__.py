@@ -59,6 +59,8 @@ _CHECK_PRIORITY = [
     "variant_props_stats", "pps_systematic_sample",
     "semdedup_prune", "repeated_window_dedup", "chunk_stride_stats",
     "fuzzy_match_recovery", "pagerank_two_iter", "outlier_iqr_report",
+    "bpe_merge_mining", "embedding_decontaminate", "time_gap_fill",
+    "winsorize_stats",
     # (d) newest green signal is round 1
     "disjunctive_predicate_scan", "exists_semi_join",
     "groupwise_max_orders", "having_filter", "inactive_customers_anti",

@@ -606,3 +606,286 @@ def outlier_iqr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers")
         )
     )
+
+
+# --- BPE merge-candidate mining ----------------------------------------------
+# Step 1 of byte-pair-encoding tokenizer training (Sennrich et al.
+# 2016): count adjacent-symbol pairs across the corpus, weighted by
+# word frequency, and rank the top merge candidates. The scale shape
+# is the real one: the corpus collapses to a (word, count) table
+# first (one hash shuffle with map-side combine — the word-frequency
+# table is tiny relative to the corpus), pairs explode from THAT, and
+# the final rank window runs over the pair vocabulary (bounded by
+# symbol-alphabet^2, not corpus size).
+
+BPE_TOP_K = 20
+
+
+def _sql_char_pairs(w: str) -> str:
+    return (
+        f"list_transform(generate_series(1, length({w}) - 1),"
+        f" i -> substr({w}, i, 1) || ' ' || substr({w}, i + 1, 1))"
+    )
+
+
+@register(
+    "bpe_merge_mining",
+    oracle=f"""
+        WITH toks AS (
+            SELECT list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS t
+            FROM documents
+        ),
+        words AS (
+            SELECT w, COUNT(*) AS c
+            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        ),
+        pairs AS (
+            SELECT unnest({_sql_char_pairs('w')}) AS pair, c
+            FROM words WHERE length(w) >= 2
+        ),
+        totals AS (
+            SELECT pair, CAST(SUM(c) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY pair
+        )
+        SELECT pair, pair_count, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY pair_count DESC, pair ASC
+            ) AS rank FROM totals
+        ) WHERE rank <= {BPE_TOP_K}
+    """,
+)
+def bpe_merge_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{20} BPE merge candidates over ``documents``: adjacent
+    character pairs weighted by word frequency — (pair, pair_count,
+    rank), ties broken by pair text."""
+    docs = table(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(tx.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.length("w") >= 2)
+    )
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.concat(
+            F.col("w").substr(i, F.lit(1)),
+            F.lit(" "),
+            F.col("w").substr(i + 1, F.lit(1)),
+        ),
+    )
+    pairs = words.select(F.explode(pair_arr).alias("pair"), "c")
+    totals = pairs.groupBy("pair").agg(F.sum("c").alias("pair_count"))
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOP_K)
+        .select("pair", "pair_count", "rank")
+    )
+
+
+# --- Embedding-similarity decontamination ------------------------------------
+# The embedding-space sibling of ngram_decontaminate: flag corpus
+# vectors whose cosine against ANY held-out eval vector clears a
+# threshold. Eval sets are small by nature, so the eval side is
+# broadcast and the corpus never shuffles — the same serving shape as
+# brute_force_topk, which makes this linear in the corpus at 100 TB.
+
+DECON_EVAL_MOD = 97  # vec_id % 97 == 5 → the held-out eval set
+DECON_THRESHOLD = 0.30
+
+
+@register(
+    "embedding_decontaminate",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        ev AS (
+            SELECT vec_id AS e_id, v AS ev FROM e
+            WHERE vec_id % {DECON_EVAL_MOD} = 5
+        ),
+        corpus AS (
+            SELECT vec_id AS n_id, v AS nv FROM e
+            WHERE vec_id % {DECON_EVAL_MOD} <> 5
+        ),
+        scored AS (
+            SELECT n_id, e_id,
+                   round(list_dot_product(nv, ev)
+                         / (sqrt(list_dot_product(nv, nv))
+                            * sqrt(list_dot_product(ev, ev))), 6) AS score
+            FROM corpus CROSS JOIN ev
+        ),
+        best AS (
+            SELECT n_id, e_id, score FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY n_id ORDER BY score DESC, e_id ASC
+                ) AS rn FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT n_id, e_id, score FROM best
+        WHERE score >= {DECON_THRESHOLD}
+    """,
+)
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vectors contaminated by the held-out eval set: for each
+    corpus vector its argmax-cosine eval neighbor (ties → smallest
+    e_id), kept when the score clears the threshold. Returns
+    (n_id, e_id, score)."""
+    emb = table(spark, sf_dir, "embeddings")
+    ev = sim.prepare(
+        emb.filter(F.col("vec_id") % DECON_EVAL_MOD == 5), role="e"
+    )
+    corpus = sim.prepare(
+        emb.filter(F.col("vec_id") % DECON_EVAL_MOD != 5), role="n"
+    )
+    scored = corpus.crossJoin(F.broadcast(ev)).select(
+        "n_id",
+        (-F.col("e_id")).alias("neg_e"),
+        F.round(vec.cosine("n_vec", "e_vec"), 6).alias("score"),
+    )
+    best = scored.groupBy("n_id").agg(
+        F.max(F.struct("score", "neg_e")).alias("m")
+    )
+    return best.select(
+        "n_id",
+        (-F.col("m.neg_e")).alias("e_id"),
+        F.col("m.score").alias("score"),
+    ).filter(F.col("score") >= DECON_THRESHOLD)
+
+
+# --- Dense-spine time-series gap fill ----------------------------------------
+# Reporting over sparse facts needs explicit zero rows for missing
+# (group, day) cells. The spine is generated from the span aggregate
+# (a broadcast singleton — no driver collect), crossed with the
+# distinct group domain, and left-joined back to the per-day counts.
+# Scale: the spine is days × groups — tiny next to the fact table —
+# so the only full shuffle is the per-day count's own groupBy.
+
+@register(
+    "time_gap_fill",
+    oracle="""
+        WITH counts AS (
+            SELECT o_orderpriority AS prio,
+                   CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+            FROM orders GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+                   CAST(MAX(o_orderdate) AS DATE) AS d1
+            FROM orders
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(
+                       CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                       INTERVAL 1 DAY)) AS DATE) AS d
+            FROM span
+        ),
+        prios AS (SELECT DISTINCT o_orderpriority AS prio FROM orders)
+        SELECT p.prio, s.d, COALESCE(c.c, 0) AS cnt
+        FROM spine s CROSS JOIN prios p
+        LEFT JOIN counts c ON c.prio = p.prio AND c.d = s.d
+    """,
+)
+def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order counts per priority with missing days filled as 0
+    over the full [min, max] date span. Returns (prio, d, cnt)."""
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    counts = orders.groupBy("prio", "d").agg(F.count("*").alias("c"))
+    span = orders.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = span.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("d")
+    )
+    prios = orders.select("prio").distinct()
+    return (
+        spine.crossJoin(F.broadcast(prios))
+        .join(counts, ["prio", "d"], "left")
+        .select("prio", "d", F.coalesce("c", F.lit(0)).alias("cnt"))
+    )
+
+
+# --- Winsorized robust aggregation -------------------------------------------
+# The clamp-then-aggregate companion to outlier_iqr_report: p05/p95
+# type-1 quantiles from the same value-compressed cumulative-count
+# pass (window over DISTINCT values, never rows), values clamped to
+# the fences with pure least/greatest (no arithmetic — the selected
+# doubles pass through bit-identical), then a decimal-pinned sum.
+
+@register(
+    "winsorize_stats",
+    oracle="""
+        WITH vc AS (
+            SELECT event_type, value, COUNT(*) AS c
+            FROM events GROUP BY event_type, value
+        ),
+        cum AS (
+            SELECT event_type, value,
+                   SUM(c) OVER (
+                       PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cc,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM vc
+        ),
+        q AS (
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+                   MIN(CASE WHEN cc >= CAST(floor((5 * n + 99) / 100.0)
+                                         AS BIGINT)
+                       THEN value END) AS p05,
+                   MIN(CASE WHEN cc >= CAST(floor((95 * n + 99) / 100.0)
+                                         AS BIGINT)
+                       THEN value END) AS p95
+            FROM cum GROUP BY event_type
+        )
+        SELECT q.event_type, q.n_events, q.p05, q.p95,
+               round(CAST(SUM(CAST(round(
+                         least(greatest(e.value, q.p05), q.p95), 2)
+                     AS DECIMAL(18,2))) AS DOUBLE) / q.n_events, 6)
+                   AS wins_mean
+        FROM q JOIN events e USING (event_type)
+        GROUP BY q.event_type, q.n_events, q.p05, q.p95
+    """,
+)
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event_type: clamp values to the type-1
+    [p05, p95] fences, then aggregate with a decimal-pinned sum.
+    Returns (event_type, n_events, p05, p95, wins_mean)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    vc = ev.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.select(
+        "event_type",
+        "value",
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    i05 = F.floor((5 * F.col("n") + 99) / F.lit(100.0)).cast("long")
+    i95 = F.floor((95 * F.col("n") + 99) / F.lit(100.0)).cast("long")
+    q = cum.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.min(F.when(F.col("cc") >= i05, F.col("value"))).alias("p05"),
+        F.min(F.when(F.col("cc") >= i95, F.col("value"))).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n_events", "p05", "p95")
+        .agg(
+            F.round(
+                F.sum(F.round(clamped, 2).cast("decimal(18,2)"))
+                .cast("double")
+                / F.col("n_events"),
+                6,
+            ).alias("wins_mean")
+        )
+    )

@@ -42,7 +42,7 @@ ORDER_SENSITIVE = [
         # round-5 additions with window/rank shapes
         "sequence_packing", "bm25_topk", "incremental_dedup",
         "reservoir_per_group", "fuzzy_match_recovery",
-        "outlier_iqr_report",
+        "outlier_iqr_report", "bpe_merge_mining", "winsorize_stats",
     )
     if n in ORACLE_NAMES
 ]

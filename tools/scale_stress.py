@@ -71,6 +71,10 @@ QUERIES = (
     "pagerank_two_iter",      # edge build shares semdedup's caveat
                               # (fixed 8 sign buckets → ~100x pairs);
                               # the PR iterations themselves are O(E)
+    "bpe_merge_mining",       # corpus → word-freq table → pair counts
+    "embedding_decontaminate",  # corpus x broadcast eval (both ~10x:
+                                # the vec_id shift rotates %97 classes)
+    "winsorize_stats",        # value-compressed quantiles + clamp agg
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
