@@ -80,6 +80,14 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "large_order_customers", "groupwise_max_orders", "scd2_history",
         "text_source_agg", "cdc_unwrap_dedup",
     ),
+    # round-5 enrichment pack (semantic dedup, substring dedup,
+    # tokenizer mining, robust stats, graph centrality)
+    (
+        "semdedup_prune", "repeated_window_dedup", "chunk_stride_stats",
+        "bpe_merge_mining", "outlier_iqr_report", "winsorize_stats",
+        "time_gap_fill", "fuzzy_match_recovery", "pagerank_two_iter",
+        "embedding_decontaminate",
+    ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join"),
 )
