@@ -110,7 +110,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = sim.prepare(
         emb.filter(F.col("vec_id") % CENTROID_MOD == 3), role="c"
     )
-    inverted = sim.ivf_assign(corpus, centroids)
+    # Materialize the inverted index once — pairs-left, pairs-right and
+    # the member counts all read it (3 lazy re-evaluations otherwise;
+    # A/B: ~1.4x at sf0.1). At 100 TB this IS the design: write the
+    # cluster assignment, then run the intra-cluster pair pass over it.
+    inverted = sim.ivf_assign(corpus, centroids).localCheckpoint(eager=True)
 
     left = inverted.select(
         "list_id", F.col("n_id").alias("a_id"), F.col("n_vec").alias("a_vec")
@@ -495,10 +499,19 @@ def pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = sim.cosine_near_dup_pairs(
         sim.prepare(emb, role="n"), threshold=DEDUP_THRESHOLD
     ).select("a_id", "b_id")
-    sym = edges.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-    ).unionAll(
-        edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    # Materialize the symmetrized edge list ONCE: the lazy subtree is
+    # otherwise re-evaluated by deg + both rank rounds (~6 edge builds
+    # — A/B measured 2.4x slower at sf0.1). Same lineage-truncation
+    # policy as connected_components (operators/graph.py); at cluster
+    # scale this is the "write the edge list, iterate over it" shape.
+    sym = (
+        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(
+            edges.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     deg = sym.groupBy("src").agg(F.count("*").alias("d"))
     n_df = nodes.agg(F.count("*").cast("double").alias("n"))
