@@ -1,0 +1,70 @@
+"""Scalable exact type-1 quantiles per group.
+
+``grouped_type1_quantiles`` computes, for each group, the type-1
+(lower) quantile of a value column at one or more probabilities:
+the smallest value whose cumulative count reaches ``ceil(p * n)``.
+
+Why this shape and not ``percentile``/a raw sort window:
+
+- Element SELECTION, not interpolation — the result is a stored
+  input double, so it is bit-identical across engines and
+  partitionings (no FP-arithmetic drift to pin).
+- Value compression — the input first collapses to
+  (group, value, count) with a map-side-combined groupBy, and the
+  cumulative window runs over the DISTINCT-value frame only. A
+  per-group window over raw rows would pull an entire 100 TB group
+  into one partition; this is bounded by value cardinality instead.
+  (For truly continuous values, pre-bucket to fixed precision first.)
+- Probabilities are RATIONALS (num, den): the rank index
+  ``ceil(p*n) = floor((num*n + den - 1) / den)`` stays in exact
+  integer arithmetic on both engines.
+
+Used by ``outlier_iqr_report`` (Tukey fences) and
+``winsorize_stats`` (p05/p95 clamp) in plans/enrichment_plans.py,
+whose DuckDB oracles replay the identical construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _rank_index(n: Column, num: int, den: int) -> Column:
+    """ceil(num/den * n) via integer-exact floor arithmetic."""
+    return F.floor((num * n + (den - 1)) / F.lit(float(den))).cast("long")
+
+
+def grouped_type1_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: dict[str, tuple[int, int]],
+) -> DataFrame:
+    """One row per group: (group_col, n_events, <name> per prob).
+
+    ``probs`` maps output column name -> (numerator, denominator),
+    e.g. ``{"q1": (1, 4), "q3": (3, 4)}``.
+    """
+    vc = df.groupBy(group_col, value_col).agg(F.count("*").alias("c"))
+    wc = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.select(
+        group_col,
+        value_col,
+        F.sum("c").over(wc).alias("cc"),
+        F.sum("c").over(Window.partitionBy(group_col)).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_events")] + [
+        F.min(
+            F.when(
+                F.col("cc") >= _rank_index(F.col("n"), num, den),
+                F.col(value_col),
+            )
+        ).alias(name)
+        for name, (num, den) in probs.items()
+    ]
+    return cum.groupBy(group_col).agg(*aggs)

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from automatic_etl_spark.functions import text as tx
 from automatic_etl_spark.functions import vectors as vec
+from automatic_etl_spark.operators import quantiles as qt
 from automatic_etl_spark.operators import similarity as sim
 from automatic_etl_spark.plans.registry import register
 from automatic_etl_spark.plans.similarity_plans import (
@@ -586,26 +587,11 @@ def pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def outlier_iqr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type Tukey-fence outlier report over ``events``:
     (event_type, n_events, q1, q3, n_outliers) with q1/q3 the type-1
-    quartiles computed by value-compressed cumulative counts."""
+    quartiles computed by value-compressed cumulative counts
+    (operators/quantiles.py)."""
     ev = table(spark, sf_dir, "events").select("event_type", "value")
-    vc = ev.groupBy("event_type", "value").agg(F.count("*").alias("c"))
-    wc = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = vc.select(
-        "event_type",
-        "value",
-        F.sum("c").over(wc).alias("cc"),
-        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
-    )
-    idx1 = F.floor((F.col("n") + 3) / F.lit(4.0)).cast("long")
-    idx3 = F.floor((3 * F.col("n") + 3) / F.lit(4.0)).cast("long")
-    q = cum.groupBy("event_type").agg(
-        F.max("n").alias("n_events"),
-        F.min(F.when(F.col("cc") >= idx1, F.col("value"))).alias("q1"),
-        F.min(F.when(F.col("cc") >= idx3, F.col("value"))).alias("q3"),
+    q = qt.grouped_type1_quantiles(
+        ev, "event_type", "value", {"q1": (1, 4), "q3": (3, 4)}
     )
     iqr = F.col("q3") - F.col("q1")
     lo = F.col("q1") - 1.5 * iqr
@@ -867,27 +853,12 @@ def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean per event_type: clamp values to the type-1
-    [p05, p95] fences, then aggregate with a decimal-pinned sum.
-    Returns (event_type, n_events, p05, p95, wins_mean)."""
+    [p05, p95] fences (operators/quantiles.py), then aggregate with a
+    decimal-pinned sum. Returns (event_type, n_events, p05, p95,
+    wins_mean)."""
     ev = table(spark, sf_dir, "events").select("event_type", "value")
-    vc = ev.groupBy("event_type", "value").agg(F.count("*").alias("c"))
-    wc = (
-        Window.partitionBy("event_type")
-        .orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = vc.select(
-        "event_type",
-        "value",
-        F.sum("c").over(wc).alias("cc"),
-        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
-    )
-    i05 = F.floor((5 * F.col("n") + 99) / F.lit(100.0)).cast("long")
-    i95 = F.floor((95 * F.col("n") + 99) / F.lit(100.0)).cast("long")
-    q = cum.groupBy("event_type").agg(
-        F.max("n").alias("n_events"),
-        F.min(F.when(F.col("cc") >= i05, F.col("value"))).alias("p05"),
-        F.min(F.when(F.col("cc") >= i95, F.col("value"))).alias("p95"),
+    q = qt.grouped_type1_quantiles(
+        ev, "event_type", "value", {"p05": (1, 20), "p95": (19, 20)}
     )
     clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
     return (
