@@ -200,9 +200,15 @@ def repeated_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared_frac); documents shorter than W tokens have no windows and
     do not appear."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Materialize the exploded gram frame once — both the gram counts
+    # and the join-back read it (A/B: 1.7x at sf0.1). The tempting
+    # alternative (count() over Window.partitionBy("g"), single pass,
+    # 1.9x) is REJECTED for scale: a hot boilerplate gram would become
+    # one unsplittable window partition, while this shape keeps
+    # map-side partial counts and lets AQE split the skewed join.
     ex = docs.select(
         "doc_id", F.explode(tx.shingles("text", WIN_W)).alias("g")
-    )
+    ).localCheckpoint(eager=True)
     gcnt = ex.groupBy("g").agg(F.count("*").alias("docs_with"))
     per_doc = (
         ex.join(gcnt, "g")
