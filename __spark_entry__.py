@@ -36,10 +36,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-5 rotation, oldest-signal-first: (a) the only 2 of 143 queries
 # with no driver row ever (added in r4 beyond the window); (b) the
 # decimal-fidelity fix — r4's single red row must land green; (c) new
-# r05 queries (hard signal on first exposure); (d) all 18 queries whose
-# newest green is round 1; (e) all 28 whose newest green is round 2.
-# Everything left out has r3/r4 signal, at most two rounds old. Names
-# are asserted against REGISTRY below — a typo fails loudly.
+# r05 queries (hard signal on first exposure — 34 entries, so sections
+# a+b+c claim 37 of the 50 slots); (d) queries whose newest green is
+# round 1 (13 of 18 fit; rollup_agg, scalar_subquery_filter,
+# shipping_priority, top_k_users, union_all_labels fall past slot 50 —
+# FIRST IN LINE for the r06 window); (e) newest green is round 2.
+# Everything left out has local sf0.01 parity signal every session.
+# Names are asserted against REGISTRY below — a typo fails loudly.
 _CHECK_PRIORITY = [
     # (a) never driver-checked (D2 layout chooser, Q6 status report)
     "layout_chooser_report", "pipeline_status_report",
