@@ -36,11 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-5 rotation, oldest-signal-first: (a) the only 2 of 143 queries
 # with no driver row ever (added in r4 beyond the window); (b) the
 # decimal-fidelity fix — r4's single red row must land green; (c) new
-# r05 queries (hard signal on first exposure — 34 entries, so sections
-# a+b+c claim 37 of the 50 slots); (d) queries whose newest green is
-# round 1 (13 of 18 fit; rollup_agg, scalar_subquery_filter,
-# shipping_priority, top_k_users, union_all_labels fall past slot 50 —
-# FIRST IN LINE for the r06 window); (e) newest green is round 2.
+# r05 queries (hard signal on first exposure — 35 entries, so sections
+# a+b+c claim 38 of the 50 slots); (d) queries whose newest green is
+# round 1 (12 of 18 fit; returned_item_customers, rollup_agg,
+# scalar_subquery_filter, shipping_priority, top_k_users,
+# union_all_labels fall past slot 50 — FIRST IN LINE for the r06
+# window); (e) newest green is round 2.
 # Everything left out has local sf0.01 parity signal every session.
 # Names are asserted against REGISTRY below — a typo fails loudly.
 _CHECK_PRIORITY = [
@@ -63,7 +64,7 @@ _CHECK_PRIORITY = [
     "semdedup_prune", "repeated_window_dedup", "chunk_stride_stats",
     "fuzzy_match_recovery", "pagerank_two_iter", "outlier_iqr_report",
     "bpe_merge_mining", "embedding_decontaminate", "time_gap_fill",
-    "winsorize_stats",
+    "winsorize_stats", "scd2_point_in_time_join",
     # (d) newest green signal is round 1
     "disjunctive_predicate_scan", "exists_semi_join",
     "groupwise_max_orders", "having_filter", "inactive_customers_anti",

@@ -879,3 +879,85 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wins_mean")
         )
     )
+
+
+# --- SCD2 point-in-time join -------------------------------------------------
+# The warehouse lookup the SCD2 build exists FOR: facts joined to the
+# dimension version valid AT the fact's timestamp. Complements
+# scd2_history (which builds the validity intervals) and asof_join_lag
+# (nearest-predecessor on a plain series): here the dimension is
+# versioned with [valid_from, valid_to) half-open intervals and each
+# fact matches AT MOST one version by construction (intervals
+# partition a key's timeline; zero-width tie intervals match nothing).
+# Scale shape: both sides shuffle once on the key; the interval
+# predicate evaluates within each key's co-partitioned rows — the
+# same bounded-state shape Spark's stream-stream interval join uses.
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, event_type AS status, ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS valid_to
+            FROM events WHERE event_type <> 'purchase'
+        ),
+        fact AS (
+            SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        pit AS (
+            SELECT d.status, f.value
+            FROM fact f JOIN dim d
+              ON f.user_id = d.user_id
+             AND f.ts >= d.valid_from
+             AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        )
+        SELECT status,
+               COUNT(*) AS purchases,
+               CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS value_total
+        FROM pit GROUP BY status
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases joined to the user's activity status valid at
+    purchase time (SCD2 dimension from the non-purchase event stream,
+    half-open [valid_from, valid_to) intervals, lead-window build).
+    Returns (status, purchases, value_total)."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    dim = (
+        events.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("user_id").orderBy(
+                    F.asc("valid_from"), F.asc("event_id")
+                )
+            ),
+        )
+        .drop("event_id")
+    )
+    fact = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    pit = fact.join(
+        dim,
+        (fact.user_id == dim.user_id)
+        & (fact.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (fact.ts < dim.valid_to)),
+    )
+    return pit.groupBy("status").agg(
+        F.count("*").alias("purchases"),
+        F.sum(F.round("value", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("value_total"),
+    )

@@ -86,7 +86,7 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "semdedup_prune", "repeated_window_dedup", "chunk_stride_stats",
         "bpe_merge_mining", "outlier_iqr_report", "winsorize_stats",
         "time_gap_fill", "fuzzy_match_recovery", "pagerank_two_iter",
-        "embedding_decontaminate",
+        "embedding_decontaminate", "scd2_point_in_time_join",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join"),
