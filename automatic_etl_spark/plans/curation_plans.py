@@ -954,6 +954,10 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed triangle-count shape; at 100 TB the hot nodes get the
     same skew treatment as every other edge join (AQE skew split)."""
     _corpus, edges = _near_dup_edges(spark, sf_dir)
+    # Materialize the verified edge list once: e1/e2/e3 and the edge
+    # count otherwise re-drive the whole LSH chain 4x (A/B ~1.25x at
+    # sf0.1 — ReusedExchange already absorbs part of the repetition).
+    edges = edges.localCheckpoint(eager=True)
     e1 = edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
     e2 = edges.select(F.col("a_id").alias("b"), F.col("b_id").alias("c"))
     e3 = edges.select(F.col("a_id").alias("a"), F.col("b_id").alias("c"))

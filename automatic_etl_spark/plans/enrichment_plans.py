@@ -1,6 +1,6 @@
-"""Round-5 second pack: semantic dedup, substring-level dedup,
-training-sequence chunking, blocked fuzzy entity resolution, graph
-centrality, and robust outlier detection.
+"""Round-5 second pack: semantic/substring dedup, training-sequence
+prep, entity resolution, graph centrality, robust statistics, and
+warehouse time-travel lookups.
 
 These extend the beyond-reference LLM-pipeline suite with the curation
 stages published pipelines run that the earlier packs did not cover:
@@ -21,13 +21,24 @@ stages published pipelines run that the earlier packs did not cover:
   reconciles tables by exact keys (tools/verificar_datos.py row-count
   pairing); this is the fuzzy-key version of the same audit intent.
 - ``pagerank_two_iter`` — two unrolled PageRank iterations over the
-  verified near-dup graph (the iterative-join pattern beside
+  embedding near-dup graph (the iterative-join pattern beside
   connected components; Spark's canonical Pregel example, expressed
   as DataFrame joins with exact decimal contribution sums).
-- ``outlier_iqr_report`` — per-group robust outliers via PINNED
-  type-1 (lower) quantiles: element selection by row_number, no
-  interpolation, so both engines pick the identical double and the
-  Tukey fences are bit-identical.
+- ``outlier_iqr_report`` / ``winsorize_stats`` — per-group robust
+  outliers and winsorized means via PINNED type-1 (lower) quantiles
+  (operators/quantiles.py): element selection, no interpolation, so
+  both engines pick the identical double and the Tukey fences are
+  bit-identical.
+- ``bpe_merge_mining`` — step 1 of BPE tokenizer training: word-
+  frequency-weighted adjacent-symbol pair counts, ranked over the
+  bounded pair vocabulary.
+- ``embedding_decontaminate`` — argmax cosine against a broadcast
+  held-out eval set (the embedding-space sibling of
+  ngram_decontaminate).
+- ``time_gap_fill`` — dense date-spine zero fill for sparse per-group
+  daily counts.
+- ``scd2_point_in_time_join`` — facts joined to the SCD2 dimension
+  version valid at fact time (half-open validity intervals).
 
 Every float that crosses the engine boundary is either selected (not
 computed), derived from identical IEEE arithmetic, or rounded at one
