@@ -167,3 +167,33 @@ def test_gap_fill_row_count_is_span_times_groups(spark):
     assert sum(r.cnt for r in rows) == con.execute(
         f"SELECT COUNT(*) FROM read_parquet('{SF}/orders.parquet')"
     ).fetchone()[0]
+
+
+def test_pit_join_matches_exactly_purchases_with_prior_activity(spark):
+    """Each purchase matches AT MOST one SCD2 version (half-open
+    intervals partition the timeline), and matches EXACTLY when the
+    user has any non-purchase event at-or-before the purchase ts —
+    verified against an independent exists-style computation."""
+    from pyspark.sql import functions as F
+
+    from automatic_etl_spark.sources.parquet import table
+
+    out = REGISTRY["scd2_point_in_time_join"][0](spark, SF)
+    matched = out.agg(F.sum("purchases")).first()[0]
+
+    ev = table(spark, SF, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    activity = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    expected = (
+        purchases.join(activity, "user_id")
+        .filter(F.col("ts") >= F.col("first_ts"))
+        .count()
+    )
+    assert matched == expected
+    assert matched > 0
