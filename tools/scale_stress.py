@@ -75,6 +75,7 @@ QUERIES = (
     "embedding_decontaminate",  # corpus x broadcast eval (both ~10x:
                                 # the vec_id shift rotates %97 classes)
     "winsorize_stats",        # value-compressed quantiles + clamp agg
+    "scd2_point_in_time_join",  # key-co-partitioned interval join
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
