@@ -36,12 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-5 rotation, oldest-signal-first: (a) the only 2 of 143 queries
 # with no driver row ever (added in r4 beyond the window); (b) the
 # decimal-fidelity fix — r4's single red row must land green; (c) new
-# r05 queries (hard signal on first exposure — 35 entries, so sections
-# a+b+c claim 38 of the 50 slots); (d) queries whose newest green is
-# round 1 (12 of 18 fit; returned_item_customers, rollup_agg,
-# scalar_subquery_filter, shipping_priority, top_k_users,
-# union_all_labels fall past slot 50 — FIRST IN LINE for the r06
-# window); (e) newest green is round 2.
+# r05 queries (hard signal on first exposure — 37 entries, so sections
+# a+b+c claim 40 of the 50 slots); (d) queries whose newest green is
+# round 1 (10 of 18 fit; priority_semi_count, reconciliation,
+# returned_item_customers, rollup_agg, scalar_subquery_filter,
+# shipping_priority, top_k_users, union_all_labels fall past slot 50 —
+# FIRST IN LINE for the r06 window); (e) newest green is round 2.
 # Everything left out has local sf0.01 parity signal every session.
 # Names are asserted against REGISTRY below — a typo fails loudly.
 _CHECK_PRIORITY = [
@@ -65,6 +65,7 @@ _CHECK_PRIORITY = [
     "fuzzy_match_recovery", "pagerank_two_iter", "outlier_iqr_report",
     "bpe_merge_mining", "embedding_decontaminate", "time_gap_fill",
     "winsorize_stats", "scd2_point_in_time_join",
+    "value_histogram_equidepth", "cluster_top_terms",
     # (d) newest green signal is round 1
     "disjunctive_predicate_scan", "exists_semi_join",
     "groupwise_max_orders", "having_filter", "inactive_customers_anti",

@@ -972,3 +972,139 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_total"),
     )
+
+
+# --- Equi-depth histogram ----------------------------------------------------
+# The quantile-bucketed complement of value_histogram_equiwidth:
+# decile cut points from the value-compressed type-1 quantile pass
+# (one call, 9 probabilities), then one broadcast of the 5x9 cut
+# frame counts rows per bucket. Ties pin to the LOWER bucket
+# (value > cut, strict), so bucketing is engine-exact with no FP
+# arithmetic — the cuts are selected input doubles.
+
+EQUIDEPTH_BUCKETS = 10
+
+
+def _sql_bucket_expr() -> str:
+    return " + ".join(
+        f"CASE WHEN e.value > q.d{i} THEN 1 ELSE 0 END"
+        for i in range(1, EQUIDEPTH_BUCKETS)
+    )
+
+
+@register(
+    "value_histogram_equidepth",
+    oracle=f"""
+        WITH vc AS (
+            SELECT event_type, value, COUNT(*) AS c
+            FROM events GROUP BY event_type, value
+        ),
+        cum AS (
+            SELECT event_type, value,
+                   SUM(c) OVER (
+                       PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cc,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM vc
+        ),
+        q AS (
+            SELECT event_type,
+                   {", ".join(
+                       f"MIN(CASE WHEN cc >= CAST(floor(({i} * n + 9)"
+                       f" / 10.0) AS BIGINT) THEN value END) AS d{i}"
+                       for i in range(1, EQUIDEPTH_BUCKETS)
+                   )}
+            FROM cum GROUP BY event_type
+        )
+        SELECT e.event_type,
+               {_sql_bucket_expr()} AS bucket,
+               COUNT(*) AS cnt
+        FROM events e JOIN q USING (event_type)
+        GROUP BY 1, 2
+    """,
+)
+def value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile (equi-depth) histogram of ``events.value`` per
+    event_type: bucket = number of strictly-exceeded decile cuts.
+    Returns (event_type, bucket, cnt) with cnt ≈ n/10 modulo ties."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    probs = {
+        f"d{i}": (i, EQUIDEPTH_BUCKETS)
+        for i in range(1, EQUIDEPTH_BUCKETS)
+    }
+    q = qt.grouped_type1_quantiles(ev, "event_type", "value", probs).drop(
+        "n_events"
+    )
+    bucket = sum(
+        (F.col("value") > F.col(f"d{i}")).cast("int")
+        for i in range(1, EQUIDEPTH_BUCKETS)
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --- k-means cluster labeling ------------------------------------------------
+# The step after clustering that makes clusters HUMAN-readable: top
+# terms per cluster. Embeddings are document embeddings (vec_id ==
+# doc_id); assignment reuses the fixed IVF seed centroids, the doc
+# join brings in text, and one gram-keyed aggregate + per-cluster
+# rank window produce the labels. Scale shape: the explode/aggregate
+# is the token_stats shape; the rank window runs over the bounded
+# (cluster x vocabulary) frame, not over rows.
+
+LABEL_TOP_K = 3
+
+
+@register(
+    "cluster_top_terms",
+    oracle=f"""
+        WITH {_SQL_ASSIGN},
+        toks AS (
+            SELECT a.list_id,
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(lower(d.text)), '\\s+'),
+                       x -> x <> '')) AS term
+            FROM assign a JOIN documents d ON a.n_id = d.doc_id
+        ),
+        tc AS (
+            SELECT list_id, term, COUNT(*) AS term_cnt
+            FROM toks GROUP BY list_id, term
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY list_id ORDER BY term_cnt DESC, term ASC
+            ) AS rank
+            FROM tc
+        )
+        SELECT list_id, term, CAST(term_cnt AS BIGINT) AS term_cnt, rank
+        FROM ranked WHERE rank <= {LABEL_TOP_K}
+    """,
+)
+def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{3} terms per embedding cluster (fixed seed centroids,
+    token multiplicity counted): (list_id, term, term_cnt, rank)."""
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = sim.prepare(emb, role="n")
+    centroids = sim.prepare(
+        emb.filter(F.col("vec_id") % CENTROID_MOD == 3), role="c"
+    )
+    assigned = sim.ivf_assign(corpus, centroids).select("n_id", "list_id")
+    toks = (
+        assigned.join(docs, assigned.n_id == docs.doc_id)
+        .select("list_id", F.explode(tx.tokens("text")).alias("term"))
+    )
+    tc = toks.groupBy("list_id", "term").agg(F.count("*").alias("term_cnt"))
+    w = Window.partitionBy("list_id").orderBy(
+        F.desc("term_cnt"), F.asc("term")
+    )
+    return (
+        tc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LABEL_TOP_K)
+        .select("list_id", "term", "term_cnt", "rank")
+    )

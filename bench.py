@@ -87,6 +87,7 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "bpe_merge_mining", "outlier_iqr_report", "winsorize_stats",
         "time_gap_fill", "fuzzy_match_recovery", "pagerank_two_iter",
         "embedding_decontaminate", "scd2_point_in_time_join",
+        "value_histogram_equidepth", "cluster_top_terms",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join"),

@@ -43,6 +43,7 @@ ORDER_SENSITIVE = [
         "sequence_packing", "bm25_topk", "incremental_dedup",
         "reservoir_per_group", "fuzzy_match_recovery",
         "outlier_iqr_report", "bpe_merge_mining", "winsorize_stats",
+        "value_histogram_equidepth", "cluster_top_terms",
     )
     if n in ORACLE_NAMES
 ]

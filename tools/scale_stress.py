@@ -76,6 +76,8 @@ QUERIES = (
                                 # the vec_id shift rotates %97 classes)
     "winsorize_stats",        # value-compressed quantiles + clamp agg
     "scd2_point_in_time_join",  # key-co-partitioned interval join
+    "value_histogram_equidepth",  # multi-prob quantile + broadcast cuts
+    "cluster_top_terms",        # assignment join + gram agg + rank
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
