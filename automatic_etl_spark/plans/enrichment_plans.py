@@ -1108,3 +1108,121 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= LABEL_TOP_K)
         .select("list_id", "term", "term_cnt", "rank")
     )
+
+
+# --- Correlation matrix via exact moments ------------------------------------
+# The all-pairs generalization of corr_regression_moments: every
+# numeric lineitem measure is scaled to exact integers (quantities
+# are integral; prices floor to whole units; rates pin to basis
+# points via floor(x*10000 + 0.5) — the agreed double->int rounding),
+# then ONE scan produces every first/second moment as
+# partitioning-invariant integer sums, and the 6 pairwise Pearson
+# coefficients are row-local double math unpivoted to long form.
+# At 100 TB the squared sums approach 2^63 — swap the BIGINT sums for
+# DECIMAL(38,0) (same derivation; the analytics_plans module comment).
+
+_CORR_COLS = ("qty", "price", "disc", "tax")
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]
+]
+
+
+def _sql_corr(a: str, b: str) -> str:
+    return (
+        f"round((n * CAST(s_{a}_{b} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * s_{b})"
+        f" / sqrt((n * CAST(s_{a}_{a} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * s_{a})"
+        f" * (n * CAST(s_{b}_{b} AS DOUBLE)"
+        f" - CAST(s_{b} AS DOUBLE) * s_{b})), 6)"
+    )
+
+
+@register(
+    "corr_matrix_moments",
+    oracle=f"""
+        WITH pts AS (
+            SELECT CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(FLOOR(l_extendedprice) AS BIGINT) AS price,
+                   CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS disc,
+                   CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT) AS tax
+            FROM lineitem
+        ),
+        m AS (
+            SELECT COUNT(*) AS n,
+                   {", ".join(
+                       f"CAST(SUM({c}) AS BIGINT) AS s_{c}"
+                       for c in _CORR_COLS
+                   )},
+                   {", ".join(
+                       f"CAST(SUM({a} * {b}) AS BIGINT) AS s_{a}_{b}"
+                       for i, a in enumerate(_CORR_COLS)
+                       for b in _CORR_COLS[i:]
+                   )}
+            FROM pts
+        )
+        SELECT col_x, col_y, CAST(n AS BIGINT) AS n, corr FROM (
+            SELECT n, {", ".join(
+                f"{_sql_corr(a, b)} AS corr_{a}_{b}"
+                for a, b in _CORR_PAIRS
+            )}
+            FROM m
+        ) UNPIVOT (
+            corr FOR pair IN ({", ".join(
+                f"corr_{a}_{b}" for a, b in _CORR_PAIRS
+            )})
+        ), LATERAL (
+            SELECT split_part(pair, '_', 2) AS col_x,
+                   split_part(pair, '_', 3) AS col_y
+        )
+    """,
+)
+def corr_matrix_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of the four lineitem measures in ONE
+    scan: (col_x, col_y, n, corr) for the 6 unordered pairs."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor("l_extendedprice").cast("bigint").alias("price"),
+        F.floor(F.col("l_discount") * 10000 + 0.5).cast("bigint").alias(
+            "disc"
+        ),
+        F.floor(F.col("l_tax") * 10000 + 0.5).cast("bigint").alias("tax"),
+    )
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(c).alias(f"s_{c}") for c in _CORR_COLS]
+    aggs += [
+        F.sum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}")
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i:]
+    ]
+    m = pts.agg(*aggs)
+
+    def corr(a: str, b: str) -> F.Column:
+        n = F.col("n")
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        sab = F.col(f"s_{a}_{b}").cast("double")
+        saa = F.col(f"s_{a}_{a}").cast("double")
+        sbb = F.col(f"s_{b}_{b}").cast("double")
+        return F.round(
+            (n * sab - sa * F.col(f"s_{b}"))
+            / F.sqrt(
+                (n * saa - sa * F.col(f"s_{a}"))
+                * (n * sbb - sb * F.col(f"s_{b}"))
+            ),
+            6,
+        )
+
+    wide = m.select(
+        "n", *[corr(a, b).alias(f"corr_{a}_{b}") for a, b in _CORR_PAIRS]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', corr_{a}_{b}" for a, b in _CORR_PAIRS
+    )
+    return wide.selectExpr(
+        f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_x, col_y, corr)",
+        "n",
+    ).select("col_x", "col_y", "n", "corr")
