@@ -240,3 +240,39 @@ def test_cluster_top_terms_rank_shape(spark):
         counts = [r.term_cnt for r in rs]
         assert counts == sorted(counts, reverse=True)
         assert all(c >= 1 for c in counts)
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    num=st.integers(min_value=1, max_value=99),
+)
+def test_grouped_type1_quantile_matches_python_reference(spark, vals, num):
+    """operators/quantiles.py vs the definition: the type-1 quantile at
+    p = num/100 is sorted_vals[ceil(p*n) - 1]. Random floats, duplicate
+    values included."""
+    from automatic_etl_spark.operators.quantiles import (
+        grouped_type1_quantiles,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    got = grouped_type1_quantiles(
+        df, "grp", "v", {"q": (num, 100)}
+    ).collect()
+    assert len(got) == 1
+    n = len(vals)
+    # exact rational ceil(num/100 * n) — float ceil would mis-round at
+    # boundaries like 0.1 * 10
+    idx = -(-num * n // 100)
+    expected = sorted(vals)[idx - 1]
+    assert got[0].q == expected
+    assert got[0].n_events == n
