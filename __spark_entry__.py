@@ -36,10 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-5 rotation, oldest-signal-first: (a) the only 2 of 143 queries
 # with no driver row ever (added in r4 beyond the window); (b) the
 # decimal-fidelity fix — r4's single red row must land green; (c) new
-# r05 queries (hard signal on first exposure — 38 entries, so sections
-# a+b+c claim 41 of the 50 slots); (d) queries whose newest green is
-# round 1 (9 of 18 fit; order_count_histogram, priority_semi_count,
-# reconciliation,
+# r05 queries (hard signal on first exposure — 39 entries, so sections
+# a+b+c claim 42 of the 50 slots); (d) queries whose newest green is
+# round 1 (8 of 18 fit; left_join_group, order_count_histogram,
+# priority_semi_count, reconciliation,
 # returned_item_customers, rollup_agg, scalar_subquery_filter,
 # shipping_priority, top_k_users, union_all_labels fall past slot 50 —
 # FIRST IN LINE for the r06 window); (e) newest green is round 2.
@@ -67,7 +67,7 @@ _CHECK_PRIORITY = [
     "bpe_merge_mining", "embedding_decontaminate", "time_gap_fill",
     "winsorize_stats", "scd2_point_in_time_join",
     "value_histogram_equidepth", "cluster_top_terms",
-    "corr_matrix_moments",
+    "corr_matrix_moments", "streaming_dq_gate",
     # (d) newest green signal is round 1
     "disjunctive_predicate_scan", "exists_semi_join",
     "groupwise_max_orders", "having_filter", "inactive_customers_anti",

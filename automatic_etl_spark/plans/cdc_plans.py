@@ -765,3 +765,90 @@ def schema_from_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(name, typ, counts[name]) for name, typ in fields],
         "field string, spark_type string, n_nonnull long",
     )
+
+
+@register(
+    "streaming_dq_gate",
+    oracle="""
+        WITH t AS (
+            SELECT COUNT(*) AS rows_scanned,
+                   COUNT(*) FILTER (WHERE value IS NULL) AS null_value,
+                   COUNT(*) FILTER (WHERE value > 100.0) AS value_above_100,
+                   COUNT(*) FILTER (
+                       WHERE event_type NOT IN
+                           ('signup', 'purchase', 'click', 'view', 'error')
+                   ) AS unknown_event_type
+            FROM events
+        )
+        SELECT 'null_value' AS chk, null_value AS violations,
+               rows_scanned FROM t
+        UNION ALL
+        SELECT 'value_above_100', value_above_100, rows_scanned FROM t
+        UNION ALL
+        SELECT 'unknown_event_type', unknown_event_type, rows_scanned FROM t
+    """,
+)
+def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality gate: the DQ constraint checks
+    (dq_constraint_report's Deequ-style intent) evaluated PER
+    MICRO-BATCH in ``foreachBatch`` — the shape a production pipeline
+    uses to fail fast on a bad batch — with the per-batch counts
+    accumulated to exact totals. maxFilesPerTrigger=1 forces multiple
+    batches, so the accumulation path actually executes; the totals
+    are associative sums, so the result is independent of the batch
+    split and equals the whole-table batch computation (the oracle).
+    Driver-side state is one 4-integer dict — bounded, like the audit
+    materialization precedent (ingest.py)."""
+    path = stage_stream_dir(spark, sf_dir, "events")
+    from automatic_etl_spark.session import default_parallelism
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+    totals = {
+        "rows_scanned": 0,
+        "null_value": 0,
+        "value_above_100": 0,
+        "unknown_event_type": 0,
+    }
+
+    def gate(batch_df: DataFrame, _batch_id: int) -> None:
+        row = batch_df.agg(
+            F.count("*").alias("rows_scanned"),
+            F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+            F.sum((F.col("value") > 100.0).cast("long")).alias(
+                "value_above_100"
+            ),
+            F.sum(
+                (
+                    ~F.col("event_type").isin(
+                        "signup", "purchase", "click", "view", "error"
+                    )
+                ).cast("long")
+            ).alias("unknown_event_type"),
+        ).first()
+        for k in totals:
+            totals[k] += row[k] or 0
+        # A real gate would raise here on a violation budget breach,
+        # aborting the stream before bad data lands.
+
+    query = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dq_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    rows = [
+        (chk, totals[chk], totals["rows_scanned"])
+        for chk in ("null_value", "value_above_100", "unknown_event_type")
+    ]
+    return spark.createDataFrame(
+        rows, "chk string, violations long, rows_scanned long"
+    )
