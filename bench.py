@@ -90,7 +90,7 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "value_histogram_equidepth", "cluster_top_terms",
     ),
     # streaming (availableNow, stateful) — last, own JVM
-    ("streaming_hourly_counts", "stream_stream_join"),
+    ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate"),
 )
 
 HEADLINE: tuple[str, ...] = tuple(n for g in GROUPS for n in g)
