@@ -78,6 +78,7 @@ QUERIES = (
     "scd2_point_in_time_join",  # key-co-partitioned interval join
     "value_histogram_equidepth",  # multi-prob quantile + broadcast cuts
     "cluster_top_terms",        # assignment join + gram agg + rank
+    "streaming_dq_gate",        # foreachBatch per-batch scalar aggs
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
