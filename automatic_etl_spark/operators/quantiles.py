@@ -31,8 +31,19 @@ from pyspark.sql import functions as F
 
 
 def _rank_index(n: Column, num: int, den: int) -> Column:
-    """ceil(num/den * n) via integer-exact floor arithmetic."""
-    return F.floor((num * n + (den - 1)) / F.lit(float(den))).cast("long")
+    """ceil(num/den * n) = (num*n + den-1) div den, pure-integer.
+
+    Spark's ``div`` is integral division on longs — no double ever
+    enters, so the index is exact whenever ``num*n + den-1`` fits in
+    int64 (the float-division variant used through round 5 lost
+    exactness already at 2^53). With percentile-grid numerators
+    (num ≤ 99) that is n ≤ ~9.3e16 — two orders of magnitude beyond a
+    100 TB row count. DuckDB oracles mirror this with ``//`` on
+    BIGINTs.
+    """
+    return F.call_function(
+        "div", (num * n + (den - 1)).cast("long"), F.lit(den).cast("long")
+    )
 
 
 def grouped_type1_quantiles(
@@ -45,7 +56,15 @@ def grouped_type1_quantiles(
 
     ``probs`` maps output column name -> (numerator, denominator),
     e.g. ``{"q1": (1, 4), "q3": (3, 4)}``.
+
+    NULL values are excluded up front: a quantile over a set
+    containing NULL is undefined, and leaving them in would shift the
+    cumulative counts by the NULL count (Spark windows order NULLS
+    FIRST, DuckDB NULLS LAST — silent cross-engine divergence).
+    ``n_events`` therefore counts non-NULL rows only; oracles must
+    carry the matching ``WHERE value IS NOT NULL`` in their vc CTE.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     vc = df.groupBy(group_col, value_col).agg(F.count("*").alias("c"))
     wc = (
         Window.partitionBy(group_col)

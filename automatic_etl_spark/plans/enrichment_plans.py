@@ -572,7 +572,8 @@ def pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH vc AS (
             SELECT event_type, value, COUNT(*) AS c
-            FROM events GROUP BY event_type, value
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, value
         ),
         cum AS (
             SELECT event_type, value,
@@ -585,9 +586,9 @@ def pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         q AS (
             SELECT event_type, MAX(n) AS n_events,
-                   MIN(CASE WHEN cc >= CAST(floor((n + 3) / 4.0) AS BIGINT)
+                   MIN(CASE WHEN cc >= (n + 3) // 4
                        THEN value END) AS q1,
-                   MIN(CASE WHEN cc >= CAST(floor((3 * n + 3) / 4.0) AS BIGINT)
+                   MIN(CASE WHEN cc >= (3 * n + 3) // 4
                        THEN value END) AS q3
             FROM cum GROUP BY event_type
         )
@@ -838,7 +839,8 @@ def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH vc AS (
             SELECT event_type, value, COUNT(*) AS c
-            FROM events GROUP BY event_type, value
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, value
         ),
         cum AS (
             SELECT event_type, value,
@@ -851,11 +853,9 @@ def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         q AS (
             SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
-                   MIN(CASE WHEN cc >= CAST(floor((5 * n + 99) / 100.0)
-                                         AS BIGINT)
+                   MIN(CASE WHEN cc >= (n + 19) // 20
                        THEN value END) AS p05,
-                   MIN(CASE WHEN cc >= CAST(floor((95 * n + 99) / 100.0)
-                                         AS BIGINT)
+                   MIN(CASE WHEN cc >= (19 * n + 19) // 20
                        THEN value END) AS p95
             FROM cum GROUP BY event_type
         )
@@ -997,7 +997,8 @@ def _sql_bucket_expr() -> str:
     oracle=f"""
         WITH vc AS (
             SELECT event_type, value, COUNT(*) AS c
-            FROM events GROUP BY event_type, value
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, value
         ),
         cum AS (
             SELECT event_type, value,
@@ -1011,8 +1012,8 @@ def _sql_bucket_expr() -> str:
         q AS (
             SELECT event_type,
                    {", ".join(
-                       f"MIN(CASE WHEN cc >= CAST(floor(({i} * n + 9)"
-                       f" / 10.0) AS BIGINT) THEN value END) AS d{i}"
+                       f"MIN(CASE WHEN cc >= ({i} * n + 9)"
+                       f" // 10 THEN value END) AS d{i}"
                        for i in range(1, EQUIDEPTH_BUCKETS)
                    )}
             FROM cum GROUP BY event_type
@@ -1021,14 +1022,22 @@ def _sql_bucket_expr() -> str:
                {_sql_bucket_expr()} AS bucket,
                COUNT(*) AS cnt
         FROM events e JOIN q USING (event_type)
+        WHERE e.value IS NOT NULL
         GROUP BY 1, 2
     """,
 )
 def value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile (equi-depth) histogram of ``events.value`` per
     event_type: bucket = number of strictly-exceeded decile cuts.
-    Returns (event_type, bucket, cnt) with cnt ≈ n/10 modulo ties."""
-    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    Returns (event_type, bucket, cnt) with cnt ≈ n/10 modulo ties.
+    NULL values are excluded outright (matching the quantile pass) —
+    a NULL value would otherwise bucket as NULL here but 0 in a
+    CASE-ELSE formulation, a silent cross-engine trap (ADVICE r5)."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
     probs = {
         f"d{i}": (i, EQUIDEPTH_BUCKETS)
         for i in range(1, EQUIDEPTH_BUCKETS)

@@ -194,6 +194,23 @@ def main() -> None:
             print(f"bench: group {i} FAILED rc={proc.returncode}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # The final stdout line must stay COMPACT: round 5's line carried
+    # per-query sample pairs + session ages for 61 queries and blew past
+    # the driver's tail-capture window, so BENCH_r05 recorded
+    # parsed=null and the headline total was lost. Detail (raw sample
+    # pairs, session ages, full error text) goes to a side file; stdout
+    # gets only the driver contract fields.
+    detail = {
+        "jvm_groups": len(GROUPS),
+        "session_age_sec": ages,
+        # both raw samples per query (timings = min of the two)
+        "runs": runs,
+        "errors": errors,
+    }
+    log_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "logs")
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "bench_detail.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -204,14 +221,11 @@ def main() -> None:
         # downstream comparisons check measured == expected first.
         "queries_measured": len(timings),
         "queries_expected": len(HEADLINE),
-        "jvm_groups": len(GROUPS),
-        "session_age_sec": ages,
-        # both raw samples per query (timings = min of the two)
-        "runs": runs,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        # names only — full text lives in logs/bench_detail.json
+        out["failed"] = sorted(errors)
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

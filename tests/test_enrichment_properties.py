@@ -245,11 +245,14 @@ def test_cluster_top_terms_rank_shape(spark):
 @PROP
 @given(
     vals=st.lists(
-        st.floats(
-            min_value=-1e6,
-            max_value=1e6,
-            allow_nan=False,
-            allow_infinity=False,
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
         ),
         min_size=1,
         max_size=120,
@@ -258,8 +261,11 @@ def test_cluster_top_terms_rank_shape(spark):
 )
 def test_grouped_type1_quantile_matches_python_reference(spark, vals, num):
     """operators/quantiles.py vs the definition: the type-1 quantile at
-    p = num/100 is sorted_vals[ceil(p*n) - 1]. Random floats, duplicate
-    values included."""
+    p = num/100 is sorted_vals[ceil(p*n) - 1] over NON-NULL values.
+    Random floats, duplicates AND NULLs included — NULLs must not
+    shift the cumulative counts or inflate n (ADVICE r5: Spark windows
+    order NULLS FIRST, DuckDB NULLS LAST, so unfiltered NULLs diverge
+    silently)."""
     from automatic_etl_spark.operators.quantiles import (
         grouped_type1_quantiles,
     )
@@ -268,11 +274,45 @@ def test_grouped_type1_quantile_matches_python_reference(spark, vals, num):
     got = grouped_type1_quantiles(
         df, "grp", "v", {"q": (num, 100)}
     ).collect()
+    present = sorted(v for v in vals if v is not None)
+    n = len(present)
+    if n == 0:
+        assert got == []
+        return
     assert len(got) == 1
-    n = len(vals)
     # exact rational ceil(num/100 * n) — float ceil would mis-round at
     # boundaries like 0.1 * 10
     idx = -(-num * n // 100)
-    expected = sorted(vals)[idx - 1]
+    expected = present[idx - 1]
     assert got[0].q == expected
     assert got[0].n_events == n
+
+
+def test_rank_index_integer_exact_beyond_2_53(spark):
+    """The rank index must survive num*n > 2^53: the module contract
+    says pure-integer arithmetic (Spark `div`, DuckDB `//`), and a
+    double round-trip would snap these values to the nearest
+    representable. Checks exact ceil(num*n/den) on n near 2^60.
+    (The documented bound is num*n + den-1 < 2^63 — long overflow —
+    so cases keep the product inside int64.)"""
+    from pyspark.sql import functions as F
+
+    from automatic_etl_spark.operators.quantiles import _rank_index
+
+    cases = [
+        (2**60 + 7, 3, 7),
+        (2**53 + 1, 1, 2),
+        (2**53 + 1, 95, 100),
+        (10**17 + 3, 19, 20),
+    ]
+    df = spark.createDataFrame(
+        [(n,) for n, _, _ in cases], "n long"
+    )
+    for n, num, den in cases:
+        got = (
+            df.filter(F.col("n") == n)
+            .select(_rank_index(F.col("n"), num, den).alias("r"))
+            .collect()[0]
+            .r
+        )
+        assert got == (num * n + den - 1) // den
