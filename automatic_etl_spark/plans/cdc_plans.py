@@ -791,60 +791,40 @@ def schema_from_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming data-quality gate: the DQ constraint checks
     (dq_constraint_report's Deequ-style intent) evaluated PER
-    MICRO-BATCH in ``foreachBatch`` — the shape a production pipeline
-    uses to fail fast on a bad batch — with the per-batch counts
-    accumulated to exact totals. maxFilesPerTrigger=1 forces multiple
-    batches, so the accumulation path actually executes; the totals
-    are associative sums, so the result is independent of the batch
-    split and equals the whole-table batch computation (the oracle).
-    Driver-side state is one 4-integer dict — bounded, like the audit
-    materialization precedent (ingest.py)."""
+    MICRO-BATCH via streaming/dq.py's ``run_dq_gate`` — the shape a
+    production pipeline uses to fail fast on a bad batch.
+    maxFilesPerTrigger=1 forces multiple batches, so the accumulation
+    path actually executes; the totals are associative sums, so the
+    result is independent of the batch split and equals the
+    whole-table batch computation (the oracle). This query runs with
+    NO budgets (nothing aborts at fixture scale); the abort path and
+    the at-least-once replay guard are pinned by dedicated units in
+    tests/test_streaming.py."""
     path = stage_stream_dir(spark, sf_dir, "events")
     from automatic_etl_spark.session import default_parallelism
+    from automatic_etl_spark.streaming.dq import run_dq_gate
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
-    stream = (
-        spark.readStream.schema(spark.read.parquet(path).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(path)
-    )
-
-    totals = {
-        "rows_scanned": 0,
-        "null_value": 0,
-        "value_above_100": 0,
-        "unknown_event_type": 0,
-    }
-
-    def gate(batch_df: DataFrame, _batch_id: int) -> None:
-        row = batch_df.agg(
-            F.count("*").alias("rows_scanned"),
-            F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
-            F.sum((F.col("value") > 100.0).cast("long")).alias(
-                "value_above_100"
-            ),
-            F.sum(
-                (
-                    ~F.col("event_type").isin(
-                        "signup", "purchase", "click", "view", "error"
-                    )
-                ).cast("long")
-            ).alias("unknown_event_type"),
-        ).first()
-        for k in totals:
-            totals[k] += row[k] or 0
-        # A real gate would raise here on a violation budget breach,
-        # aborting the stream before bad data lands.
-
-    query = (
-        stream.writeStream.foreachBatch(gate)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dq_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        totals = run_dq_gate(
+            stream,
+            checks={
+                "null_value": F.col("value").isNull(),
+                "value_above_100": F.col("value") > 100.0,
+                "unknown_event_type": ~F.col("event_type").isin(
+                    "signup", "purchase", "click", "view", "error"
+                ),
+            },
+            checkpoint=tempfile.mkdtemp(prefix="dq_ckpt_"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     rows = [
         (chk, totals[chk], totals["rows_scanned"])
         for chk in ("null_value", "value_above_100", "unknown_event_type")

@@ -186,3 +186,82 @@ def test_stateful_queries_match_under_rocksdb_state_store(spark, sf_dir):
         finally:
             spark.conf.set(key, prev)
         assert with_rocks == baseline, name
+
+
+def _stage_dq_files(spark, n_files=3):
+    """n single-part parquet files, each 2 rows with exactly 1
+    violation (value IS NULL), so cumulative totals are independent of
+    the (unspecified) file-stream pickup order."""
+    d = tempfile.mkdtemp(prefix="dq_abort_src_")
+    for i in range(n_files):
+        spark.createDataFrame(
+            [(2 * i, None), (2 * i + 1, 5.0)], "event_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_dq_gate_abort_preserves_partial_totals(spark):
+    """The fail-fast path (reference tools/master_orchestrator.py:552-630):
+    a breached budget must RAISE — stream stops, remaining batches never
+    run — and the partial totals up to the abort must survive on the
+    exception."""
+    import glob
+
+    import pytest
+
+    from automatic_etl_spark.streaming.dq import (
+        DQBudgetExceeded,
+        run_dq_gate,
+    )
+
+    src = _stage_dq_files(spark, n_files=3)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 3
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with pytest.raises(DQBudgetExceeded) as ei:
+        run_dq_gate(
+            stream,
+            checks={"null_value": F.col("value").isNull()},
+            checkpoint=tempfile.mkdtemp(prefix="dq_abort_ckpt_"),
+            budgets={"null_value": 1},
+        )
+    exc = ei.value
+    # breach on the SECOND batch: 2 null rows seen, third file unread
+    assert exc.check == "null_value"
+    assert exc.budget == 1
+    assert exc.violations == 2
+    assert exc.totals == {"rows_scanned": 4, "null_value": 2}
+    # the stream is dead, not draining in the background
+    assert not spark.streams.active
+
+
+def test_dq_gate_replay_guard_skips_seen_batch_id(spark):
+    """Spark's foreachBatch contract is at-least-once: a failed
+    micro-batch is re-executed WITH THE SAME batch_id. Accumulation
+    must be idempotent per id (ADVICE r5: a double-counted batch
+    silently diverges from the batch oracle)."""
+    from automatic_etl_spark.streaming.dq import DQGate
+
+    gate = DQGate(checks={"null_value": F.col("value").isNull()})
+    b0 = spark.createDataFrame([(1, None), (2, 3.0)], "id long, value double")
+    b1 = spark.createDataFrame([(3, None)], "id long, value double")
+    gate(b0, 0)
+    gate(b0, 0)  # replay of batch 0 — must not double-count
+    gate(b1, 1)
+    assert gate.totals == {"rows_scanned": 3, "null_value": 2}
+    assert gate.seen == {0, 1}
+
+
+def test_dq_gate_rejects_budget_for_unknown_check(spark):
+    import pytest
+
+    from automatic_etl_spark.streaming.dq import DQGate
+
+    with pytest.raises(ValueError, match="unknown checks"):
+        DQGate(
+            checks={"null_value": F.col("value").isNull()},
+            budgets={"typo_check": 1},
+        )
