@@ -43,8 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # session. Names are asserted against REGISTRY below — a typo fails
 # loudly.
 _CHECK_PRIORITY = [
-    # (a) new in r06 — names are appended here the moment each query
-    # registers (the assert below keeps this list honest)
+    # (a) new in r06 — hard signal on first exposure
+    "null_safe_quantiles", "window_frame_functions",
+    "higher_order_array_ops", "ann_recall_report",
+    "minhash_jaccard_calibration", "substring_decontaminate",
+    "zipf_slope_by_lang",
     # (b) newest green signal is round 1 — stale 5 rounds
     "left_join_group", "order_count_histogram", "priority_semi_count",
     "reconciliation", "returned_item_customers", "rollup_agg",

@@ -596,3 +596,85 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+# --- Window frame / value-function family (r6) --------------------------------
+# Completes the analytic-window surface beside ranking_functions
+# (rank/dense_rank/ntile) and daily_moving_avg (sliding frames):
+# first_value / last_value / nth_value over an EXPLICIT full frame,
+# plus percent_rank and cume_dist. Frames are pinned ROWS BETWEEN on
+# both engines — last_value under the default frame (up to CURRENT
+# ROW) is the classic silent-wrong-answer; the explicit unbounded
+# frame makes the value deterministic and engine-identical. Order is
+# fully tie-broken (ts, event_id) so every value function selects the
+# same row on both sides. One window partitioning → one shuffle; the
+# final per-type aggregate reuses the same key.
+
+NTH_POS = 3
+
+
+@register(
+    "window_frame_functions",
+    oracle=f"""
+        WITH w AS (
+            SELECT event_type,
+                   first_value(value) OVER win AS fv,
+                   last_value(value) OVER win AS lv,
+                   nth_value(value, {NTH_POS}) OVER win AS nth3,
+                   percent_rank() OVER
+                       (PARTITION BY event_type
+                        ORDER BY ts ASC, event_id ASC) AS pr,
+                   cume_dist() OVER
+                       (PARTITION BY event_type
+                        ORDER BY ts ASC, event_id ASC) AS cd
+            FROM events WHERE value IS NOT NULL
+            WINDOW win AS (
+                PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+            )
+        )
+        SELECT event_type, COUNT(*) AS cnt,
+               MIN(fv) AS first_val, MIN(lv) AS last_val,
+               MIN(nth3) AS third_val,
+               CAST(SUM(CAST(round(pr, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS pr_total,
+               CAST(SUM(CAST(round(cd, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS cd_total
+        FROM w GROUP BY event_type
+    """,
+)
+def window_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over an explicit unbounded ROWS frame plus
+    percent_rank/cume_dist, aggregated per event_type. The value
+    functions are constant within a partition (full frame), so
+    MIN(...) just collapses them; percent_rank/cume_dist derive from
+    integer ranks → identical doubles, rounded once then decimal-
+    summed."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    order = [F.asc("ts"), F.asc("event_id")]
+    full = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ordered = Window.partitionBy("event_type").orderBy(*order)
+    w = ev.select(
+        "event_type",
+        F.first("value").over(full).alias("fv"),
+        F.last("value").over(full).alias("lv"),
+        F.nth_value("value", NTH_POS).over(full).alias("nth3"),
+        F.percent_rank().over(ordered).alias("pr"),
+        F.cume_dist().over(ordered).alias("cd"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.min("fv").alias("first_val"),
+        F.min("lv").alias("last_val"),
+        F.min("nth3").alias("third_val"),
+        F.sum(F.round("pr", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("pr_total"),
+        F.sum(F.round("cd", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("cd_total"),
+    )

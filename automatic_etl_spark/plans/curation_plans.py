@@ -970,3 +970,177 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("triangle_id_total"),
     )
     return n_edges.crossJoin(F.broadcast(stats))
+
+
+# --- Exact-substring decontamination (r6) -------------------------------------
+# The substring-containment sibling of ngram_decontaminate: a training
+# doc is contaminated if it CONTAINS a benchmark doc's opening span
+# verbatim (the check eval-suite hosts publish — answers leak as
+# whole spans, not token-grid-aligned n-grams). Corpus reuses the
+# dedup plant (every 10th doc duplicated under +1000000), so planted
+# copies of benchmark docs are guaranteed hits. Scale shape: the eval
+# side is tiny (eval suites are), so it broadcasts and the train side
+# is ONE linear scan with a per-row contains probe — a broadcast
+# nested-loop join whose inner side is a handful of spans; no shuffle
+# of the corpus at all.
+
+from automatic_etl_spark.plans.dedup_plans import _corpus, _sql_corpus
+
+EVAL_MOD = 97
+SPAN_LEN = 40
+MIN_SPAN = 20
+
+
+@register(
+    "substring_decontaminate",
+    oracle=f"""
+        WITH {_sql_corpus(near_dups=False)},
+        evalset AS (
+            SELECT DISTINCT substr(lower(trim(text)), 1, {SPAN_LEN}) AS span
+            FROM corpus
+            WHERE doc_id % {EVAL_MOD} = 0 AND doc_id < 1000000
+              AND length(substr(lower(trim(text)), 1, {SPAN_LEN}))
+                  >= {MIN_SPAN}
+        ),
+        train AS (
+            SELECT doc_id, lang, lower(trim(text)) AS t FROM corpus
+            WHERE doc_id % {EVAL_MOD} <> 0 OR doc_id >= 1000000
+        ),
+        flagged AS (
+            SELECT DISTINCT tr.doc_id
+            FROM train tr JOIN evalset e ON contains(tr.t, e.span)
+        )
+        SELECT tr.lang,
+               COUNT(*) AS train_docs,
+               COUNT(f.doc_id) AS flagged_docs,
+               CAST(COALESCE(SUM(f.doc_id), 0) AS BIGINT)
+                   AS flagged_id_total
+        FROM train tr LEFT JOIN flagged f ON tr.doc_id = f.doc_id
+        GROUP BY tr.lang
+    """,
+)
+def substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs containing any benchmark doc's opening
+    {40}-char span verbatim. Eval spans broadcast; the corpus is
+    scanned once with a row-local contains probe. Returns per-lang
+    (train_docs, flagged_docs, flagged_id_total)."""
+    corpus = _corpus(spark, sf_dir, near_dups=False)
+    norm = F.lower(F.trim(F.col("text")))
+    evalset = (
+        corpus.filter(
+            (F.col("doc_id") % EVAL_MOD == 0) & (F.col("doc_id") < 1000000)
+        )
+        .select(F.substring(norm, 1, SPAN_LEN).alias("span"))
+        .filter(F.length("span") >= MIN_SPAN)
+        .distinct()
+    )
+    train = corpus.filter(
+        (F.col("doc_id") % EVAL_MOD != 0) | (F.col("doc_id") >= 1000000)
+    ).select("doc_id", "lang", norm.alias("t"))
+    flagged = (
+        train.join(F.broadcast(evalset), F.contains(F.col("t"), F.col("span")))
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        train.join(flagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("train_docs"),
+            F.count("hit").alias("flagged_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("hit") == 1, F.col("doc_id"))), F.lit(0)
+            ).alias("flagged_id_total"),
+        )
+    )
+
+
+# --- Zipf slope per language (r6) ---------------------------------------------
+# Corpus-health diagnostic: natural language follows Zipf's law with
+# exponent ~1; a corpus whose log-rank/log-frequency slope drifts far
+# from -1 is boilerplate-heavy or template-generated. Least-squares
+# fit of ln(freq) on ln(rank) over each language's vocabulary — the
+# rank window runs over the VOCABULARY (bounded), not the corpus, and
+# the moments are decimal-pinned sums of once-rounded doubles, so the
+# fitted slope is engine-identical.
+
+
+@register(
+    "zipf_slope_by_lang",
+    oracle="""
+        WITH toks AS (
+            SELECT lang,
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS tok
+            FROM documents
+        ),
+        vocab AS (
+            SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY lang, tok
+        ),
+        pts AS (
+            SELECT lang,
+                   round(ln(CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY c DESC, tok ASC
+                   ) AS DOUBLE)), 6) AS x,
+                   round(ln(CAST(c AS DOUBLE)), 6) AS y
+            FROM vocab
+        ),
+        m AS (
+            SELECT lang, COUNT(*) AS n,
+                   SUM(CAST(x AS DECIMAL(28,8))) AS sx,
+                   SUM(CAST(y AS DECIMAL(28,8))) AS sy,
+                   SUM(CAST(round(x * y, 8) AS DECIMAL(28,8))) AS sxy,
+                   SUM(CAST(round(x * x, 8) AS DECIMAL(28,8))) AS sxx
+            FROM pts GROUP BY lang
+        )
+        SELECT lang, CAST(n AS BIGINT) AS n_vocab,
+               round((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS zipf_slope
+        FROM m
+    """,
+)
+def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(freq) vs ln(rank) over each lang's
+    token vocabulary — the Zipf-law corpus diagnostic. Returns
+    (lang, n_vocab, zipf_slope). Ranks tie-break on token text; x/y
+    round once, moments accumulate as decimals."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("lang", F.explode(tx.tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    pts = vocab.select(
+        "lang",
+        F.round(F.log(F.row_number().over(w).cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
+    )
+    m = pts.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,8)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,8)")).alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 8).cast("decimal(28,8)"))
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(28,8)"))
+        .alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return m.select(
+        "lang",
+        n.alias("n_vocab"),
+        F.round(
+            (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
+        ).alias("zipf_slope"),
+    )

@@ -418,3 +418,105 @@ def dedup_final_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 100)).alias("cents_total"),
         )
     )
+
+
+# --- MinHash estimator calibration (r6) ---------------------------------------
+# The QA step a production near-dup pipeline runs before trusting its
+# signatures: for every LSH candidate pair, compare the MinHash
+# ESTIMATE of Jaccard (fraction of agreeing signature components —
+# the unbiased estimator the whole scheme rests on) against the EXACT
+# shingle Jaccard, and histogram the absolute error. Estimate and
+# exact are both derived from integer counts over identical md5
+# min-hashes, so the error buckets are engine-exact. Scale shape:
+# everything is keyed by the (bounded) candidate set — the estimate
+# is a signature self-join on candidates, the exact term reuses the
+# candidate-driven intersection probe (linear in candidates, immune
+# to hot-shingle skew).
+
+ERR_BUCKETS = 10
+
+
+@register(
+    "minhash_jaccard_calibration",
+    oracle=f"""
+        WITH {_sql_corpus(near_dups=True)},
+        {_SQL_SHINGLES},
+        {_SQL_SIGNATURES},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM sig a JOIN sig b
+              ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+        ),
+        est AS (
+            SELECT c.a_id, c.b_id,
+                   ({" + ".join(
+                       f"CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END"
+                       for k in range(NUM_HASHES)
+                   )}) / CAST({NUM_HASHES} AS DOUBLE) AS est_j
+            FROM cand c
+            JOIN sig a ON a.doc_id = c.a_id
+            JOIN sig b ON b.doc_id = c.b_id
+        ),
+        {_SQL_JACCARD},
+        joined AS (
+            SELECT e.a_id, e.b_id, e.est_j,
+                   COALESCE(j.jaccard, 0.0) AS exact_j
+            FROM est e LEFT JOIN jac j
+              ON e.a_id = j.a_id AND e.b_id = j.b_id
+        )
+        SELECT LEAST(CAST(floor(abs(est_j - exact_j) * {ERR_BUCKETS})
+                          AS INT), {ERR_BUCKETS - 1}) AS err_bucket,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(round(est_j, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS est_total,
+               CAST(SUM(CAST(round(exact_j, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS exact_total
+        FROM joined GROUP BY 1
+    """,
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute-error histogram of the MinHash Jaccard estimator vs
+    exact shingle Jaccard over the LSH candidate pairs:
+    (err_bucket, cnt, est_total, exact_total), bucket = floor(|est −
+    exact|·10) capped at 9. est and exact both reduce to integer
+    counts over the same hashes, so buckets are engine-exact."""
+    corpus = _corpus(spark, sf_dir, near_dups=True)
+    sh = td.shingle_rows(corpus)
+    signatures = td.minhash_signatures(sh, NUM_HASHES)
+    candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)
+
+    agree = sum(
+        (F.col(f"a.h{k}") == F.col(f"b.h{k}")).cast("int")
+        for k in range(NUM_HASHES)
+    )
+    est = (
+        candidates.join(
+            signatures.alias("a"), F.col("a.doc_id") == F.col("a_id")
+        )
+        .join(signatures.alias("b"), F.col("b.doc_id") == F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            (agree / F.lit(float(NUM_HASHES))).alias("est_j"),
+        )
+    )
+    exact = td.jaccard_pairs(sh, candidates=candidates).select(
+        "a_id", "b_id", F.col("jaccard").alias("exact_j")
+    )
+    joined = est.join(exact, ["a_id", "b_id"], "left").select(
+        "a_id", "b_id", "est_j",
+        F.coalesce("exact_j", F.lit(0.0)).alias("exact_j"),
+    )
+    bucket = F.least(
+        F.floor(F.abs(F.col("est_j") - F.col("exact_j")) * ERR_BUCKETS)
+        .cast("int"),
+        F.lit(ERR_BUCKETS - 1),
+    )
+    return joined.groupBy(bucket.alias("err_bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round("est_j", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("est_total"),
+        F.sum(F.round("exact_j", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("exact_total"),
+    )

@@ -1235,3 +1235,64 @@ def corr_matrix_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_x, col_y, corr)",
         "n",
     ).select("col_x", "col_y", "n", "corr")
+
+
+# --- NULL-safe quantiles (r6) -------------------------------------------------
+# Drives the quantile operator's NULL-exclusion path with NULLs
+# actually PRESENT (the stock fixtures have none — the round-5 advice
+# found the NULL divergence latent precisely because nothing exercised
+# it at driver level). A deterministic ~14% of values are nulled via
+# event_id so both engines derive the identical NULL mask; the
+# quantile construction then must ignore them entirely: n counts
+# non-NULL rows only, and the cumulative window never sees a NULL
+# (Spark would order them FIRST, DuckDB LAST — the silent-shift trap).
+
+NULLQ_MOD = 7
+
+
+@register(
+    "null_safe_quantiles",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type,
+                   CASE WHEN event_id % {NULLQ_MOD} = 0 THEN NULL
+                        ELSE value END AS v
+            FROM events
+        ),
+        vc AS (
+            SELECT event_type, v AS value, COUNT(*) AS c
+            FROM base WHERE v IS NOT NULL
+            GROUP BY event_type, v
+        ),
+        cum AS (
+            SELECT event_type, value,
+                   SUM(c) OVER (
+                       PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cc,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM vc
+        )
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+               MIN(CASE WHEN cc >= (n + 3) // 4 THEN value END) AS q1,
+               MIN(CASE WHEN cc >= (n + 1) // 2 THEN value END) AS med,
+               MIN(CASE WHEN cc >= (3 * n + 3) // 4 THEN value END) AS q3
+        FROM cum GROUP BY event_type
+    """,
+)
+def null_safe_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 quartiles per event_type over a value column with
+    deterministically planted NULLs (event_id % {7} == 0): NULLs must
+    not shift the cumulative counts or inflate n. Returns
+    (event_type, n_events, q1, med, q3) where n_events counts
+    non-NULL values only."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % NULLQ_MOD == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return qt.grouped_type1_quantiles(
+        ev, "event_type", "v",
+        {"q1": (1, 4), "med": (1, 2), "q3": (3, 4)},
+    )

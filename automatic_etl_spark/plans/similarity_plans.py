@@ -373,3 +373,188 @@ def kmeans_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = sim.mean_centroids(inverted)  # iteration 1: update
     inverted = sim.ivf_assign(corpus, cent)  # iteration 2: assign
     return sim.mean_centroid_stats(inverted)  # iteration 2: update stats
+
+
+# --- Higher-order array function surface (r6) ---------------------------------
+# The HOF family over array columns in one oracle-checked pass:
+# transform (double cast), filter (sign census), reverse + zip_with/
+# aggregate (reversed self-dot), slice (head sub-vector), array_max.
+# These are the building blocks every embedding/tensor column
+# manipulation reduces to, and they all run inside whole-stage codegen
+# (no UDF, no Python). Per-row work only — zero shuffles until the
+# tiny label aggregate.
+
+HEAD_DIMS = 8
+
+
+@register(
+    "higher_order_array_ops",
+    oracle=f"""
+        WITH e AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        per AS (
+            SELECT label,
+                   len(list_filter(v, x -> x > 0)) AS pos_cnt,
+                   round(CAST(list_max(v) AS DOUBLE), 6) AS max_c,
+                   round(list_dot_product(v, list_reverse(v)), 6) AS revdot,
+                   round(list_dot_product(v[1:{HEAD_DIMS}],
+                                          v[1:{HEAD_DIMS}]), 6) AS head_norm2
+            FROM e
+        )
+        SELECT label, COUNT(*) AS cnt,
+               CAST(SUM(pos_cnt) AS BIGINT) AS pos_total,
+               MAX(max_c) AS max_component,
+               CAST(SUM(CAST(revdot AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revdot_total,
+               CAST(SUM(CAST(head_norm2 AS DECIMAL(18,6))) AS DOUBLE)
+                   AS head_norm2_total
+        FROM per GROUP BY label
+    """,
+)
+def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array HOF census over ``embeddings`` per label: positive-
+    component counts (filter), max component (array_max), reversed
+    self-dot (reverse + zip_with + aggregate fold), head sub-vector
+    norm² (slice + fold). All vectorized Column expressions; the
+    reversed dot reuses the left-fold ``vec.dot`` verified
+    bit-identical to DuckDB's list_dot_product."""
+    from automatic_etl_spark.functions import vectors as vec
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = vec.to_double_array("embedding")
+    per = emb.select(
+        "label",
+        F.size(F.filter(v, lambda x: x > 0)).alias("pos_cnt"),
+        F.round(F.array_max(v), 6).alias("max_c"),
+        F.round(vec.dot(v, F.reverse(v)), 6).alias("revdot"),
+        F.round(
+            vec.dot(F.slice(v, 1, HEAD_DIMS), F.slice(v, 1, HEAD_DIMS)), 6
+        ).alias("head_norm2"),
+    )
+    return per.groupBy("label").agg(
+        F.count("*").alias("cnt"),
+        F.sum("pos_cnt").alias("pos_total"),
+        F.max("max_c").alias("max_component"),
+        F.sum(F.col("revdot").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revdot_total"),
+        F.sum(F.col("head_norm2").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("head_norm2_total"),
+    )
+
+
+# --- ANN recall report (r6) ---------------------------------------------------
+# The measurement that justifies shipping IVF as the scale path:
+# recall@K of the nprobe=2 IVF search against brute-force ground
+# truth. At 100 TB you can't run the brute baseline on everything —
+# but you CAN run it on the (tiny) query set, which is exactly this
+# query's shape: truth = brute-force over queries only (broadcast
+# queries, corpus partition-scanned once), approx = the IVF plan,
+# then an equi-join on (q_id, n_id) counts hits. Both rankings pin
+# ties by (score DESC, n_id ASC) on rounded scores, so the top-K sets
+# are engine-identical and recall is an exact integer ratio.
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+        WITH {_SQL_ASSIGN},
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e
+              WHERE vec_id % {QUERY_MOD} = 0),
+        truth AS (
+            SELECT q_id, n_id FROM (
+                SELECT q_id, n_id, ROW_NUMBER() OVER (
+                    PARTITION BY q_id ORDER BY score DESC, n_id ASC
+                ) AS rank FROM (
+                    SELECT q.q_id, n.n_id,
+                           round(list_dot_product(q.qv, n.nv)
+                                 / (sqrt(list_dot_product(q.qv, q.qv))
+                                    * sqrt(list_dot_product(n.nv, n.nv))), 6)
+                               AS score
+                    FROM q CROSS JOIN
+                         (SELECT n_id, nv FROM assign) n
+                    WHERE n.n_id <> q.q_id
+                )
+            ) WHERE rank <= {K}
+        ),
+        probe AS (
+            SELECT q_id, c_id AS list_id, qv FROM (
+                SELECT q.q_id, q.qv, c.c_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY list_dot_product(q.qv, c.cv)
+                                    / (sqrt(list_dot_product(q.qv, q.qv))
+                                       * sqrt(list_dot_product(c.cv, c.cv)))
+                                    DESC,
+                                    c.c_id ASC
+                       ) AS rn
+                FROM q CROSS JOIN c
+            ) WHERE rn <= {NPROBE}
+        ),
+        approx AS (
+            SELECT q_id, n_id FROM (
+                SELECT s.q_id, s.n_id, ROW_NUMBER() OVER (
+                    PARTITION BY s.q_id ORDER BY s.score DESC, s.n_id ASC
+                ) AS rank FROM (
+                    SELECT p.q_id, a.n_id,
+                           round(list_dot_product(p.qv, a.nv)
+                                 / (sqrt(list_dot_product(p.qv, p.qv))
+                                    * sqrt(list_dot_product(a.nv, a.nv))), 6)
+                               AS score
+                    FROM probe p JOIN assign a USING (list_id)
+                    WHERE a.n_id <> p.q_id
+                ) s
+            ) WHERE rank <= {K}
+        ),
+        hits AS (
+            SELECT t.q_id, COUNT(a.n_id) AS h
+            FROM truth t LEFT JOIN approx a
+              ON t.q_id = a.q_id AND t.n_id = a.n_id
+            GROUP BY t.q_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(h) AS BIGINT) AS hits_total,
+               CAST(MIN(h) AS BIGINT) AS min_hits,
+               CAST(MAX(h) AS BIGINT) AS max_hits,
+               round(SUM(h) / CAST(COUNT(*) * {K} AS DOUBLE), 6)
+                   AS recall_at_k
+        FROM hits
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{K} of IVF (nprobe={NPROBE}, fixed seed centroids)
+    against brute-force ground truth over the query set: one row
+    (n_queries, hits_total, min_hits, max_hits, recall_at_k). Hit
+    counting is a (q_id, n_id) equi-join of two deterministically
+    tie-broken top-K sets — exact integers; recall is their ratio."""
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = sim.prepare(emb, role="n")
+    queries = sim.prepare(
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0), role="q"
+    )
+    centroids = sim.prepare(
+        emb.filter(F.col("vec_id") % CENTROID_MOD == 3), role="c"
+    )
+    truth = sim.brute_force_topk(corpus, queries, k=K).select("q_id", "n_id")
+    approx = sim.ivf_topk(corpus, queries, centroids, k=K, nprobe=NPROBE)
+    approx = approx.select("q_id", F.col("n_id").alias("a_n_id"))
+    hits = (
+        truth.join(
+            approx,
+            (truth.q_id == approx.q_id) & (truth.n_id == approx.a_n_id),
+            "left",
+        )
+        .groupBy(truth.q_id)
+        .agg(F.count("a_n_id").alias("h"))
+    )
+    return hits.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("h").alias("hits_total"),
+        F.min("h").alias("min_hits"),
+        F.max("h").alias("max_hits"),
+        F.round(
+            F.sum("h") / (F.count("*") * F.lit(K)).cast("double"), 6
+        ).alias("recall_at_k"),
+    )
