@@ -176,8 +176,12 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        query.awaitTermination()
+    finally:
+        # restore even when the stream raises — a failed stream must
+        # not leak the pinned partition count into later queries
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.table(name)
 
 
@@ -225,8 +229,12 @@ def streaming_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        query.awaitTermination()
+    finally:
+        # restore even when the stream raises — a failed stream must
+        # not leak the pinned partition count into later queries
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -283,8 +291,12 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        query.awaitTermination()
+    finally:
+        # restore even when the stream raises — a failed stream must
+        # not leak the pinned partition count into later queries
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -341,8 +353,12 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        query.awaitTermination()
+    finally:
+        # restore even when the stream raises — a failed stream must
+        # not leak the pinned partition count into later queries
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     from pyspark.sql import Window
 
@@ -432,8 +448,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        query.awaitTermination()
+    finally:
+        # restore even when the stream raises — a failed stream must
+        # not leak the pinned partition count into later queries
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return (
         spark.table(name)
         .groupBy(F.col("s_user").alias("user_id"))
@@ -574,8 +594,12 @@ def streaming_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        query.awaitTermination()
+    finally:
+        # restore even when the stream raises — a failed stream must
+        # not leak the pinned partition count into later queries
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.table(name)
 
 
@@ -624,8 +648,12 @@ def streaming_upsert_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        query.awaitTermination()
+    finally:
+        # restore even when the stream raises — a failed stream must
+        # not leak the pinned partition count into later queries
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return (
         spark.read.parquet(silver)
         .groupBy("event_type")
@@ -689,8 +717,12 @@ def streaming_upsert_partitioned_pipe(spark: SparkSession, sf_dir: str) -> DataF
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        query.awaitTermination()
+    finally:
+        # restore even when the stream raises — a failed stream must
+        # not leak the pinned partition count into later queries
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return (
         spark.read.parquet(silver)
         .groupBy("user_bucket")

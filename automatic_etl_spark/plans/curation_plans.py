@@ -1109,9 +1109,16 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     token vocabulary — the Zipf-law corpus diagnostic. Returns
     (lang, n_vocab, zipf_slope). Ranks tie-break on token text; x/y
     round once, moments accumulate as decimals."""
+    return zipf_slope(table(spark, sf_dir, "documents"))
+
+
+def zipf_slope(docs: DataFrame) -> DataFrame:
+    """The computation behind ``zipf_slope_by_lang``, on any
+    (lang, text) frame — separated so the property test can feed a
+    synthetic corpus with a known slope and compare against a pure-
+    Python least-squares reference."""
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
     vocab = (
         docs.select("lang", F.explode(tx.tokens("text")).alias("tok"))
         .groupBy("lang", "tok")

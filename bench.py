@@ -89,6 +89,15 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "embedding_decontaminate", "scd2_point_in_time_join",
         "value_histogram_equidepth", "cluster_top_terms",
     ),
+    # round-6 pack (NULL-safe quantiles, window value functions,
+    # array HOFs, ANN recall, MinHash calibration, substring decon,
+    # Zipf fit)
+    (
+        "null_safe_quantiles", "window_frame_functions",
+        "higher_order_array_ops", "ann_recall_report",
+        "minhash_jaccard_calibration", "substring_decontaminate",
+        "zipf_slope_by_lang",
+    ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate"),
 )

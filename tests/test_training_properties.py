@@ -168,3 +168,72 @@ def test_reservoir_stable_across_partitionings(spark):
         )
 
     assert sample(1) == sample(13)
+
+
+def test_zipf_slope_matches_python_reference(spark):
+    """plans/curation_plans.zipf_slope vs a pure-Python least-squares
+    fit on a synthetic corpus with known token frequencies (tok_i
+    appearing 2^i times → slope = -ln2/mean-spacing shape). The Spark
+    pipeline ranks, logs, rounds, and decimal-sums; the reference
+    computes the same rounded points directly."""
+    import math
+
+    from automatic_etl_spark.plans.curation_plans import zipf_slope
+
+    freqs = {"aa": 16, "bb": 8, "cc": 4, "dd": 2, "ee": 1}
+    text = " ".join(" ".join([t] * c) for t, c in sorted(freqs.items()))
+    docs = spark.createDataFrame([("xx", text)], "lang string, text string")
+    row = zipf_slope(docs).collect()[0]
+    assert row.lang == "xx"
+    assert row.n_vocab == len(freqs)
+
+    # reference: identical construction in plain Python
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (round(math.log(i + 1), 6), round(math.log(c), 6))
+        for i, (_t, c) in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(round(x * y, 8) for x, y in pts)
+    sxx = sum(round(x * x, 8) for x, _ in pts)
+    expected = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    assert abs(row.zipf_slope - expected) < 1e-6
+    # powers of two at ranks 1..5: strongly negative, Zipf-like
+    assert row.zipf_slope < -1.0
+
+
+def test_ann_recall_report_invariants(spark):
+    """recall@K is a ratio of exact integer hit counts: bounded by
+    [0,1], consistent with its own min/max, and the truth set always
+    has exactly K rows per query (corpus >> K at every fixture SF)."""
+    from automatic_etl_spark.plans.all_plans import REGISTRY
+    from automatic_etl_spark.plans.similarity_plans import K
+
+    row = REGISTRY["ann_recall_report"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row.n_queries > 0
+    assert 0 <= row.min_hits <= row.max_hits <= K
+    assert 0.0 <= row.recall_at_k <= 1.0
+    assert row.recall_at_k == round(
+        row.hits_total / (row.n_queries * K), 6
+    )
+
+
+def test_minhash_calibration_buckets_bounded(spark):
+    """Every calibration row lands in a valid error bucket, and the
+    planted near-dup pairs (high exact Jaccard, agreeing signatures)
+    keep the low-error buckets populated."""
+    from automatic_etl_spark.plans.all_plans import REGISTRY
+    from automatic_etl_spark.plans.dedup_plans import ERR_BUCKETS
+
+    rows = REGISTRY["minhash_jaccard_calibration"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    buckets = {r.err_bucket for r in rows}
+    assert all(0 <= b < ERR_BUCKETS for b in buckets)
+    assert 0 in buckets  # planted dups estimate ≈ exact
+    assert all(r.cnt >= 1 for r in rows)
