@@ -79,6 +79,17 @@ QUERIES = (
     "value_histogram_equidepth",  # multi-prob quantile + broadcast cuts
     "cluster_top_terms",        # assignment join + gram agg + rank
     "streaming_dq_gate",        # foreachBatch per-batch scalar aggs
+    # round-6 pack
+    "null_safe_quantiles",      # value-compressed quantiles + NULL mask
+    "minhash_jaccard_calibration",  # candidate-keyed estimate/exact join
+    "substring_decontaminate",  # corpus scan x broadcast spans (spans
+                                # scale 10x with the id shift -> ~100x
+                                # contains probes upper bound; per-row
+                                # scan cost dominates locally)
+    "zipf_slope_by_lang",       # vocab-keyed agg + bounded rank window
+    "ann_recall_report",        # brute truth x IVF approx (query set
+                                # scales 10x -> same caveat class as
+                                # ann_ivf_topk)
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
