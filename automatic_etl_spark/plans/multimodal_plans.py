@@ -60,6 +60,47 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_features_arrow",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   'txt' AS fmt,
+                   octet_length(encode(text)) AS n_bytes,
+                   64 + {_sql_hexval("substr(md5(text), 1, 1)")} * 8 AS fake_width,
+                   64 + {_sql_hexval("substr(md5(text), 2, 1)")} * 8 AS fake_height,
+                   md5(text) AS payload_md5
+            FROM documents
+        )
+        SELECT fmt,
+               COUNT(*) AS cnt,
+               CAST(SUM(n_bytes) AS BIGINT) AS bytes_total,
+               CAST(SUM(fake_width) AS BIGINT) AS width_total,
+               CAST(SUM(fake_height) AS BIGINT) AS height_total,
+               COUNT(DISTINCT payload_md5) AS distinct_payloads
+        FROM feats GROUP BY fmt
+    """,
+)
+def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow feature path (zero-copy Arrow batches — see
+    operators/multimodal.extract_features_arrow) against the SAME
+    oracle as multimodal_features: both Python-batch transports must
+    produce identical results."""
+    from automatic_etl_spark.operators.multimodal import (
+        extract_features_arrow,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    feats = extract_features_arrow(make_blob_table(docs))
+    return feats.groupBy("fmt").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_bytes").alias("bytes_total"),
+        F.sum("fake_width").alias("width_total"),
+        F.sum("fake_height").alias("height_total"),
+        F.countDistinct("payload_md5").alias("distinct_payloads"),
+    )
+
+
+@register(
     "multimodal_resize",
     oracle=f"""
         WITH dims AS (

@@ -931,3 +931,20 @@ def test_cleanup_catalog_ignores_temp_views(spark, tmp_path):
     finally:
         spark.catalog.dropTempView("stale_temp_view")
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_multimodal_arrow_matches_pandas_path(spark, sf_dir):
+    """mapInArrow and mapInPandas are two transports for the same
+    extraction: outputs must be row-identical (same fake decode, same
+    schema, no pandas dtype coercion drift)."""
+    from automatic_etl_spark.operators.multimodal import (
+        extract_features,
+        extract_features_arrow,
+        make_blob_table,
+    )
+    from automatic_etl_spark.sources.parquet import table
+
+    blobs = make_blob_table(table(spark, sf_dir, "documents"))
+    via_pandas = sorted(map(tuple, extract_features(blobs).collect()))
+    via_arrow = sorted(map(tuple, extract_features_arrow(blobs).collect()))
+    assert via_pandas == via_arrow
