@@ -317,3 +317,56 @@ def schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("nat").alias("nat_present"),
         F.coalesce(F.sum("nat"), F.lit(0)).alias("nat_total"),
     )
+
+
+# --- Compaction / small-file audit (r6) ---------------------------------------
+# The small-file problem is THE operational failure mode of large
+# parquet lakes: a partitioned write WITHOUT co-partitioning first
+# emits one file per (task × partition-value) — at 1000 tasks × 1000
+# partition values that is a million files and the NameNode/metadata
+# melt. The fix is the repartition-on-the-partition-column before
+# partitionBy (each value lands in exactly one task → exactly one
+# file per directory). This query RUNS that write, then audits the
+# physical result by reading it back with input_file_name(): the
+# per-directory file count must be exactly 1. The oracle knows the
+# answer trivially — n_files=1 by construction and rows-per-bucket by
+# value count — which is precisely the assertion: the physical layout
+# must land where the logical plan says it should.
+
+AUDIT_BUCKETS = 8
+
+
+@register(
+    "compaction_file_audit",
+    oracle=f"""
+        SELECT CAST(event_id % {AUDIT_BUCKETS} AS INT) AS bucket,
+               CAST(1 AS BIGINT) AS n_files,
+               COUNT(*) AS rows_in_bucket
+        FROM events GROUP BY 1
+    """,
+)
+def compaction_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events partitioned by bucket = event_id % {8} with the
+    anti-small-file repartition, read the directory back, and report
+    per-bucket (n_files, rows) from ``input_file_name()``. n_files
+    must be exactly 1 per bucket — the compaction contract the write
+    pattern guarantees."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("event_id") % AUDIT_BUCKETS).cast("int")
+    )
+    target = tempfile.mkdtemp(prefix="compact_audit_")
+    # One task per bucket value -> one file per partition directory.
+    # Without this repartition, every task holding any bucket writes
+    # its own fragment into that bucket's directory.
+    ev.repartition(AUDIT_BUCKETS, "bucket").write.partitionBy(
+        "bucket"
+    ).mode("overwrite").parquet(target)
+    back = spark.read.parquet(target)
+    per_file = back.groupBy(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.input_file_name().alias("file"),
+    ).agg(F.count("*").alias("rows_in_file"))
+    return per_file.groupBy("bucket").agg(
+        F.count("*").alias("n_files"),
+        F.sum("rows_in_file").alias("rows_in_bucket"),
+    )
