@@ -40,6 +40,10 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 2,
         "wgl": 4, "topN": 0, "partialAgg": 1, "exch": 4,
     },
+    "ann_recall_report": {
+        "bhj": 2, "smj": 0, "shj": 0, "bnlj": 3,
+        "wgl": 6, "topN": 0, "partialAgg": 6, "exch": 8,
+    },
     "bm25_topk": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 1,
         "wgl": 2, "topN": 0, "partialAgg": 3, "exch": 3,
@@ -58,9 +62,21 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 2,
     },
+    # exactly one post-write exchange feeding the audit agg; a second
+    # data shuffle would mean the partitioned write lost its
+    # co-partitioning
+    "compaction_file_audit": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 2,
+    },
     "cube_sales_margins": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 2,
+    },
+    # per-row HOFs only: the single exchange is the label aggregate
+    "higher_order_array_ops": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 1,
     },
     "dedup_connected_components": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
@@ -84,9 +100,21 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 1, "exch": 1,
     },
+    "minhash_jaccard_calibration": {
+        "bhj": 9, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 13, "exch": 14,
+    },
     "minhash_lsh_dedup": {
         "bhj": 6, "smj": 0, "shj": 0, "bnlj": 1,
         "wgl": 0, "topN": 0, "partialAgg": 14, "exch": 10,
+    },
+    "multimodal_features_arrow": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 2,
+    },
+    "null_safe_quantiles": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 2,
     },
     "near_dup_canonical": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
@@ -135,9 +163,23 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 1, "partialAgg": 1, "exch": 3,
     },
+    # broadcast eval spans (bhj for the audit join, bnlj for the
+    # contains probe) — the corpus itself never shuffles pre-agg
+    "substring_decontaminate": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 4,
+    },
     "tfidf_top_terms": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 2, "topN": 0, "partialAgg": 3, "exch": 4,
+    },
+    "window_frame_functions": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 1,
+    },
+    "zipf_slope_by_lang": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 2,
     },
 }
 
