@@ -265,3 +265,77 @@ def test_dq_gate_rejects_budget_for_unknown_check(spark):
             checks={"null_value": F.col("value").isNull()},
             budgets={"typo_check": 1},
         )
+
+
+def test_tws_running_totals_matches_legacy_state_api(spark, sf_dir):
+    """transformWithState vs applyInPandasWithState: same per-key
+    running totals. TWS's Python runner needs google.protobuf, which
+    this sandbox lacks — gated like the chardet encoding unit; runs
+    for real wherever protobuf exists."""
+    import os
+    import uuid
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+
+    from pyspark.sql import Window
+
+    from automatic_etl_spark.sources.parquet import table as t
+    from automatic_etl_spark.streaming.stateful import (
+        running_user_totals,
+        running_user_totals_tws,
+    )
+
+    events = t(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.col("value") * 100).alias("cents")
+    )
+    stage = tempfile.mkdtemp(prefix="tws_parity_")
+    data_dir = os.path.join(stage, "data")
+    events.coalesce(2).write.mode("overwrite").parquet(data_dir)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key)
+
+    def run(factory):
+        stream = (
+            spark.readStream.schema("user_id long, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data_dir)
+        )
+        name = f"tws_par_{uuid.uuid4().hex[:8]}"
+        q = (
+            factory(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="tws_par_ck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        return sorted(
+            map(
+                tuple,
+                spark.table(name)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+                .collect(),
+            )
+        )
+
+    try:
+        spark.conf.set(provider_key, rocksdb)
+        via_tws = run(running_user_totals_tws)
+        via_legacy = run(running_user_totals)
+    finally:
+        spark.conf.set(provider_key, prev)
+    assert via_tws == via_legacy
