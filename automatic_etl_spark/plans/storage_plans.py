@@ -370,3 +370,68 @@ def compaction_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_files"),
         F.sum("rows_in_file").alias("rows_in_bucket"),
     )
+
+
+# --- Corrupt-record tolerance audit (r6) --------------------------------------
+# The reference's ingest survives malformed source rows by nulling the
+# bad cells and carrying on (tools/ingest_runner.py cleaning stages);
+# the Spark-native equivalent for semi-structured input is PERMISSIVE
+# parsing with columnNameOfCorruptRecord: a malformed line nulls every
+# schema field and lands verbatim in _corrupt_record, so bad data is
+# QUARANTINED and countable instead of killing the job (FAILFAST) or
+# vanishing (DROPMALFORMED). This query plants a deterministic
+# corruption (every event_id % 13 == 0 line made unparseable), reads
+# through the tolerant path, and audits good-vs-corrupt — the oracle
+# derives the same split from the clean table.
+
+CORRUPT_MOD = 13
+
+
+@register(
+    "corrupt_records_audit",
+    oracle=f"""
+        SELECT CASE WHEN event_id % {CORRUPT_MOD} = 0
+                    THEN '__corrupt__' ELSE event_type END AS status,
+               COUNT(*) AS cnt,
+               CAST(COALESCE(SUM(CASE WHEN event_id % {CORRUPT_MOD} <> 0
+                                      THEN event_id END), 0) AS BIGINT)
+                   AS id_total
+        FROM events GROUP BY 1
+    """,
+)
+def corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage events as JSON lines with every {13}th line corrupted,
+    read back with an explicit schema in PERMISSIVE mode +
+    _corrupt_record, and report (status, cnt, id_total) where corrupt
+    lines quarantine under '__corrupt__' with all fields null."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    line = F.to_json(F.struct("event_id", "event_type", "value"))
+    corrupted = ev.select(
+        F.when(
+            F.col("event_id") % CORRUPT_MOD == 0,
+            F.concat(F.lit("{{MALFORMED"), line),
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    target = tempfile.mkdtemp(prefix="corrupt_audit_")
+    files.write_text(corrupted, target)
+    back = files.read_json(
+        spark,
+        target,
+        schema=(
+            "event_id long, event_type string, value double, "
+            "_corrupt_record string"
+        ),
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    status = F.when(
+        F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__")
+    ).otherwise(F.col("event_type"))
+    return back.groupBy(status.alias("status")).agg(
+        F.count("*").alias("cnt"),
+        F.coalesce(F.sum("event_id"), F.lit(0)).alias("id_total"),
+    )
