@@ -71,3 +71,51 @@ def as_of_join(
     for c in payload_cols:
         out = out.withColumn(f"{payload_prefix}{c}", F.col(f"{_PAYLOAD}.{c}"))
     return out.drop(_PAYLOAD)
+
+
+def as_of_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_prefix: str = "right_",
+) -> DataFrame:
+    """Forward as-of join: each left row matches the EARLIEST right
+    row with the same key whose timestamp is ``>=`` the left
+    timestamp (the time-to-next-event join — signup→first-purchase,
+    order→next-shipment). Mirror construction of :func:`as_of_join`
+    with the window reversed: left rows sort BEFORE right at equal
+    timestamps (inclusive match) and ``first(payload, ignorenulls)``
+    scans the frame (currentRow, unboundedFollowing). Same scale
+    shape: one hash partition on the key + per-partition sort."""
+    payload_cols = [c for c in right.columns if c not in keys]
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias(_SIDE),
+        F.struct(*[F.col(c) for c in payload_cols]).alias(_PAYLOAD),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias(_SIDE),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col(_SIDE).asc(),
+            F.col(_PAYLOAD).asc_nulls_last(),
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = unioned.withColumn(
+        _PAYLOAD, F.first(_PAYLOAD, ignorenulls=True).over(w)
+    )
+    out = matched.filter(F.col(_SIDE) == 0).drop(_SIDE, "__ts")
+    for c in payload_cols:
+        out = out.withColumn(f"{payload_prefix}{c}", F.col(f"{_PAYLOAD}.{c}"))
+    return out.drop(_PAYLOAD)

@@ -1041,6 +1041,51 @@ def asof_join_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_join_forward_lead",
+    oracle="""
+        WITH s AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'signup'
+        ),
+        p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT s.event_id, s.ts AS sts, p.ts AS pts
+            FROM s ASOF LEFT JOIN p
+              ON s.user_id = p.user_id AND s.ts <= p.ts
+        )
+        SELECT COUNT(*) AS signup_cnt,
+               COUNT(pts) AS converted_cnt,
+               CAST(SUM(epoch_ms(pts) - epoch_ms(sts)) AS BIGINT)
+                   AS lead_ms_total
+        FROM j
+    """,
+)
+def asof_join_forward_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each signup matched to the user's earliest
+    purchase at-or-after it (time-to-convert). Cross-validated
+    against DuckDB's native ASOF JOIN with the <= inequality."""
+    from automatic_etl_spark.operators.asof import as_of_join_forward
+
+    events = table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    joined = as_of_join_forward(signups, purchases, keys=["user_id"])
+    return joined.agg(
+        F.count("*").alias("signup_cnt"),
+        F.count("right_ts").alias("converted_cnt"),
+        F.sum(F.unix_millis("right_ts") - F.unix_millis("ts")).alias(
+            "lead_ms_total"
+        ),
+    )
+
+
 # --- Extension: range (interval) join ----------------------------------------
 # Points-in-intervals with NO equi-key: binned equi-join construction
 # (operators/rangejoin.py) versus the oracle's plain BETWEEN join.

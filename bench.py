@@ -96,7 +96,8 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "null_safe_quantiles", "window_frame_functions",
         "higher_order_array_ops", "ann_recall_report",
         "minhash_jaccard_calibration", "substring_decontaminate",
-        "zipf_slope_by_lang",
+        "zipf_slope_by_lang", "multimodal_features_arrow",
+        "compaction_file_audit", "corrupt_records_audit",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate"),
