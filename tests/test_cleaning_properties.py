@@ -688,3 +688,28 @@ def test_connected_components_matches_python_model(spark, edges):
         r.node: r.component for r in connected_components(nodes, edf).collect()
     }
     assert got == expected
+
+
+@PROP
+@given(left=asof_rows, right=asof_rows)
+def test_as_of_join_forward_matches_python_model(spark, left, right):
+    """Forward as-of: earliest right row with rt >= t; ties on ts
+    resolve to the MIN payload (payload asc in the window order,
+    first-ignorenulls over the following frame)."""
+    from automatic_etl_spark.operators.asof import as_of_join_forward
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t, _) in enumerate(left)], "k long, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "k long, ts long, val long")
+    got = {
+        r["lid"]: (r["right_ts"], r["right_val"])
+        for r in as_of_join_forward(ldf, rdf, keys=["k"]).collect()
+    }
+
+    def model(k, t):
+        cand = [(rt, v) for rk, rt, v in right if rk == k and rt >= t]
+        return min(cand) if cand else (None, None)
+
+    for i, (k, t, _) in enumerate(left):
+        assert got[i] == model(k, t), (i, k, t, got[i], model(k, t))
