@@ -49,7 +49,7 @@ _CHECK_PRIORITY = [
     "minhash_jaccard_calibration", "substring_decontaminate",
     "zipf_slope_by_lang", "multimodal_features_arrow",
     "compaction_file_audit", "corrupt_records_audit",
-    "asof_join_forward_lead",
+    "asof_join_forward_lead", "sql_pipe_surface",
     # (b) newest green signal is round 1 — stale 5 rounds
     "left_join_group", "order_count_histogram", "priority_semi_count",
     "reconciliation", "returned_item_customers", "rollup_agg",

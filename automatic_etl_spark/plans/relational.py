@@ -2343,3 +2343,47 @@ def promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_suppkey", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# --- Extension: Spark 4 SQL pipe syntax + GROUP BY ALL ------------------------
+# SPARK-49555: the pipe operator |> composes SQL the way DataFrame
+# chains compose — each stage reads top-to-bottom instead of
+# inside-out. Same Catalyst plan as the classic form (the parser
+# desugars pipes before analysis), so this is pure surface parity:
+# users migrating hand-written pipelines get the modern syntax with
+# identical semantics. The oracle states the same query in classic
+# SQL (DuckDB has no pipe syntax).
+
+
+@register(
+    "sql_pipe_surface",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_total,
+               COUNT(DISTINCT user_id) AS users
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def sql_pipe_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (|> WHERE / EXTEND / AGGREGATE ...
+    GROUP BY ALL) — parser-level sugar over the identical logical
+    plan, verified against the classic-SQL oracle."""
+    from automatic_etl_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        FROM events
+        |> WHERE value IS NOT NULL
+        |> EXTEND CAST(floor(value * 100) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS cnt,
+                     SUM(cents) AS cents_total,
+                     COUNT(DISTINCT user_id) AS users
+           GROUP BY event_type
+        |> SELECT event_type, cnt, cents_total, users
+        """
+    )
