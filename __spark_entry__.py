@@ -49,7 +49,7 @@ _CHECK_PRIORITY = [
     "minhash_jaccard_calibration", "substring_decontaminate",
     "zipf_slope_by_lang", "multimodal_features_arrow",
     "compaction_file_audit", "corrupt_records_audit",
-    "asof_join_forward_lead", "sql_pipe_surface",
+    "asof_join_forward_lead", "mad_robust_scale",
     # (b) newest green signal is round 1 — stale 5 rounds
     "left_join_group", "order_count_histogram", "priority_semi_count",
     "reconciliation", "returned_item_customers", "rollup_agg",
@@ -66,6 +66,13 @@ _CHECK_PRIORITY = [
     "quality_histogram", "shipmode_priority_counts", "simhash_buckets",
     "skew_salted_agg", "skew_salted_join", "stratified_split",
     "tfidf_top_terms", "token_stats",
+    # (a2) new in r06, past the 50-slot fold: the window is full
+    # (12 new + 10 r1 + 28 r2 = 50) and bumping an r2 query would
+    # leave its newest signal 4 rounds old; these two are the
+    # lowest-risk new queries (parser sugar over an already-checked
+    # plan shape; a plain two-level aggregate) — both locally
+    # oracle-green at sf0.001 AND sf0.01, first in line for r07
+    "sql_pipe_surface", "sorted_array_agg",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

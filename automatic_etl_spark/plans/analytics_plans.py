@@ -678,3 +678,49 @@ def window_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cd_total"),
     )
+
+
+# --- Deterministic array aggregation (r6) -------------------------------------
+# collect_list's order is whatever the shuffle delivered — results
+# differ run to run, partitioning to partitioning, and engine to
+# engine. Any array (or concatenated-string) aggregate that crosses a
+# storage or engine boundary must canonicalize: array_sort after
+# collect, or sort keys inside the aggregate. This query pins the
+# pattern: per-user event-type multiset rendered as a SORTED
+# comma-joined string — identical under ANY partitioning, which is
+# exactly what the value-hash oracle asserts.
+
+
+@register(
+    "sorted_array_agg",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY event_type)
+                       AS type_seq,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT type_seq,
+               COUNT(*) AS users,
+               CAST(SUM(n_events) AS BIGINT) AS events_total
+        FROM per_user GROUP BY type_seq
+    """,
+)
+def sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sorted event-type sequence (array_sort ∘ collect_list,
+    rendered via concat_ws) grouped into signature cohorts. The sort
+    makes the aggregate partitioning-invariant — the unsorted variant
+    is the classic nondeterminism bug this query exists to pin
+    against."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list("event_type"))
+        ).alias("type_seq"),
+        F.count("*").alias("n_events"),
+    )
+    return per_user.groupBy("type_seq").agg(
+        F.count("*").alias("users"),
+        F.sum("n_events").alias("events_total"),
+    )

@@ -1296,3 +1296,98 @@ def null_safe_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", "v",
         {"q1": (1, 4), "med": (1, 2), "q3": (3, 4)},
     )
+
+
+# --- MAD robust scale (r6) ----------------------------------------------------
+# Median absolute deviation — the robust-statistics scale estimator
+# (50% breakdown point vs the IQR's 25%): med = median(x), mad =
+# median(|x − med|), σ̂ = 1.4826·mad. TWO chained value-compressed
+# quantile passes: the per-group median broadcasts back (5 rows), the
+# deviation column is row-local IEEE |x − med| (identical doubles both
+# engines — no rounding needed before SELECTION), and the second pass
+# runs over the deviation-value frame. Composability is the point:
+# the quantile operator is a building block, not a one-shot query.
+
+
+@register(
+    "mad_robust_scale",
+    oracle="""
+        WITH vc1 AS (
+            SELECT event_type, value, COUNT(*) AS c
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, value
+        ),
+        cum1 AS (
+            SELECT event_type, value,
+                   SUM(c) OVER (
+                       PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cc,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM vc1
+        ),
+        med AS (
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+                   MIN(CASE WHEN cc >= (n + 1) // 2 THEN value END) AS med
+            FROM cum1 GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+            WHERE e.value IS NOT NULL
+        ),
+        vc2 AS (
+            SELECT event_type, adev, COUNT(*) AS c
+            FROM dev GROUP BY event_type, adev
+        ),
+        cum2 AS (
+            SELECT event_type, adev,
+                   SUM(c) OVER (
+                       PARTITION BY event_type ORDER BY adev
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cc,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM vc2
+        ),
+        mad AS (
+            SELECT event_type,
+                   MIN(CASE WHEN cc >= (n + 1) // 2 THEN adev END) AS mad
+            FROM cum2 GROUP BY event_type
+        )
+        SELECT m.event_type, m.n_events, m.med, d.mad,
+               round(1.4826 * d.mad, 6) AS mad_scaled
+        FROM med m JOIN mad d USING (event_type)
+    """,
+)
+def mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type MAD: median via the value-compressed quantile
+    pass, |x − med| row-local, second quantile pass over deviations,
+    ×1.4826 for the normal-consistent scale. Returns (event_type,
+    n_events, med, mad, mad_scaled)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = qt.grouped_type1_quantiles(
+        ev, "event_type", "value", {"med": (1, 2)}
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "n_events",
+            "med",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+        )
+    )
+    mad = qt.grouped_type1_quantiles(
+        dev, "event_type", "adev", {"mad": (1, 2)}
+    ).select("event_type", "mad")
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "med",
+            "mad",
+            F.round(1.4826 * F.col("mad"), 6).alias("mad_scaled"),
+        )
+    )
