@@ -98,7 +98,8 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "minhash_jaccard_calibration", "substring_decontaminate",
         "zipf_slope_by_lang", "multimodal_features_arrow",
         "compaction_file_audit", "corrupt_records_audit",
-        "asof_join_forward_lead",
+        "asof_join_forward_lead", "sql_pipe_surface",
+        "sorted_array_agg", "mad_robust_scale",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate"),
