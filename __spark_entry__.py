@@ -68,11 +68,11 @@ _CHECK_PRIORITY = [
     "tfidf_top_terms", "token_stats",
     # (a2) new in r06, past the 50-slot fold: the window is full
     # (12 new + 10 r1 + 28 r2 = 50) and bumping an r2 query would
-    # leave its newest signal 4 rounds old; these two are the
-    # lowest-risk new queries (parser sugar over an already-checked
-    # plan shape; a plain two-level aggregate) — both locally
-    # oracle-green at sf0.001 AND sf0.01, first in line for r07
-    "sql_pipe_surface", "sorted_array_agg",
+    # leave its newest signal 4 rounds old; these are the lowest-risk
+    # new queries (SQL-dialect surface over already-checked plan
+    # shapes; a plain two-level aggregate) — all locally oracle-green
+    # at sf0.001 AND sf0.01, first in line for r07
+    "sql_pipe_surface", "sorted_array_agg", "recursive_hierarchy_rollup",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

@@ -2387,3 +2387,77 @@ def sql_pipe_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT event_type, cnt, cents_total, users
         """
     )
+
+
+# --- Extension: recursive CTE (Spark 4, SPARK-24497) --------------------------
+# WITH RECURSIVE landed in Spark 4.0 — the org-chart / bill-of-
+# materials rollup SQL that previously forced driver-side loops or
+# the iterative-DataFrame pattern (operators/graph.py). Hierarchy is
+# derived deterministically from user_id (parent = id div 10, a
+# strictly-decreasing walk, so UNION ALL recursion terminates without
+# cycle handling — Spark does not yet support UNION-distinct
+# recursion, probed this round). Each user's event count rolls up to
+# every ancestor; the report aggregates per hierarchy level. Scale
+# note: recursion depth = digit count (≤7 at 10M users); each round
+# is one self-join the engine executes as an iterative plan — for
+# unbounded-depth graphs the operators/graph.py pointer-doubling path
+# remains the scale answer.
+
+
+@register(
+    "recursive_hierarchy_rollup",
+    oracle="""
+        WITH RECURSIVE uc AS (
+            SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+        ),
+        anc(user_id, node) AS (
+            SELECT user_id, user_id FROM uc
+            UNION ALL
+            SELECT user_id, node // 10 FROM anc WHERE node > 0
+        ),
+        subtree AS (
+            SELECT a.node, SUM(u.c) AS subtree_events,
+                   COUNT(*) AS subtree_users
+            FROM anc a JOIN uc u USING (user_id)
+            GROUP BY a.node
+        )
+        SELECT length(CAST(node AS VARCHAR)) AS level,
+               COUNT(*) AS nodes,
+               CAST(SUM(subtree_events) AS BIGINT) AS events_total,
+               CAST(MAX(subtree_events) AS BIGINT) AS max_subtree_events,
+               CAST(SUM(subtree_users) AS BIGINT) AS user_links
+        FROM subtree GROUP BY 1
+    """,
+)
+def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE subtree rollup over the derived user hierarchy
+    (parent = user_id div 10): per hierarchy level, node count and
+    rolled-up event totals. Same recursion in DuckDB; only the
+    integer-division spelling differs (div vs //)."""
+    from automatic_etl_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        WITH RECURSIVE uc AS (
+            SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+        ),
+        anc(user_id, node) AS (
+            SELECT user_id, user_id FROM uc
+            UNION ALL
+            SELECT user_id, node DIV 10 FROM anc WHERE node > 0
+        ),
+        subtree AS (
+            SELECT a.node, SUM(u.c) AS subtree_events,
+                   COUNT(*) AS subtree_users
+            FROM anc a JOIN uc u USING (user_id)
+            GROUP BY a.node
+        )
+        SELECT length(CAST(node AS STRING)) AS level,
+               COUNT(*) AS nodes,
+               SUM(subtree_events) AS events_total,
+               MAX(subtree_events) AS max_subtree_events,
+               SUM(subtree_users) AS user_links
+        FROM subtree GROUP BY 1
+        """
+    )
