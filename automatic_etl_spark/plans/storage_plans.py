@@ -435,3 +435,53 @@ def corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.coalesce(F.sum("event_id"), F.lit(0)).alias("id_total"),
     )
+
+
+# --- Python DataSource connector (r6) -----------------------------------------
+# Spark 4's pure-Python connector API (SPARK-44076) driven end-to-end:
+# sources/pydatasource.py registers a deterministic generator
+# connector (partition-planned, option-configured), and the oracle
+# replays the integer row derivation over generate_series — a
+# connector whose output is PROVABLE, not just runnable. This is the
+# Spark-native answer to the reference's connector-config generation
+# (S15, reference tools/gen_pipeline.py): connectors are code on the
+# session, not JSON for an external runtime.
+
+PYDS_ROWS = 10_000
+
+
+@register(
+    "python_datasource_scan",
+    oracle=f"""
+        WITH gen AS (
+            SELECT i AS event_id,
+                   (i * 2654435761) % 104729 AS user_id,
+                   (i * 48271) % 100000 AS cents
+            FROM generate_series(0, {PYDS_ROWS - 1}) t(i)
+        )
+        SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+               COUNT(*) AS cnt,
+               CAST(SUM(user_id) AS BIGINT) AS user_total,
+               CAST(SUM(cents) AS BIGINT) AS cents_total
+        FROM gen GROUP BY 1
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the registered custom Python DataSource (8
+    partitions, strided id assignment) and aggregate per user cohort.
+    The value-hash match proves the connector's partition planning
+    loses and duplicates nothing."""
+    from automatic_etl_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format(pydatasource.FORMAT_NAME)
+        .option("rows", str(PYDS_ROWS))
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.count("*").alias("cnt"),
+        F.sum("user_id").alias("user_total"),
+        F.sum("cents").alias("cents_total"),
+    )

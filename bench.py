@@ -100,7 +100,7 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "compaction_file_audit", "corrupt_records_audit",
         "asof_join_forward_lead", "sql_pipe_surface",
         "sorted_array_agg", "mad_robust_scale",
-        "recursive_hierarchy_rollup",
+        "recursive_hierarchy_rollup", "python_datasource_scan",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate"),

@@ -948,3 +948,30 @@ def test_multimodal_arrow_matches_pandas_path(spark, sf_dir):
     via_pandas = sorted(map(tuple, extract_features(blobs).collect()))
     via_arrow = sorted(map(tuple, extract_features_arrow(blobs).collect()))
     assert via_pandas == via_arrow
+
+
+def test_python_datasource_partition_invariance(spark):
+    """The custom Python DataSource must produce the identical row set
+    under any partition count — partition planning is a sharding
+    detail, never a semantics knob."""
+    from automatic_etl_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+
+    def load(parts):
+        return sorted(
+            map(
+                tuple,
+                spark.read.format(pydatasource.FORMAT_NAME)
+                .option("rows", "500")
+                .option("partitions", str(parts))
+                .load()
+                .collect(),
+            )
+        )
+
+    one = load(1)
+    assert load(3) == one
+    assert load(8) == one
+    assert len(one) == 500
+    assert one[7] == pydatasource.derive_row(7)
