@@ -2461,3 +2461,58 @@ def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM subtree GROUP BY 1
         """
     )
+
+
+# --- Extension: collation-aware grouping (Spark 4, SPARK-46830) ---------------
+# String collations are first-class in Spark 4: a UTF8_LCASE-collated
+# column groups/joins/compares case-insensitively INSIDE the engine —
+# no lower() scattered through every predicate, and the comparison
+# pushes into hash aggregates and joins like any other binary
+# comparison. The query plants deterministic case-mangling
+# (Initcap/UPPER by event_id residue), groups on the collated column,
+# and must merge the case variants; the canonical output key is
+# lower() so the representative value (which variant the hash agg
+# kept) never leaks into the result.
+
+
+@register(
+    "collated_group_surface",
+    oracle="""
+        SELECT lower(event_type) AS etype,
+               COUNT(*) AS cnt,
+               COUNT(DISTINCT user_id) AS users
+        FROM events GROUP BY 1
+    """,
+)
+def collated_group_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via UTF8_LCASE collation over a
+    deterministically case-mangled event_type column: the collated
+    group must reunite what the mangling split."""
+    ev = table(spark, sf_dir, "events")
+    mangled = ev.select(
+        "user_id",
+        F.when(
+            F.col("event_id") % 3 == 0, F.initcap("event_type")
+        )
+        .when(F.col("event_id") % 3 == 1, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+    )
+    return (
+        mangled.groupBy(
+            F.collate("event_type", "UTF8_LCASE").alias("k")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .select(
+            # lower() inherits the collated type; collate back to
+            # UTF8_BINARY so the OUTPUT schema is a plain string
+            # (collation is an engine-internal comparison trait, not
+            # something a result consumer should see)
+            F.collate(F.lower(F.col("k")), "UTF8_BINARY").alias("etype"),
+            "cnt",
+            "users",
+        )
+    )
