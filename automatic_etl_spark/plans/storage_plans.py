@@ -485,3 +485,45 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").alias("user_total"),
         F.sum("cents").alias("cents_total"),
     )
+
+
+# --- XML source/sink (r6) -----------------------------------------------------
+# Spark 4 ships spark-xml natively (SPARK-44265) — the remaining
+# interchange format beside CSV/JSON/ORC/text. Same roundtrip
+# discipline: integer cents pre-computed before the text roundtrip,
+# explicit schema on read-back (XML inference is a second full pass
+# AND a type guess).
+
+
+@register(
+    "xml_source_agg",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_total,
+               CAST(SUM(user_id) AS BIGINT) AS user_total
+        FROM events GROUP BY event_type
+    """,
+)
+def xml_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → XML on disk → explicit-schema read-back → aggregate.
+    Proves the native XML roundtrip is representation-exact."""
+    events = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="xml_src_") + "/events_xml"
+    files.write_xml(events, path)
+    back = files.read_xml(
+        spark,
+        path,
+        schema="event_id long, user_id long, event_type string, cents long",
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("cents").alias("cents_total"),
+        F.sum("user_id").alias("user_total"),
+    )

@@ -79,6 +79,30 @@ def write_orc(df: DataFrame, path: str, **options: str) -> None:
     df.write.mode("overwrite").options(**options).orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    row_tag: str = "row",
+    **options: str,
+) -> DataFrame:
+    """Native XML source (built into Spark 4, SPARK-44265). Same
+    explicit-schema discipline as CSV/JSON — XML inference is a
+    second full pass AND a type guess."""
+    reader = spark.read.options(rowTag=row_tag, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format("xml").load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", **options: str
+) -> None:
+    df.write.mode("overwrite").options(rowTag=row_tag, **options).format(
+        "xml"
+    ).save(path)
+
+
 def read_text(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """Line-oriented text source — one row per line, column ``value``.
     The raw-corpus ingestion path (one document per line)."""

@@ -101,7 +101,7 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "asof_join_forward_lead", "sql_pipe_surface",
         "sorted_array_agg", "mad_robust_scale",
         "recursive_hierarchy_rollup", "python_datasource_scan",
-        "collated_group_surface",
+        "collated_group_surface", "xml_source_agg",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate"),
