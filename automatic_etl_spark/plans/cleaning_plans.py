@@ -709,3 +709,89 @@ def decimal_fidelity_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad(F.pmod("dc", F.lit(10000)).cast("string"), 4, "0"),
         ).alias("discount_total"),
     )
+
+
+# --- try_* error-safe arithmetic under ANSI (r6) ------------------------------
+# The driver session runs ANSI mode ON (Spark 4 default): plain
+# division-by-zero, integer overflow, and bad numeric parses THROW.
+# The production-safe idiom is the try_* family — null-on-error with
+# the error class preserved semantics — and this query exercises all
+# three against deterministic hazards: denom = cents % 7 (zero ~1/7),
+# a multiplier sized so cents >= 6 overflows int64 (5x lands 2 below int64max), and an 'N/A'
+# poisoned numeric string every third row. The oracle reproduces the
+# null masks arithmetically (the hazard conditions), proving try_*
+# nulls exactly the hazardous rows and nothing else.
+
+OVERFLOW_MULT = 1_844_674_407_370_955_161  # 5x fits int64 (…805), 6x overflows
+
+
+@register(
+    "try_arithmetic_surface",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        x AS (
+            SELECT event_type, cents,
+                   cents % 7 AS denom,
+                   CASE WHEN event_id % 3 = 0 THEN 'N/A'
+                        ELSE CAST(cents AS VARCHAR) END AS s
+            FROM base
+        )
+        SELECT event_type,
+               COUNT(*) AS rows_n,
+               COUNT(*) FILTER (WHERE denom = 0) AS div_nulls,
+               CAST(SUM(CASE WHEN denom <> 0 THEN CAST(round(
+                        cents / CAST(denom AS DOUBLE), 6) AS DECIMAL(18,6))
+                    END) AS DOUBLE) AS ratio_total,
+               COUNT(*) FILTER (WHERE cents > 5) AS overflow_nulls,
+               COUNT(*) FILTER (WHERE s = 'N/A') AS parse_nulls,
+               CAST(SUM(TRY_CAST(NULLIF(s, 'N/A') AS BIGINT)) AS BIGINT)
+                   AS parsed_total
+        FROM x GROUP BY event_type
+    """,
+)
+def try_arithmetic_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide / try_multiply / try_to_number against planted
+    hazards under ANSI mode: the null masks must match the hazard
+    conditions exactly (division by zero, int64 overflow at
+    cents >= 6, poisoned numeric strings)."""
+    base = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    x = base.select(
+        "event_type",
+        "cents",
+        (F.col("cents") % 7).alias("denom"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("N/A"))
+        .otherwise(F.col("cents").cast("string"))
+        .alias("s"),
+    ).select(
+        "event_type",
+        "cents",
+        "denom",
+        "s",
+        F.try_divide(F.col("cents").cast("double"), F.col("denom")).alias(
+            "ratio"
+        ),
+        F.try_multiply(F.col("cents"), F.lit(OVERFLOW_MULT)).alias("ov"),
+        F.try_to_number(F.col("s"), F.lit("999999")).alias("parsed"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count("*").alias("rows_n"),
+        F.sum((F.col("denom") == 0).cast("long")).alias("div_nulls"),
+        F.sum(F.round("ratio", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("ratio_total"),
+        F.sum(
+            (F.col("ov").isNull() & F.col("cents").isNotNull()).cast("long")
+        ).alias("overflow_nulls"),
+        F.sum(
+            (F.col("parsed").isNull() & F.col("s").isNotNull()).cast("long")
+        ).alias("parse_nulls"),
+        F.sum("parsed").cast("long").alias("parsed_total"),
+    )

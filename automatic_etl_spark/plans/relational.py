@@ -2516,3 +2516,46 @@ def collated_group_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users",
         )
     )
+
+
+# --- Extension: parameterized SQL + IDENTIFIER clause -------------------------
+# The reference builds its SQL by string interpolation (generated
+# ClickHouse DDL/queries, reference tools/gen_pipeline.py) — the
+# classic injection-and-quoting minefield. Spark's parameter markers
+# (spark.sql(..., args=...)) bind VALUES server-side, and the
+# IDENTIFIER() clause binds table/column NAMES safely — dynamic SQL
+# with zero string concatenation. Catalyst sees the same plan as the
+# literal query, so parameterization costs nothing.
+
+
+@register(
+    "parameterized_sql_surface",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS price_units_total
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+)
+def parameterized_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named parameter markers + IDENTIFIER(): the table name and the
+    status filter arrive as bound arguments, never interpolated into
+    the SQL text."""
+    from automatic_etl_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS cnt,
+               SUM(CAST(floor(o_totalprice) AS BIGINT))
+                   AS price_units_total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders", "status": "F"},
+    )

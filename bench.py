@@ -102,6 +102,7 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "sorted_array_agg", "mad_robust_scale",
         "recursive_hierarchy_rollup", "python_datasource_scan",
         "collated_group_surface", "xml_source_agg",
+        "try_arithmetic_surface", "parameterized_sql_surface",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate"),
