@@ -173,6 +173,50 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 2, "topN": 0, "partialAgg": 3, "exch": 4,
     },
+    "asof_join_forward_lead": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 2,
+    },
+    "collated_group_surface": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 2,
+    },
+    "corrupt_records_audit": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 1,
+    },
+    "mad_robust_scale": {
+        "bhj": 2, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 6,
+    },
+    "parameterized_sql_surface": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 2,
+    },
+    "python_datasource_scan": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 1,
+    },
+    "recursive_hierarchy_rollup": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 7, "exch": 3,
+    },
+    "sorted_array_agg": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 2,
+    },
+    "sql_pipe_surface": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 2,
+    },
+    "try_arithmetic_surface": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 1,
+    },
+    "xml_source_agg": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 1,
+    },
     "window_frame_functions": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 1,

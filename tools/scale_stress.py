@@ -90,6 +90,12 @@ QUERIES = (
     "ann_recall_report",        # brute truth x IVF approx (query set
                                 # scales 10x -> same caveat class as
                                 # ann_ivf_topk)
+    "mad_robust_scale",         # two chained value-compressed quantile
+                                # passes (distinct-value frames)
+    "sorted_array_agg",         # user-keyed collect + canonical sort
+                                # (per-user arrays stay constant-size)
+    "recursive_hierarchy_rollup",  # depth-bounded recursion; anc rows
+                                   # scale with users x digits
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
