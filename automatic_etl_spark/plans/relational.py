@@ -2559,3 +2559,47 @@ def parameterized_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "status": "F"},
     )
+
+
+# --- Extension: correlated LATERAL join ---------------------------------------
+# The SQL-standard lateral join (Spark 3.2+): a per-row correlated
+# subquery with its own ORDER BY/LIMIT — the "top-N per key without
+# writing a window function" formulation analysts actually type.
+# Catalyst rewrites it into the same shapes the window formulation
+# plans to (the oracle is written AS the window formulation to prove
+# the semantic equivalence), so the surface costs nothing extra.
+
+
+@register(
+    "lateral_join_topn",
+    oracle="""
+        SELECT event_type, event_id, value FROM (
+            SELECT event_type, event_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC NULLS LAST, event_id ASC
+                   ) AS rn
+            FROM events
+        ) WHERE rn <= 2
+    """,
+)
+def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 events per type via a correlated LATERAL subquery with
+    ORDER BY/LIMIT; the oracle states the equivalent window
+    formulation — both engines must select the identical rows under
+    the pinned tie order."""
+    from automatic_etl_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        SELECT l.event_type, l.event_id, l.value
+        FROM (SELECT DISTINCT event_type FROM events) d,
+        LATERAL (
+            SELECT event_type, event_id, value FROM events e
+            WHERE e.event_type = d.event_type
+            ORDER BY value DESC NULLS LAST, event_id ASC
+            LIMIT 2
+        ) l
+        """
+    )

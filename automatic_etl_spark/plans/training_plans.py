@@ -801,3 +801,76 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("picked_id_total"),
         F.sum("w").alias("picked_weight_total"),
     )
+
+
+# --- Arrow-optimized Python UDTF chunker (r6) ---------------------------------
+# Spark's Python UDTF (SPARK-43798) is the LATERAL-join-shaped
+# extension point: one input row → many output rows, computed in
+# Python, consumed as a table. With useArrow=True the transport is
+# Arrow batches, keeping this inside the engine's sanctioned
+# Python-on-data-path family (pandas UDF / mapInPandas / mapInArrow —
+# §2.10 policy; the default pickle transport would not be). The task
+# mirrors chunk_stride_stats' fixed-width chunking so the two
+# formulations bracket the tradeoff: pure Column exprs when the logic
+# fits SQL, a UDTF when a Python tokenizer/splitter genuinely cannot
+# be expressed — same oracle discipline either way.
+
+UDTF_CHUNK = 16
+
+
+@register(
+    "python_udtf_chunker",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   len(list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS n
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   s // {UDTF_CHUNK} AS chunk_idx,
+                   LEAST({UDTF_CHUNK}, n - s) AS chunk_toks
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(0, n - 1,
+                                        {UDTF_CHUNK})) AS s)
+            WHERE n > 0
+        )
+        SELECT chunk_idx,
+               COUNT(*) AS docs,
+               CAST(SUM(chunk_toks) AS BIGINT) AS toks_total
+        FROM chunks GROUP BY chunk_idx
+    """,
+)
+def python_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document chunking via an Arrow-optimized Python
+    UDTF in a LATERAL join: per chunk position, document count and
+    token totals. Tokenization is whitespace split of trim+lower —
+    byte-identical to the oracle's regexp split on this corpus."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_toks int", useArrow=True)
+    class Chunker:
+        def eval(self, text: str):
+            toks = (text or "").strip().lower().split()
+            n = len(toks)
+            for start in range(0, n, UDTF_CHUNK):
+                yield (
+                    start // UDTF_CHUNK,
+                    min(UDTF_CHUNK, n - start),
+                )
+
+    spark.udtf.register("r6_chunker", Chunker)
+    from automatic_etl_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, names=("documents",))
+    return spark.sql(
+        """
+        SELECT c.chunk_idx,
+               COUNT(*) AS docs,
+               SUM(c.chunk_toks) AS toks_total
+        FROM documents d, LATERAL r6_chunker(d.text) c
+        GROUP BY c.chunk_idx
+        """
+    )
