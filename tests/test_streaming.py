@@ -339,3 +339,71 @@ def test_tws_running_totals_matches_legacy_state_api(spark, sf_dir):
     finally:
         spark.conf.set(provider_key, prev)
     assert via_tws == via_legacy
+
+
+def test_streaming_observe_metrics_reach_listener(spark):
+    """Streaming observability: df.observe(...) metrics must surface
+    per micro-batch in StreamingQueryProgress.observedMetrics — the
+    zero-extra-pass way to run the DQ counters (Q3's observe pattern)
+    on a live stream without a second aggregation job."""
+    import time
+    import uuid
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    src = tempfile.mkdtemp(prefix="observe_src_")
+    spark.createDataFrame(
+        [(i, None if i % 5 == 0 else float(i)) for i in range(40)],
+        "event_id long, value double",
+    ).coalesce(2).write.mode("overwrite").parquet(src)
+
+    seen: list[tuple[int, int]] = []
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            row = event.progress.observedMetrics.get("dq")
+            if row is not None:
+                seen.append((row["rows"], row["nulls"]))
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema("event_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        observed = stream.observe(
+            "dq",
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("value").isNull().cast("long")).alias("nulls"),
+        )
+        q = (
+            observed.writeStream.format("memory")
+            .queryName(f"obs_{uuid.uuid4().hex[:8]}")
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="obs_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener delivery is async — poll briefly for the totals
+        deadline = time.time() + 20
+        while time.time() < deadline and sum(r for r, _ in seen) < 40:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert sum(r for r, _ in seen) == 40
+    assert sum(n for _, n in seen) == 8  # i % 5 == 0 -> 8 planted nulls
+    assert len(seen) >= 2  # maxFilesPerTrigger=1 over 2 files
