@@ -75,7 +75,7 @@ _CHECK_PRIORITY = [
     "sql_pipe_surface", "sorted_array_agg", "recursive_hierarchy_rollup",
     "python_datasource_scan", "collated_group_surface", "xml_source_agg",
     "try_arithmetic_surface", "parameterized_sql_surface",
-    "lateral_join_topn", "python_udtf_chunker",
+    "lateral_join_topn", "python_udtf_chunker", "temporal_functions_surface",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

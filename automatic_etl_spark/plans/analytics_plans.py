@@ -724,3 +724,51 @@ def sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("users"),
         F.sum("n_events").alias("events_total"),
     )
+
+
+# --- Temporal function surface (r6) -------------------------------------------
+# The calendar-arithmetic family in one oracle-checked pass:
+# date_trunc to ISO week, last_day month-end distance, ISO
+# day-of-week, ISO week number. Cross-engine traps are pinned
+# explicitly: Spark's dayofweek is 1=Sunday while DuckDB's is
+# 0=Sunday, so both sides normalize to ISO (Monday=1..Sunday=7)
+# before anything aggregates; date_trunc('week') agrees on Monday
+# but returns timestamp vs date — both cast to DATE.
+
+
+@register(
+    "temporal_functions_surface",
+    oracle="""
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               COUNT(*) AS cnt,
+               CAST(SUM(datediff('day', CAST(ts AS DATE),
+                                 last_day(CAST(ts AS DATE)))) AS BIGINT)
+                   AS month_end_days_total,
+               CAST(SUM(CASE WHEN dayofweek(ts) = 0 THEN 7
+                             ELSE dayofweek(ts) END) AS BIGINT)
+                   AS iso_dow_total,
+               MIN(weekofyear(ts)) AS iso_week
+        FROM events GROUP BY 1
+    """,
+)
+def temporal_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per ISO week over events.ts: row counts, total days-to-month-
+    end (last_day arithmetic), ISO day-of-week totals, and the ISO
+    week number — every value pinned to engine-identical calendar
+    semantics."""
+    ev = table(spark, sf_dir, "events")
+    iso_dow = (F.dayofweek("ts") + 5) % 7 + 1
+    return (
+        ev.groupBy(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week_start")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(
+                F.datediff(F.last_day(F.col("ts").cast("date")),
+                           F.col("ts").cast("date"))
+            ).alias("month_end_days_total"),
+            F.sum(iso_dow.cast("long")).alias("iso_dow_total"),
+            F.min(F.weekofyear("ts")).alias("iso_week"),
+        )
+    )

@@ -100,6 +100,16 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 1, "exch": 1,
     },
+    # the LATERAL formulation must plan with window-group-limit
+    # pruning (wgl>0), not a per-key nested loop
+    "lateral_join_topn": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 3, "topN": 0, "partialAgg": 0, "exch": 2,
+    },
+    "python_udtf_chunker": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 1,
+    },
     "minhash_jaccard_calibration": {
         "bhj": 9, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 13, "exch": 14,
