@@ -145,3 +145,30 @@ def test_connected_components_explicit_graph(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_bench_final_json_line_stays_compact():
+    """BENCH_r05 was lost because the final stdout line outgrew the
+    driver's tail-capture window (per-query sample pairs + session
+    ages for 61 queries). The contract is now: the stdout line carries
+    ONLY the driver fields; detail goes to logs/bench_detail.json.
+    Pin it by rendering a worst-case line for the CURRENT headliner
+    set and bounding its size."""
+    import json
+
+    import bench
+
+    worst = {
+        "metric": "headline_queries_total",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": {n: 9999.999 for n in bench.HEADLINE},
+        "sf": 0.1,
+        "queries_measured": len(bench.HEADLINE),
+        "queries_expected": len(bench.HEADLINE),
+        # worst case: every query failed -> names listed
+        "failed": sorted(bench.HEADLINE),
+    }
+    line = json.dumps(worst, separators=(",", ":"))
+    # the r5 failure line was >8 KiB; stay well under half of that
+    assert len(line) < 6000, len(line)
