@@ -864,3 +864,88 @@ def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "chk string, violations long, rows_scanned long"
     )
+
+
+# --- Python streaming DataSource end-to-end (r6) -------------------------------
+# The offset-based custom stream source (sources/pydatasource.py
+# _StreamReader) driven through a real multi-batch streaming query:
+# initialOffset → bounded read() windows → offset commits, with
+# processing-time micro-batches drained until the deterministic row
+# universe is exhausted. This exercises the exact contract the waived
+# live-Kafka source would (monotone offsets, per-batch bounds,
+# replayable ranges — reference tools/kafka_to_clickhouse.py:137-163's
+# consume loop), entirely in-process. The sink aggregate equals the
+# batch replay of the same integer row derivation (the oracle).
+
+PYDS_STREAM_ROWS = 2_000
+PYDS_STREAM_BATCH = 500
+
+
+@register(
+    "python_stream_source_totals",
+    oracle=f"""
+        WITH gen AS (
+            SELECT i AS event_id,
+                   (i * 2654435761) % 104729 AS user_id,
+                   (i * 48271) % 100000 AS cents
+            FROM generate_series(0, {PYDS_STREAM_ROWS - 1}) t(i)
+        )
+        SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
+               COUNT(*) AS cnt,
+               CAST(SUM(cents) AS BIGINT) AS cents_total,
+               MAX(event_id) AS max_event_id
+        FROM gen GROUP BY 1
+    """,
+)
+def python_stream_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch streaming read through the custom Python stream
+    source (4 offset windows of {500}), drained to a memory sink and
+    aggregated per cohort — must equal the batch replay exactly
+    (exactly-once over the full drain)."""
+    import time
+
+    from automatic_etl_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    from automatic_etl_spark.session import default_parallelism
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = (
+            spark.readStream.format(pydatasource.FORMAT_NAME)
+            .option("rows", str(PYDS_STREAM_ROWS))
+            .option("batch", str(PYDS_STREAM_BATCH))
+            .load()
+        )
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="pyds_ckpt_")
+            )
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # Drain: the source is exhausted once the sink holds the full
+        # row universe; the poll reads a bounded scalar count.
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= PYDS_STREAM_ROWS:
+                break
+            time.sleep(0.3)
+        query.stop()
+        query.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return (
+        spark.table(name)
+        .groupBy((F.col("user_id") % 5).alias("cohort"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("cents").alias("cents_total"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )

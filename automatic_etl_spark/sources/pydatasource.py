@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 # Deterministic row derivation — mirrored verbatim in SQL oracles.
@@ -67,8 +68,41 @@ class _Reader(DataSourceReader):
             yield derive_row(event_id)
 
 
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Offset-based streaming contract in pure Python — the same
+    shape a Kafka-like source exposes (monotone offsets, bounded
+    per-batch reads, deterministic replay between committed offsets).
+    This is the strongest in-sandbox stand-in for the waived live
+    Kafka path: every micro-batch boundary, offset commit, and replay
+    (``readBetweenOffsets`` — what recovery calls after a failure)
+    executes for real.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.total = int(options.get("rows", 1000))
+        self.step = int(options.get("batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + self.step, self.total)
+        return iter([derive_row(i) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay MUST reproduce the original rows exactly — rows are
+        # pure functions of the offset range, so it does by
+        # construction (tests pin it).
+        return iter(
+            [derive_row(i) for i in range(start["pos"], end["pos"])]
+        )
+
+
 class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("synthetic_events").option("rows", ...)``"""
+    """``spark.read.format("synthetic_events").option("rows", ...)``
+    (batch) and ``spark.readStream.format(...)`` (offset-based
+    micro-batch stream) over the same deterministic row universe."""
 
     @classmethod
     def name(cls) -> str:
@@ -79,6 +113,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> _Reader:  # noqa: ANN001 — API signature
         return _Reader(self.options)
+
+    def simpleStreamReader(self, schema) -> _StreamReader:  # noqa: ANN001
+        return _StreamReader(self.options)
 
 
 def register(spark) -> None:  # noqa: ANN001

@@ -107,7 +107,8 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "temporal_functions_surface",
     ),
     # streaming (availableNow, stateful) — last, own JVM
-    ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate"),
+    ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",
+     "python_stream_source_totals"),
 )
 
 HEADLINE: tuple[str, ...] = tuple(n for g in GROUPS for n in g)

@@ -407,3 +407,29 @@ def test_streaming_observe_metrics_reach_listener(spark):
     assert sum(r for r, _ in seen) == 40
     assert sum(n for _, n in seen) == 8  # i % 5 == 0 -> 8 planted nulls
     assert len(seen) >= 2  # maxFilesPerTrigger=1 over 2 files
+
+
+def test_python_stream_source_replay_is_exact():
+    """Recovery contract of the custom Python stream source: replaying
+    any committed offset range (readBetweenOffsets) must reproduce the
+    original rows byte-for-byte — rows are pure functions of the
+    offset, so failure recovery can never diverge."""
+    from automatic_etl_spark.sources.pydatasource import (
+        _StreamReader,
+        derive_row,
+    )
+
+    r = _StreamReader({"rows": "50", "batch": "20"})
+    offset = r.initialOffset()
+    seen = []
+    while offset["pos"] < 50:
+        rows, nxt = r.read(offset)
+        batch = list(rows)
+        # replay of the SAME window must match what read() produced
+        assert list(r.readBetweenOffsets(offset, nxt)) == batch
+        seen.extend(batch)
+        offset = nxt
+    assert seen == [derive_row(i) for i in range(50)]
+    # exhausted source yields empty batches at a fixed point
+    rows, nxt = r.read(offset)
+    assert list(rows) == [] and nxt == offset
