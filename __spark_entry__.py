@@ -76,7 +76,7 @@ _CHECK_PRIORITY = [
     "python_datasource_scan", "collated_group_surface", "xml_source_agg",
     "try_arithmetic_surface", "parameterized_sql_surface",
     "lateral_join_topn", "python_udtf_chunker", "temporal_functions_surface",
-    "python_stream_source_totals",
+    "python_stream_source_totals", "shuffle_hash_join_agg",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

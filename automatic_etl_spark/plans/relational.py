@@ -2603,3 +2603,46 @@ def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+# --- Extension: SHUFFLE_HASH join strategy ------------------------------------
+# The one join strategy nothing else in the registry plans: a
+# shuffled hash join — both sides shuffle on the key, the smaller
+# builds a per-partition hash table, NO sort. On a cluster this beats
+# sort-merge when the build side fits per-partition memory but is too
+# big to broadcast (the mid-size dimension case); Spark only picks it
+# when hinted or when spark.sql.join.preferSortMergeJoin=false, so
+# the hint IS the production interface. Values must equal the
+# unhinted plan's (the oracle is strategy-blind); the fingerprint pin
+# asserts shj=1/smj=0/bhj=0 — the hint actually took.
+
+
+@register(
+    "shuffle_hash_join_agg",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS order_cnt,
+               CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS price_units_total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def shuffle_hash_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer under a SHUFFLE_HASH hint (broadcast
+    disabled for the build side via the hint), aggregated per market
+    segment — same values as any strategy, pinned plan shape."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(
+        customer.hint("SHUFFLE_HASH"),
+        orders.o_custkey == customer.c_custkey,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("order_cnt"),
+        F.sum(F.floor("o_totalprice").cast("long")).alias(
+            "price_units_total"
+        ),
+    )

@@ -104,7 +104,7 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "collated_group_surface", "xml_source_agg",
         "try_arithmetic_surface", "parameterized_sql_surface",
         "lateral_join_topn", "python_udtf_chunker",
-        "temporal_functions_surface",
+        "temporal_functions_surface", "shuffle_hash_join_agg",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",

@@ -173,6 +173,12 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 1, "partialAgg": 1, "exch": 3,
     },
+    # the SHUFFLE_HASH hint must take (shj=1): the only registry plan
+    # exercising the shuffled-hash strategy
+    "shuffle_hash_join_agg": {
+        "bhj": 0, "smj": 0, "shj": 1, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 4,
+    },
     # broadcast eval spans (bhj for the audit join, bnlj for the
     # contains probe) — the corpus itself never shuffles pre-agg
     "substring_decontaminate": {
