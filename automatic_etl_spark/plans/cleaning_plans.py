@@ -795,3 +795,128 @@ def try_arithmetic_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("parse_nulls"),
         F.sum("parsed").cast("long").alias("parsed_total"),
     )
+
+
+# --- DQ metric drift between epochs (r6) --------------------------------------
+# Deequ's second half is anomaly detection: compare each data-quality
+# metric against its history and flag drift. Batch-shaped here: the
+# corpus splits into two epochs at the MEDIAN event timestamp
+# (value-compressed type-1 median over epoch-ms — deterministic on
+# both engines, no fixture date hardcoded), per-epoch metrics compute
+# in one conditional-aggregate pass each, and the report emits
+# per-metric (epoch_a, epoch_b, drift_pct). Scale: two scans with
+# map-side combine + a 1-row median broadcast; metric count is fixed,
+# so the report is O(1) rows regardless of corpus size.
+
+
+def _sql_epoch_median() -> str:
+    return """
+        vc AS (
+            SELECT epoch_ms(ts) AS v, COUNT(*) AS c FROM events
+            WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        cum AS (
+            SELECT v, SUM(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cc,
+                   SUM(c) OVER () AS n
+            FROM vc
+        ),
+        med AS (
+            SELECT MIN(CASE WHEN cc >= (n + 1) // 2 THEN v END) AS m
+            FROM cum
+        )
+    """
+
+
+@register(
+    "dq_metric_drift",
+    oracle=f"""
+        WITH {_sql_epoch_median()},
+        tagged AS (
+            SELECT CASE WHEN epoch_ms(e.ts) <= med.m THEN 0 ELSE 1 END
+                       AS epoch,
+                   e.value, e.user_id
+            FROM events e CROSS JOIN med
+        ),
+        metrics AS (
+            SELECT epoch,
+                   COUNT(*) AS row_cnt,
+                   COUNT(*) FILTER (WHERE value IS NULL) AS null_value,
+                   COUNT(*) FILTER (WHERE value > 100.0) AS value_above_100,
+                   COUNT(DISTINCT user_id) AS distinct_users
+            FROM tagged GROUP BY epoch
+        ),
+        long_form AS (
+            SELECT epoch, 'row_cnt' AS metric, row_cnt AS val FROM metrics
+            UNION ALL
+            SELECT epoch, 'null_value', null_value FROM metrics
+            UNION ALL
+            SELECT epoch, 'value_above_100', value_above_100 FROM metrics
+            UNION ALL
+            SELECT epoch, 'distinct_users', distinct_users FROM metrics
+        )
+        SELECT a.metric,
+               CAST(a.val AS BIGINT) AS epoch_a,
+               CAST(b.val AS BIGINT) AS epoch_b,
+               round(abs(b.val - a.val)
+                     / CAST(GREATEST(a.val, 1) AS DOUBLE), 6) AS drift_ratio
+        FROM (SELECT * FROM long_form WHERE epoch = 0) a
+        JOIN (SELECT * FROM long_form WHERE epoch = 1) b USING (metric)
+    """,
+)
+def dq_metric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric drift between the two median-split epochs of
+    ``events``: (metric, epoch_a, epoch_b, drift_ratio). The epoch
+    boundary is the type-1 median of epoch-ms (selected, not
+    computed), so the split is engine-exact; drift is an integer
+    ratio rounded once."""
+    from automatic_etl_spark.operators import quantiles as qt
+
+    ev = table(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("ms"), "value", "user_id"
+    )
+    med = (
+        qt.grouped_type1_quantiles(
+            ev.select(F.lit(1).alias("g"), "ms"), "g", "ms",
+            {"m": (1, 2)},
+        )
+        .select("m")
+    )
+    tagged = ev.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("ms") <= F.col("m"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("epoch"),
+        "value",
+        "user_id",
+    )
+    metrics = tagged.groupBy("epoch").agg(
+        F.count("*").alias("row_cnt"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+        F.sum((F.col("value") > 100.0).cast("long")).alias(
+            "value_above_100"
+        ),
+        F.countDistinct("user_id").alias("distinct_users"),
+    )
+    long_form = metrics.selectExpr(
+        "epoch",
+        "stack(4, 'row_cnt', row_cnt, 'null_value', null_value, "
+        "'value_above_100', value_above_100, "
+        "'distinct_users', distinct_users) AS (metric, val)",
+    )
+    a = long_form.filter(F.col("epoch") == 0).select(
+        "metric", F.col("val").alias("epoch_a")
+    )
+    b = long_form.filter(F.col("epoch") == 1).select(
+        "metric", F.col("val").alias("epoch_b")
+    )
+    return a.join(b, "metric").select(
+        "metric",
+        "epoch_a",
+        "epoch_b",
+        F.round(
+            F.abs(F.col("epoch_b") - F.col("epoch_a"))
+            / F.greatest(F.col("epoch_a"), F.lit(1)).cast("double"),
+            6,
+        ).alias("drift_ratio"),
+    )
