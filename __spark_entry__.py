@@ -77,7 +77,7 @@ _CHECK_PRIORITY = [
     "try_arithmetic_surface", "parameterized_sql_surface",
     "lateral_join_topn", "python_udtf_chunker", "temporal_functions_surface",
     "python_stream_source_totals", "shuffle_hash_join_agg",
-    "dq_metric_drift",
+    "dq_metric_drift", "embedding_drift_epochs", "quantile_stratified_sample",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

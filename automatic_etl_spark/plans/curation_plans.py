@@ -1151,3 +1151,108 @@ def zipf_slope(docs: DataFrame) -> DataFrame:
             (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
         ).alias("zipf_slope"),
     )
+
+
+# --- Quantile-stratified deterministic sampling (r6) ---------------------------
+# Balanced sampling across the VALUE distribution: equi-depth decile
+# cuts per event_type from the value-compressed quantile pass, every
+# row assigned to its bucket (strict-exceed, FP-free), then the same
+# salted-md5 keep rule as stratified_split applied WITHIN each
+# (type, bucket) cell — so no value region is over/under-sampled no
+# matter how skewed the distribution. The audit proves the per-cell
+# rate; the keep set is invariant under repartitioning and retries.
+
+QSTRAT_SALT = "qstrat1"
+QSTRAT_KEEP_HEX = "4000"  # keep ~25% per cell (md5 prefix / 0x10000)
+
+
+@register(
+    "quantile_stratified_sample",
+    oracle=f"""
+        WITH vc AS (
+            SELECT event_type, value, COUNT(*) AS c
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, value
+        ),
+        cum AS (
+            SELECT event_type, value,
+                   SUM(c) OVER (
+                       PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cc,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM vc
+        ),
+        q AS (
+            SELECT event_type,
+                   {", ".join(
+                       f"MIN(CASE WHEN cc >= ({i} * n + 9)"
+                       f" // 10 THEN value END) AS d{i}"
+                       for i in range(1, 10)
+                   )}
+            FROM cum GROUP BY event_type
+        ),
+        bucketed AS (
+            SELECT e.event_type, e.event_id,
+                   {" + ".join(
+                       f"CASE WHEN e.value > q.d{i} THEN 1 ELSE 0 END"
+                       for i in range(1, 10)
+                   )} AS bucket
+            FROM events e JOIN q USING (event_type)
+            WHERE e.value IS NOT NULL
+        ),
+        kept AS (
+            SELECT * FROM bucketed
+            WHERE substr(md5('{QSTRAT_SALT}|'
+                             || CAST(event_id AS VARCHAR)), 1, 4)
+                  < '{QSTRAT_KEEP_HEX}'
+        )
+        SELECT event_type, bucket,
+               COUNT(*) AS kept_cnt,
+               CAST(SUM(event_id) AS BIGINT) AS kept_id_total
+        FROM kept GROUP BY 1, 2
+    """,
+)
+def quantile_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% deterministic sample WITHIN each (event_type, value-decile)
+    cell: equi-depth cuts bound the strata, salted-md5 hashes decide
+    keeps — reproducible across engines, partitionings, and retries.
+    Returns the per-cell audit (event_type, bucket, kept_cnt,
+    kept_id_total)."""
+    from automatic_etl_spark.operators import quantiles as qt
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    probs = {f"d{i}": (i, 10) for i in range(1, 10)}
+    q = qt.grouped_type1_quantiles(ev, "event_type", "value", probs).drop(
+        "n_events"
+    )
+    bucket = sum(
+        (F.col("value") > F.col(f"d{i}")).cast("int") for i in range(1, 10)
+    )
+    keep = (
+        F.substring(
+            tx.md5_hex(
+                F.concat(
+                    F.lit(f"{QSTRAT_SALT}|"),
+                    F.col("event_id").cast("string"),
+                )
+            ),
+            1,
+            4,
+        )
+        < QSTRAT_KEEP_HEX
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .select("event_type", "event_id", bucket.alias("bucket"))
+        .filter(keep)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("kept_cnt"),
+            F.sum("event_id").alias("kept_id_total"),
+        )
+    )

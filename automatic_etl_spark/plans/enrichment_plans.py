@@ -1391,3 +1391,131 @@ def mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.4826 * F.col("mad"), 6).alias("mad_scaled"),
         )
     )
+
+
+# --- Embedding distribution drift between epochs (r6) --------------------------
+# The embedding-space sibling of dq_metric_drift, and the monitoring
+# check a production training pipeline runs on every corpus refresh:
+# has the embedding distribution MOVED? Corpus splits at the type-1
+# median vec_id (integer-exact), each epoch's per-label mean centroid
+# computes distributed (posexplode → (label, epoch, dim) keyed
+# decimal-exact means — the ivf_mean_centroids machinery), and the
+# report is the cosine between a label's two epoch centroids. Scale:
+# one explode pass, one (label, epoch, dim)-keyed aggregate (bounded
+# by labels × dims, not rows), then an O(labels × dims) join — no
+# pairwise anything.
+
+
+@register(
+    "embedding_drift_epochs",
+    oracle="""
+        WITH ids AS (SELECT vec_id FROM embeddings),
+        cum AS (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM ids
+        ),
+        med AS (
+            SELECT MIN(CASE WHEN rn >= (n + 1) // 2 THEN vec_id END) AS m
+            FROM cum
+        ),
+        ex AS (
+            SELECT e.label,
+                   CASE WHEN e.vec_id <= med.m THEN 0 ELSE 1 END AS epoch,
+                   unnest(CAST(e.embedding AS DOUBLE[])) AS val,
+                   unnest(range(1, len(e.embedding) + 1)) AS dim
+            FROM embeddings e CROSS JOIN med
+        ),
+        dims AS (
+            SELECT label, epoch, dim,
+                   round(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                         / COUNT(*), 6) AS mval,
+                   COUNT(*) AS c
+            FROM ex GROUP BY 1, 2, 3
+        ),
+        joined AS (
+            SELECT a.label, a.dim, a.mval AS ma, b.mval AS mb,
+                   a.c AS ca, b.c AS cb
+            FROM (SELECT * FROM dims WHERE epoch = 0) a
+            JOIN (SELECT * FROM dims WHERE epoch = 1) b
+              USING (label, dim)
+        )
+        SELECT label,
+               CAST(MAX(ca) AS BIGINT) AS n_a,
+               CAST(MAX(cb) AS BIGINT) AS n_b,
+               round(CAST(SUM(CAST(round(ma * mb, 8) AS DECIMAL(28,8)))
+                          AS DOUBLE)
+                     / (sqrt(CAST(SUM(CAST(round(ma * ma, 8)
+                                           AS DECIMAL(28,8))) AS DOUBLE))
+                        * sqrt(CAST(SUM(CAST(round(mb * mb, 8)
+                                             AS DECIMAL(28,8)))
+                                    AS DOUBLE))), 6) AS centroid_cosine
+        FROM joined GROUP BY label
+    """,
+)
+def embedding_drift_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cosine between the mean centroids of the two
+    median-vec_id epochs: (label, n_a, n_b, centroid_cosine). Means
+    are decimal-exact then rounded once per dimension; the cosine's
+    moment sums are decimal-pinned products of those rounded means."""
+    emb = table(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    ids = emb.select("vec_id").select(
+        "vec_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med = ids.agg(
+        F.min(
+            F.when(
+                F.col("rn") >= F.call_function(
+                    "div", (F.col("n") + 1).cast("long"), F.lit(2).cast("long")
+                ),
+                F.col("vec_id"),
+            )
+        ).alias("m")
+    )
+    ex = (
+        emb.crossJoin(F.broadcast(med))
+        .select(
+            "label",
+            F.when(F.col("vec_id") <= F.col("m"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("epoch"),
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))),
+        )
+        .select(
+            "label", "epoch", (F.col("pos") + 1).alias("dim"),
+            F.col("col").alias("val"),
+        )
+    )
+    dims = ex.groupBy("label", "epoch", "dim").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mval"),
+        F.count("*").alias("c"),
+    )
+    a = dims.filter(F.col("epoch") == 0).select(
+        "label", "dim",
+        F.col("mval").alias("ma"), F.col("c").alias("ca"),
+    )
+    b = dims.filter(F.col("epoch") == 1).select(
+        "label", "dim",
+        F.col("mval").alias("mb"), F.col("c").alias("cb"),
+    )
+    joined = a.join(b, ["label", "dim"])
+    dot = F.sum(F.round(F.col("ma") * F.col("mb"), 8).cast("decimal(28,8)"))
+    na2 = F.sum(F.round(F.col("ma") * F.col("ma"), 8).cast("decimal(28,8)"))
+    nb2 = F.sum(F.round(F.col("mb") * F.col("mb"), 8).cast("decimal(28,8)"))
+    return joined.groupBy("label").agg(
+        F.max("ca").alias("n_a"),
+        F.max("cb").alias("n_b"),
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))),
+            6,
+        ).alias("centroid_cosine"),
+    )

@@ -105,7 +105,8 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "try_arithmetic_surface", "parameterized_sql_surface",
         "lateral_join_topn", "python_udtf_chunker",
         "temporal_functions_surface", "shuffle_hash_join_agg",
-        "dq_metric_drift",
+        "dq_metric_drift", "embedding_drift_epochs",
+        "quantile_stratified_sample",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",
