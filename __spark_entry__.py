@@ -78,6 +78,10 @@ _CHECK_PRIORITY = [
     "lateral_join_topn", "python_udtf_chunker", "temporal_functions_surface",
     "python_stream_source_totals", "shuffle_hash_join_agg",
     "dq_metric_drift", "embedding_drift_epochs", "quantile_stratified_sample",
+    "candidate_key_report", "functional_dependency_audit",
+    "fk_discovery_containment", "column_entropy_profile",
+    "benford_first_digit", "event_transition_matrix",
+    "cooccurrence_lift", "k_anonymity_report",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

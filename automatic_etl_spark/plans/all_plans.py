@@ -13,6 +13,7 @@ from automatic_etl_spark.plans import (  # noqa: F401
     cleaning_plans,
     curation_plans,
     dedup_plans,
+    discovery_plans,
     enrichment_plans,
     ingest_plans,
     multimodal_plans,
@@ -29,7 +30,7 @@ from automatic_etl_spark.plans.registry import REGISTRY
 
 # Backstop against a pack silently vanishing (e.g. a module that stops
 # registering at import time): the registry can only grow from here.
-_MIN_EXPECTED_QUERIES = 210
+_MIN_EXPECTED_QUERIES = 218
 assert len(REGISTRY) >= _MIN_EXPECTED_QUERIES, (
     f"registry shrank: {len(REGISTRY)} < {_MIN_EXPECTED_QUERIES} — "
     "a plan module stopped registering its queries"
