@@ -82,6 +82,7 @@ _CHECK_PRIORITY = [
     "fk_discovery_containment", "column_entropy_profile",
     "benford_first_digit", "event_transition_matrix",
     "cooccurrence_lift", "k_anonymity_report",
+    "orphan_fk_audit", "runtime_bloom_join_agg", "golden_record_merge",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

@@ -329,8 +329,9 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution vs log10(1+1/d). Fabricated or truncated numeric
     feeds fail this audit long before row-level checks notice. The
     digit comes from exact integer cents (no float formatting); one
-    9-key aggregate + broadcast total — constant-size shuffle at any
-    scale."""
+    9-key aggregate, then the ≤9-row digit frame is materialized so
+    the grand total does NOT re-scan orders — constant-size shuffle
+    at any scale, exactly one pass over the fact table."""
     orders = table(spark, sf_dir, "orders")
     digits = orders.where(F.col("o_totalprice") > 0).select(
         F.substring(
@@ -343,7 +344,11 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    counted = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    counted = (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     total = counted.agg(F.sum("cnt").alias("n"))
     obs = F.round(F.col("cnt").cast("double") / F.col("n"), 6)
     exp = F.round(
@@ -435,7 +440,10 @@ def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey, whose group size is bounded by order line-count (≤7
     in TPC-H shape) — per-key work is O(items²) with a small constant,
     NOT corpus-quadratic. Brand marginals (≤25 rows) and the order
-    total broadcast onto the pair aggregate."""
+    total broadcast onto the pair aggregate. The (order, brand) frame
+    feeds FOUR consumers (marginals, total, both self-join sides), so
+    it is materialized once — the SemDeDup/PageRank precedent; at
+    100 TB this is "write the basket projection, then mine it"."""
     lineitem = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     ob = (
@@ -447,6 +455,7 @@ def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_orders = ob.agg(F.countDistinct("okey").alias("n"))
     brand_n = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("bn"))

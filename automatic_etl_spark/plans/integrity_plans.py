@@ -1,0 +1,261 @@
+"""Oracle-checked plans for referential integrity, runtime join
+pruning, and golden-record survivorship.
+
+The reference assumes its FK graph is sound (the generated BI joins in
+reference tools/gen_bi_assets.py presuppose parent rows exist) and its
+upserts pick a single winner row (ReplacingMergeTree semantics). This
+pack adds the production guards around both assumptions: row-level
+orphan audits, Spark's runtime bloom-filter join pruning (the 100 TB
+mechanism that keeps a selective dimension filter from scanning the
+whole fact table), and field-level survivorship merge (MDM
+golden-record construction, the generalization of W1 pick-latest
+dedup from rows to fields).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.sources.parquet import table
+
+# --- Row-level referential-integrity audit -----------------------------------
+
+_ORPHAN_ORACLE = """
+    SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS pair,
+           COUNT(*) AS child_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphan_rows,
+           round(CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS orphan_rate
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer.c_custkey',
+           COUNT(*),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           round(CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->region.r_regionkey',
+           COUNT(*),
+           CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           round(CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6)
+    FROM customer c LEFT JOIN region r ON c.c_nationkey = r.r_regionkey
+"""
+
+
+def _orphan_row(
+    child: DataFrame, ck: str, parent: DataFrame, pk: str, name: str
+) -> DataFrame:
+    """LEFT join against the broadcast DISTINCT parent key-set: the
+    probe side streams, the build side is |parent keys| not |parent
+    rows| — at 100 TB the fact table is scanned once, never shuffled."""
+    keys = parent.select(F.col(pk).alias("_pk")).distinct()
+    hit = child.join(
+        F.broadcast(keys), child[ck] == F.col("_pk"), "left"
+    )
+    return hit.agg(
+        F.lit(name).alias("pair"),
+        F.count(F.lit(1)).alias("child_rows"),
+        F.sum(F.col("_pk").isNull().cast("long")).alias("orphan_rows"),
+    ).select(
+        "pair",
+        "child_rows",
+        "orphan_rows",
+        F.round(
+            F.col("orphan_rows").cast("double") / F.col("child_rows"), 6
+        ).alias("orphan_rate"),
+    )
+
+
+@register("orphan_fk_audit", oracle=_ORPHAN_ORACLE)
+def orphan_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level referential integrity: orphan counts per FK edge —
+    the row-granular complement of `fk_discovery_containment` (which
+    audits key SETS). Two structurally-sound edges report 0 orphans;
+    the deliberate mismatch (nationkey vs regionkey) quantifies real
+    orphan mass. Parent key-sets are distinct-projected and broadcast,
+    so each audit is one streaming pass over the child table."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    region = table(spark, sf_dir, "region")
+    parts = [
+        _orphan_row(
+            lineitem, "l_orderkey", orders, "o_orderkey",
+            "lineitem.l_orderkey->orders.o_orderkey",
+        ),
+        _orphan_row(
+            orders, "o_custkey", customer, "c_custkey",
+            "orders.o_custkey->customer.c_custkey",
+        ),
+        _orphan_row(
+            customer, "c_nationkey", region, "r_regionkey",
+            "customer.c_nationkey->region.r_regionkey",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- Runtime bloom-filter join pruning ---------------------------------------
+
+_BLOOM_ORACLE = """
+    SELECT l.l_returnflag AS returnflag,
+           COUNT(*) AS line_cnt,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+"""
+
+
+@register("runtime_bloom_join_agg", oracle=_BLOOM_ORACLE)
+def runtime_bloom_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dimension filter joined to the fact table with
+    Spark's RUNTIME BLOOM FILTER injected on the probe side
+    (InjectRuntimeFilter): the urgent-orders predicate builds a bloom
+    filter that prunes lineitem rows BEFORE the shuffle — at 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the ~20% that can match. The join strategy is pinned to
+    sort-merge with a hint (hints survive conf restoration; broadcast
+    joins don't take runtime filters), and the application-side scan
+    threshold is dropped to 0 inside the callable because the local
+    fixture is far below the 10 GiB production default — at
+    production scale the DEFAULT config injects this filter with no
+    override at all. Optimization is forced inside the conf window
+    (QueryExecution.optimizedPlan is a cached lazy val, so the
+    injected bloom filter survives the finally-restore). The oracle
+    is the PLAIN join — pruning must be result-invisible."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        # InjectRuntimeFilter bails on joins it judges broadcast-able
+        # by SIZE (isProbablyShuffleJoin) — true for any local fixture,
+        # false for a 100 TB fact table. Disable the size estimate for
+        # the optimization window only; the merge hint (not this conf)
+        # is what pins the executed join strategy.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        # fan_out=False: the local fixture fan-out repartition would sit
+        # between scan and join and suppress InjectRuntimeFilter (see
+        # sources/parquet.table docstring); cluster layouts never take
+        # that branch.
+        lineitem = table(spark, sf_dir, "lineitem", fan_out=False)
+        orders = table(spark, sf_dir, "orders", fan_out=False).where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = lineitem.join(
+            orders.hint("merge"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        out = joined.groupBy(
+            F.col("l_returnflag").alias("returnflag")
+        ).agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("revenue_cents"),
+        )
+        # Force optimization INSIDE the conf window: InjectRuntimeFilter
+        # runs in the optimizer, whose output is cached on this
+        # DataFrame's QueryExecution — without this the lazy optimize
+        # would run after the finally below and never inject.
+        out._jdf.queryExecution().optimizedPlan()
+        return out
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# --- Golden-record survivorship merge ----------------------------------------
+
+_GOLDEN_ORACLE = """
+    WITH ranked AS (
+        SELECT o_custkey, o_orderstatus, o_orderpriority,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+               MIN(o_orderdate) OVER (PARTITION BY o_custkey)
+                   AS first_order_date,
+               MAX(o_orderdate) OVER (PARTITION BY o_custkey)
+                   AS last_order_date,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey)
+                    AS BIGINT) AS lifetime_cents
+        FROM orders
+    )
+    SELECT o_custkey AS custkey, n_orders,
+           first_order_date, last_order_date, lifetime_cents,
+           o_orderstatus AS latest_status,
+           o_orderpriority AS latest_priority
+    FROM ranked WHERE rn = 1
+"""
+
+
+@register("golden_record_merge", oracle=_GOLDEN_ORACLE)
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM golden-record construction: one surviving record per
+    customer merging fields under DIFFERENT survivorship rules —
+    most-recent wins for status/priority (total tie-break:
+    order_date desc, orderkey desc), min/max for the date span, exact
+    integer-cents sum for lifetime value. This generalizes the W1
+    pick-latest dedup (operators/dedup.py, reference
+    tools/ingest_runner.py dedup modes) from whole-row to per-field
+    survivorship. The rank window and ALL rollup fields evaluate as
+    window functions over the SAME custkey partitioning — one scan of
+    orders, ONE wide shuffle, no self-join (a groupBy+join shape
+    would scan the fact table twice and shuffle twice)."""
+    orders = table(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    w_all = Window.partitionBy("o_custkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n_orders"),
+            F.min("o_orderdate").over(w_all).alias("first_order_date"),
+            F.max("o_orderdate").over(w_all).alias("last_order_date"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            )
+            .over(w_all)
+            .alias("lifetime_cents"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "n_orders",
+            "first_order_date",
+            "last_order_date",
+            "lifetime_cents",
+            F.col("o_orderstatus").alias("latest_status"),
+            F.col("o_orderpriority").alias("latest_priority"),
+        )
+    )

@@ -108,6 +108,16 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "dq_metric_drift", "embedding_drift_epochs",
         "quantile_stratified_sample",
     ),
+    # round-6 discovery pack (key/FD/FK discovery, entropy profile,
+    # Benford, transition mining, basket lift, k-anonymity)
+    (
+        "candidate_key_report", "functional_dependency_audit",
+        "fk_discovery_containment", "column_entropy_profile",
+        "benford_first_digit", "event_transition_matrix",
+        "cooccurrence_lift", "k_anonymity_report",
+        "orphan_fk_audit", "runtime_bloom_join_agg",
+        "golden_record_merge",
+    ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",
      "python_stream_source_totals"),

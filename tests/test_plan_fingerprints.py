@@ -241,6 +241,71 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 2,
     },
+    # --- round-6 discovery pack ---
+    # ONE multi-distinct scan (Catalyst Expand): a second exchange
+    # would mean per-column passes crept in
+    "candidate_key_report": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 17, "exch": 2,
+    },
+    "functional_dependency_audit": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 12, "exch": 10,
+    },
+    # parent key-sets broadcast (bhj=4); smj/shj here would mean a
+    # dimension stopped broadcasting
+    "fk_discovery_containment": {
+        "bhj": 4, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 8, "exch": 15,
+    },
+    "column_entropy_profile": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 15, "exch": 6,
+    },
+    # exch=1: the digit frame is materialized, so the grand total must
+    # NOT re-scan orders (bnlj is the broadcast total singleton)
+    "benford_first_digit": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 1, "exch": 1,
+    },
+    "event_transition_matrix": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 1, "partialAgg": 1, "exch": 2,
+    },
+    # basket frame materialized once for its four consumers; marginals
+    # broadcast (bhj), total as broadcast singleton (bnlj), top-15 via
+    # TakeOrderedAndProject (topN)
+    "cooccurrence_lift": {
+        "bhj": 3, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 1, "partialAgg": 3, "exch": 8,
+    },
+    # second aggregate is a rollup of the first's keys: two exchanges
+    # total, no third
+    "k_anonymity_report": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 2,
+    },
+    # --- integrity pack ---
+    # every parent key-set broadcasts (bhj=3): an smj here means a
+    # fact-table shuffle crept into what must be a streaming pass
+    "orphan_fk_audit": {
+        "bhj": 3, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 9,
+    },
+    # smj=1 pinned by the merge hint — the shuffle-join path the
+    # runtime bloom filter exists for (injection itself is asserted
+    # in test_integrity_properties)
+    "runtime_bloom_join_agg": {
+        "bhj": 0, "smj": 1, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 3,
+    },
+    # single custkey-partitioned window evaluates rank + all rollup
+    # fields: no join, no partial agg; exch=2 is the custkey shuffle
+    # plus the local fan-out shim
+    "golden_record_merge": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 0, "exch": 2,
+    },
 }
 
 

@@ -96,6 +96,13 @@ QUERIES = (
                                 # (per-user arrays stay constant-size)
     "recursive_hierarchy_rollup",  # depth-bounded recursion; anc rows
                                    # scale with users x digits
+    # round-6 discovery pack (events/documents-based members; the
+    # TPC-H-table members aren't replicated by this harness)
+    "event_transition_matrix",  # per-user lag windows: user count
+                                # scales 10x, per-user window constant
+    "column_entropy_profile",   # value-keyed aggregates over bounded
+                                # categorical domains (constant-size
+                                # final frames at any corpus scale)
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
