@@ -83,6 +83,8 @@ _CHECK_PRIORITY = [
     "benford_first_digit", "event_transition_matrix",
     "cooccurrence_lift", "k_anonymity_report",
     "orphan_fk_audit", "runtime_bloom_join_agg", "golden_record_merge",
+    "temperature_mix_allocation", "effective_token_report",
+    "quality_dedup_correlation",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

@@ -116,7 +116,8 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "benford_first_digit", "event_transition_matrix",
         "cooccurrence_lift", "k_anonymity_report",
         "orphan_fk_audit", "runtime_bloom_join_agg",
-        "golden_record_merge",
+        "golden_record_merge", "temperature_mix_allocation",
+        "effective_token_report", "quality_dedup_correlation",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",

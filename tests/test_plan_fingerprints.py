@@ -306,6 +306,23 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 0, "exch": 2,
     },
+    # --- mixing pack ---
+    # source-keyed agg materialized; 1-row total enters as a broadcast
+    # singleton (bnlj)
+    "temperature_mix_allocation": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 1, "exch": 1,
+    },
+    # (source, text-hash) dedup agg, then a source rollup of the
+    # already-partitioned frame: two exchanges, no join
+    "effective_token_report": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 2,
+    },
+    "quality_dedup_correlation": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 2,
+    },
 }
 
 

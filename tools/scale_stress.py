@@ -103,6 +103,12 @@ QUERIES = (
     "column_entropy_profile",   # value-keyed aggregates over bounded
                                 # categorical domains (constant-size
                                 # final frames at any corpus scale)
+    # round-6 mixing pack (all documents-based)
+    "temperature_mix_allocation",  # source-keyed agg + broadcast total
+    "effective_token_report",      # (source, text-hash) dedup agg +
+                                   # source rollup
+    "quality_dedup_correlation",   # text-hash dup counts joined back
+                                   # on the hash they were built on
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
