@@ -84,7 +84,8 @@ _CHECK_PRIORITY = [
     "cooccurrence_lift", "k_anonymity_report",
     "orphan_fk_audit", "runtime_bloom_join_agg", "golden_record_merge",
     "temperature_mix_allocation", "effective_token_report",
-    "quality_dedup_correlation",
+    "quality_dedup_correlation", "dynamic_partition_pruning_agg",
+    "string_agg_surface", "group_by_all_surface",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

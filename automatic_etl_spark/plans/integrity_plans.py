@@ -259,3 +259,70 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("latest_priority"),
         )
     )
+
+
+# --- Dynamic partition pruning ------------------------------------------------
+# The second runtime-pruning mechanism (sibling of the bloom filter
+# above): when the fact table is PARTITIONED on the join key, Spark
+# turns the dim-side filter into a partition-pruning subquery at run
+# time (PartitionFilters: dynamicpruning#...) and never opens the
+# pruned directories at all. At 100 TB with date/tenant partitioning
+# this is the dominant scan saver; the bloom filter handles the
+# non-partition-key case.
+
+DPP_TYPE_WEIGHTS = (
+    ("click", 1), ("view", 2), ("signup", 5), ("purchase", 10),
+    ("error", 0),
+)
+DPP_MIN_WEIGHT = 5  # the dim-side selective filter that drives pruning
+
+_DPP_ORACLE = f"""
+    WITH dim(event_type, weight) AS (
+        VALUES {", ".join(f"('{t}', {w})" for t, w in DPP_TYPE_WEIGHTS)}
+    )
+    SELECT e.event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total,
+           CAST(SUM(d.weight) AS BIGINT) AS weight_total
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE d.weight >= {DPP_MIN_WEIGHT}
+    GROUP BY e.event_type
+"""
+
+
+@register("dynamic_partition_pruning_agg", oracle=_DPP_ORACLE)
+def dynamic_partition_pruning_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition pruning exercised end-to-end: events are
+    written PARTITIONED BY event_type, then joined to a 2-row dim —
+    the dim filter becomes a runtime partition-pruning subquery on
+    the fact scan (asserted in-plan by the companion unit test), so
+    3 of 5 partition directories are never read. The oracle computes
+    the same aggregate from the unpartitioned table — pruning must be
+    result-invisible. The write is the fixture stand-in for a table
+    that is ALREADY partitioned this way in production."""
+    import tempfile
+
+    ev = table(spark, sf_dir, "events")
+    target = tempfile.mkdtemp(prefix="dpp_audit_")
+    # One file per partition dir (the compaction_file_audit pattern).
+    ev.repartition(5, "event_type").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(target)
+    fact = spark.read.parquet(target)
+    # The SELECTIVE FILTER on the dim side is what the PartitionPruning
+    # rule keys on (hasSelectivePredicate): a pre-filtered literal would
+    # not trigger DPP.
+    dim = spark.createDataFrame(
+        list(DPP_TYPE_WEIGHTS), ["event_type", "weight"]
+    ).where(F.col("weight") >= DPP_MIN_WEIGHT)
+    joined = fact.join(F.broadcast(dim), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.floor(F.col("value") * 100).cast("bigint")
+        ).cast("bigint").alias("cents_total"),
+        F.sum("weight").cast("bigint").alias("weight_total"),
+    )

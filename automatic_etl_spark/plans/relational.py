@@ -2646,3 +2646,76 @@ def shuffle_hash_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_units_total"
         ),
     )
+
+
+# --- Extension: listagg / string_agg (Spark 4, SPARK-42746) -------------------
+# Deterministic ordered string aggregation — the SQL-standard LISTAGG
+# ... WITHIN GROUP (ORDER BY ...) that previously required the
+# array_sort∘collect_list workaround (sorted_array_agg). The explicit
+# WITHIN GROUP order is what makes the result partitioning-invariant;
+# bare listagg/collect_list concatenation order is not deterministic
+# under shuffle.
+
+
+@register(
+    "string_agg_surface",
+    oracle="""
+        SELECT n_regionkey AS regionkey,
+               COUNT(*) AS n_nations,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+        FROM nation GROUP BY n_regionkey
+    """,
+)
+def string_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (ORDER BY) over nations per region —
+    value-identical to DuckDB's ordered string_agg. Group sizes are
+    bounded by the dimension's domain (5 per region), so the
+    concatenated strings stay O(domain), never O(rows) — the guard
+    that keeps ordered string aggregation safe at scale."""
+    from automatic_etl_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, names=("nation",))
+    return spark.sql(
+        """
+        SELECT n_regionkey AS regionkey,
+               COUNT(*) AS n_nations,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                   AS nations_csv
+        FROM nation GROUP BY n_regionkey
+        """
+    )
+
+
+# --- Extension: GROUP BY ALL (Spark 3.4+, SPARK-40669) ------------------------
+
+
+@register(
+    "group_by_all_surface",
+    oracle="""
+        SELECT event_type,
+               CAST(ts AS DATE) AS event_date,
+               COUNT(*) AS cnt,
+               COUNT(DISTINCT user_id) AS users
+        FROM events
+        GROUP BY ALL
+    """,
+)
+def group_by_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — every non-aggregate select item becomes a
+    grouping key (identical semantics in DuckDB, so the oracle uses
+    the same sugar). Resolves to the same hash aggregate as an
+    explicit GROUP BY; pure parser surface, pinned so dialect users
+    can port their queries verbatim."""
+    from automatic_etl_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, names=("events",))
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(ts AS DATE) AS event_date,
+               COUNT(*) AS cnt,
+               COUNT(DISTINCT user_id) AS users
+        FROM events
+        GROUP BY ALL
+        """
+    )

@@ -118,6 +118,8 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "orphan_fk_audit", "runtime_bloom_join_agg",
         "golden_record_merge", "temperature_mix_allocation",
         "effective_token_report", "quality_dedup_correlation",
+        "dynamic_partition_pruning_agg", "string_agg_surface",
+        "group_by_all_surface",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",

@@ -70,3 +70,34 @@ def test_golden_record_survivorship_laws(spark):
     for g in golden.values():
         assert g.first_order_date <= g.last_order_date
         assert g.n_orders >= 1
+
+
+def test_dynamic_partition_pruning_injected(spark):
+    """The fact scan must carry a dynamicpruning expression in its
+    PartitionFilters — proof the dim filter became a runtime partition
+    pruner rather than a post-scan filter."""
+    df = REGISTRY["dynamic_partition_pruning_agg"][0](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+
+
+def test_group_by_all_and_listagg_determinism(spark):
+    """listagg WITHIN GROUP must be partitioning-invariant: identical
+    output at 2 and 27 shuffle partitions."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    try:
+        for parts in ("2", "27"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = sorted(
+                (r.regionkey, r.nations_csv)
+                for r in REGISTRY["string_agg_surface"][0](spark, SF).collect()
+            )
+            outs.append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert outs[0] == outs[1]
+    for _, csv in outs[0]:
+        names = csv.split(",")
+        assert names == sorted(names)

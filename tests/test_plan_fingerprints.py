@@ -323,6 +323,20 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 2,
     },
+    # partitioned-fact ⋈ broadcast filtered dim; the dynamicpruning
+    # PartitionFilter itself is asserted in test_integrity_properties
+    "dynamic_partition_pruning_agg": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 2,
+    },
+    "string_agg_surface": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 1,
+    },
+    "group_by_all_surface": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 2,
+    },
 }
 
 
