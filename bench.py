@@ -119,7 +119,9 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "golden_record_merge", "temperature_mix_allocation",
         "effective_token_report", "quality_dedup_correlation",
         "dynamic_partition_pruning_agg", "string_agg_surface",
-        "group_by_all_surface",
+        "group_by_all_surface", "oov_rate_report",
+        "pii_column_discovery", "join_size_estimate_report",
+        "label_centroid_outliers",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",

@@ -337,6 +337,27 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 2,
     },
+    # --- profiling pack ---
+    # bounded top-K vocab (topN) broadcast onto the coverage join
+    "oov_rate_report": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 1, "partialAgg": 3, "exch": 2,
+    },
+    # one streaming pass per audited column, 1-row aggregates unioned
+    "pii_column_discovery": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 10, "exch": 5,
+    },
+    "join_size_estimate_report": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 3,
+    },
+    # centroid frame joins pre-checkpoint; the visible bhj is the
+    # label-stats broadcast back onto the materialized distance frame
+    "label_centroid_outliers": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 2,
+    },
 }
 
 

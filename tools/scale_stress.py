@@ -109,6 +109,11 @@ QUERIES = (
                                    # source rollup
     "quality_dedup_correlation",   # text-hash dup counts joined back
                                    # on the hash they were built on
+    # round-6 profiling pack (documents/embeddings members)
+    "oov_rate_report",          # bounded top-K vocab broadcast onto
+                                # the token stream
+    "label_centroid_outliers",  # (label, dim)-keyed centroid + per-vec
+                                # distance; labels fixed, vectors x10
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
