@@ -68,10 +68,14 @@ _CHECK_PRIORITY = [
     "tfidf_top_terms", "token_stats",
     # (a2) new in r06, past the 50-slot fold: the window is full
     # (12 new + 10 r1 + 28 r2 = 50) and bumping an r2 query would
-    # leave its newest signal 4 rounds old; these are the lowest-risk
-    # new queries (SQL-dialect surface over already-checked plan
-    # shapes; a plain two-level aggregate) — all locally oracle-green
-    # at sf0.001 AND sf0.01, first in line for r07
+    # leave its newest signal 4 rounds old. Everything below here
+    # through the end of (a2) — the r6 surface pack plus the late-r6
+    # discovery/integrity/mixing/surface/profiling packs (37 queries)
+    # — is locally oracle-green at sf0.001 AND sf0.01 and
+    # driver-contract-checked via tools/driver_check.py (bare ANSI
+    # session); FIRST IN LINE for the r07 window, newest-first is
+    # wrong here: keep this (a2) order, oldest additions first, so
+    # no query waits more than one extra round
     "sql_pipe_surface", "sorted_array_agg", "recursive_hierarchy_rollup",
     "python_datasource_scan", "collated_group_surface", "xml_source_agg",
     "try_arithmetic_surface", "parameterized_sql_surface",
