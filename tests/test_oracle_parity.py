@@ -44,6 +44,9 @@ ORDER_SENSITIVE = [
         "reservoir_per_group", "fuzzy_match_recovery",
         "outlier_iqr_report", "bpe_merge_mining", "winsorize_stats",
         "value_histogram_equidepth", "cluster_top_terms",
+        # round-6 additions with top-N / rank / vocab-cut shapes
+        "event_transition_matrix", "cooccurrence_lift",
+        "oov_rate_report", "golden_record_merge", "string_agg_surface",
     )
     if n in ORACLE_NAMES
 ]
