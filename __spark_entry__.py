@@ -92,6 +92,7 @@ _CHECK_PRIORITY = [
     "string_agg_surface", "group_by_all_surface",
     "oov_rate_report", "pii_column_discovery",
     "join_size_estimate_report", "label_centroid_outliers",
+    "state_store_inspection",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

@@ -949,3 +949,74 @@ def python_stream_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_event_id"),
         )
     )
+
+
+# --- State-store inspection (Spark 4, SPARK-45511) ----------------------------
+# The State Data Source reads a streaming checkpoint's state store as
+# a batch DataFrame — the production debugging surface for "what does
+# my running aggregation believe right now" without touching the
+# stream. The reference has no analog (ClickHouse state is just
+# tables); for the Spark-native engine this closes the observability
+# loop: streaming state is queryable with the same SQL as everything
+# else.
+
+
+@register(
+    "state_store_inspection",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_total
+        FROM events GROUP BY event_type
+    """,
+)
+def state_store_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run an availableNow streaming aggregation to a checkpoint, then
+    read the CHECKPOINT'S STATE STORE back via the Spark 4 state data
+    source (format "statestore") and report the state rows themselves
+    — (key.event_type, value.count, value.sum) must equal the batch
+    aggregate of the same input, proving the persisted state is the
+    answer, not just the memory sink. At scale the state source reads
+    only state files (O(|keys|)), never the stream's input data."""
+    from automatic_etl_spark.session import default_parallelism
+
+    path = stage_stream_dir(spark, sf_dir)
+    chk = tempfile.mkdtemp(prefix="state_chk_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(default_parallelism())
+    )
+    name = f"state_inspect_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = spark.readStream.schema(
+            spark.read.parquet(path).schema
+        ).parquet(path)
+        agg = (
+            stream.select(
+                "event_type",
+                F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("cents").alias("cents_total"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    state = spark.read.format("statestore").load(chk)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("cnt"),
+        F.col("value.sum").alias("cents_total"),
+    )

@@ -125,7 +125,7 @@ GROUPS: tuple[tuple[str, ...], ...] = (
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",
-     "python_stream_source_totals"),
+     "python_stream_source_totals", "state_store_inspection"),
 )
 
 HEADLINE: tuple[str, ...] = tuple(n for g in GROUPS for n in g)
