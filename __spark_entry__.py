@@ -93,6 +93,9 @@ _CHECK_PRIORITY = [
     "oov_rate_report", "pii_column_discovery",
     "join_size_estimate_report", "label_centroid_outliers",
     "state_store_inspection",
+    # late-r6 production-ops pack (same local two-scale oracle signal)
+    "merge_three_way", "ewma_anomaly_report", "mmr_diversified_topk",
+    "length_bucket_batching", "gopher_rules_report",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

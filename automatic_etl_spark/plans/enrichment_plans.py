@@ -1519,3 +1519,119 @@ def embedding_drift_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_cosine"),
     )
+
+
+# --- Bounded-window EWMA anomaly detection ------------------------------------
+# Streaming metric monitors (and data-drift gates over ingest
+# batches) predict each point from an exponentially-weighted moving
+# average of its recent history and flag large deviations. A true
+# EWMA is a sequential recurrence — the anti-pattern at 100 TB — so
+# this uses the K-bounded formulation: weights 2^-d over the last K
+# predecessors. 2^-d is EXACTLY representable as a double, so each
+# w*x product is a pure exponent shift of x (bit-identical on both
+# engines); per-term products are rounded at one site and summed as
+# DECIMAL (the mixing-pack float policy).
+
+EWMA_K = 8          # predecessors per prediction (bounds the self-join)
+EWMA_REL_LIMIT = 0.5  # |value - pred| / (|pred| + 1) above this → anomaly
+
+_EWMA_ORACLE = f"""
+    WITH base AS (
+        SELECT event_id, user_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events WHERE value IS NOT NULL
+    ),
+    pairs AS (
+        SELECT c.event_id, c.event_type, c.value,
+               CAST(round(pow(0.5, c.rn - p.rn) * p.value, 6)
+                    AS DECIMAL(28,6)) AS wx,
+               CAST(pow(0.5, c.rn - p.rn) AS DECIMAL(18,8)) AS w
+        FROM base c JOIN base p
+          ON c.user_id = p.user_id
+         AND c.rn - p.rn BETWEEN 1 AND {EWMA_K}
+    ),
+    pred AS (
+        SELECT event_id, event_type, value,
+               round(CAST(SUM(wx) AS DOUBLE)
+                     / CAST(SUM(w) AS DOUBLE), 6) AS ewma
+        FROM pairs GROUP BY event_id, event_type, value
+    )
+    SELECT event_type,
+           COUNT(*) AS n_scored,
+           CAST(SUM(CASE WHEN round(abs(value - ewma)
+                                    / (abs(ewma) + 1.0), 6)
+                              > {EWMA_REL_LIMIT}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           round(CAST(SUM(CASE WHEN round(abs(value - ewma)
+                                          / (abs(ewma) + 1.0), 6)
+                                    > {EWMA_REL_LIMIT}
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS anomaly_rate
+    FROM pred GROUP BY event_type
+"""
+
+
+@register("ewma_anomaly_report", oracle=_EWMA_ORACLE)
+def ewma_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type anomaly rates from a K-bounded EWMA predictor:
+    each event's prediction is the 2^-d-weighted mean of its last K
+    values within the user's timeline (total order: ts, event_id);
+    deviation beyond EWMA_REL_LIMIT of (|pred|+1) flags an anomaly.
+
+    Scale shape: the recurrence is replaced by a rank-range self-join
+    (d = rn_cur - rn_prev ∈ [1, K]) — row growth is a FIXED ×K, both
+    sides hash-partition on user_id, and the per-event reduce is a
+    map-side-combinable SUM. No window carries unbounded state and no
+    driver loop exists, so the plan is one shuffle wider than a plain
+    window agg but embarrassingly parallel at any scale. Weights 2^-d
+    are exact doubles (exponent shifts), so w*x is bit-identical
+    across engines; products round at ONE site then sum as DECIMAL."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+            .alias("rn"),
+        )
+    )
+    c, p = ev.alias("c"), ev.alias("p")
+    d = F.col("c.rn") - F.col("p.rn")
+    pairs = c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & d.between(1, EWMA_K),
+    ).select(
+        F.col("c.event_id").alias("event_id"),
+        F.col("c.event_type").alias("event_type"),
+        F.col("c.value").alias("value"),
+        F.round(F.pow(F.lit(0.5), d) * F.col("p.value"), 6)
+        .cast("decimal(28,6)")
+        .alias("wx"),
+        F.pow(F.lit(0.5), d).cast("decimal(18,8)").alias("w"),
+    )
+    pred = pairs.groupBy("event_id", "event_type", "value").agg(
+        F.round(
+            F.sum("wx").cast("double") / F.sum("w").cast("double"), 6
+        ).alias("ewma")
+    )
+    is_anom = (
+        F.round(
+            F.abs(F.col("value") - F.col("ewma"))
+            / (F.abs(F.col("ewma")) + 1.0),
+            6,
+        )
+        > EWMA_REL_LIMIT
+    ).cast("long")
+    return pred.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(is_anom).cast("bigint").alias("n_anomalies"),
+        F.round(
+            F.sum(is_anom).cast("double") / F.count(F.lit(1)), 6
+        ).alias("anomaly_rate"),
+    )

@@ -326,3 +326,122 @@ def dynamic_partition_pruning_agg(
         ).cast("bigint").alias("cents_total"),
         F.sum("weight").cast("bigint").alias("weight_total"),
     )
+
+
+# --- Three-clause MERGE (upsert + delete) semantics ---------------------------
+# The reference's upsert surface is ReplacingMergeTree pick-latest
+# (tools/ingest_runner.py dedup modes) plus Debezium delete tombstones
+# (tools/kafka_to_clickhouse.py __deleted rewrite) — two separate
+# mechanisms. Lakehouse engines unify them as MERGE INTO with WHEN
+# MATCHED [AND cond] UPDATE/DELETE and WHEN NOT MATCHED INSERT. Spark
+# has the semantics but not a local MERGE-capable catalog in this
+# sandbox, so the plan expresses the standard copy-on-write shape:
+# ONE full-outer join target↔source on the merge key, with every
+# clause a branch of one CASE — the exact physical plan Delta/Iceberg
+# generate for a non-pruned MERGE.
+
+MERGE_UPDATE_FACTOR_CENTS = 110  # src price = 1.1 × target, in cents
+
+_MERGE_ORACLE = """
+    WITH target AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    source AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 110 // 100
+                   AS cents,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'd' ELSE 'u' END AS op
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+        SELECT CASE
+                   WHEN s.k IS NULL THEN 'kept'
+                   WHEN t.k IS NULL AND s.op = 'd' THEN 'skipped_delete'
+                   WHEN t.k IS NULL THEN 'inserted'
+                   WHEN s.op = 'd' THEN 'deleted'
+                   ELSE 'updated'
+               END AS action,
+               CASE
+                   WHEN s.k IS NULL THEN t.cents
+                   WHEN t.k IS NULL AND s.op = 'd' THEN 0
+                   WHEN s.op = 'd' THEN t.cents
+                   ELSE s.cents
+               END AS cents
+        FROM target t FULL OUTER JOIN source s ON t.k = s.k
+    )
+    SELECT action, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total,
+           CAST(SUM(CASE WHEN action IN ('kept', 'updated', 'inserted')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS survives
+    FROM merged GROUP BY action
+"""
+
+
+@register("merge_three_way", oracle=_MERGE_ORACLE)
+def merge_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO semantics in one pass: target (orders with
+    key%3≠0) merged with a CDC-style source batch (key%2=0; every
+    10th key a delete tombstone) under three clauses — WHEN MATCHED
+    AND op='d' DELETE, WHEN MATCHED UPDATE (price +10%), WHEN NOT
+    MATCHED INSERT (a not-matched delete is a reported no-op). Output
+    is the per-action row/cents accounting a MERGE commit log records.
+
+    Physical shape: ONE shuffle-on-key full-outer sort-merge join and
+    one small agg — the canonical copy-on-write MERGE plan. At 100 TB
+    the join key is the table's bucket/cluster key, so the target side
+    pre-shuffles at write time (bucketed_join_agg shows the shuffle-
+    free variant), the source batch is orders of magnitude smaller,
+    and AQE's skew split covers hot keys. All money stays in integer
+    cents (decimal_fidelity_agg policy); the 110/100 update is BIGINT
+    division on both engines, truncation identical."""
+    orders = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    target = orders.where(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"), cents.alias("t_cents")
+    )
+    source = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.call_function(
+            "div", cents * MERGE_UPDATE_FACTOR_CENTS, F.lit(100)
+        ).alias("s_cents"),
+        F.when(F.col("o_orderkey") % 10 == 0, "d")
+        .otherwise("u")
+        .alias("op"),
+    )
+    t, s = target.alias("t"), source.alias("s")
+    joined = t.join(s, "k", "full_outer")
+    action = (
+        F.when(F.col("op").isNull(), "kept")
+        .when(
+            F.col("t_cents").isNull() & (F.col("op") == "d"),
+            "skipped_delete",
+        )
+        .when(F.col("t_cents").isNull(), "inserted")
+        .when(F.col("op") == "d", "deleted")
+        .otherwise("updated")
+    )
+    merged_cents = (
+        F.when(F.col("op").isNull(), F.col("t_cents"))
+        .when(
+            F.col("t_cents").isNull() & (F.col("op") == "d"), F.lit(0)
+        )
+        .when(F.col("op") == "d", F.col("t_cents"))
+        .otherwise(F.col("s_cents"))
+    )
+    return (
+        joined.select(action.alias("action"), merged_cents.alias("cents"))
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents_total"),
+            F.sum(
+                F.col("action")
+                .isin("kept", "updated", "inserted")
+                .cast("long")
+            )
+            .cast("bigint")
+            .alias("survives"),
+        )
+    )

@@ -558,3 +558,147 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h") / (F.count("*") * F.lit(K)).cast("double"), 6
         ).alias("recall_at_k"),
     )
+
+
+# --- Maximal Marginal Relevance (MMR) diversified retrieval -------------------
+# Retrieval stacks (RAG, eval-set mining) diversify top-k results so
+# near-duplicate neighbors don't crowd the answer set: greedily pick
+# argmax λ·rel(x) − (1−λ)·max_{s∈S} sim(x, s) (Carbonell & Goldstein,
+# 1998). The greedy step is inherently sequential in k, but each step
+# is a full parallel scan — the right 100 TB shape is k distributed
+# passes with the (tiny) selected set broadcast, never a driver-side
+# candidate loop.
+
+MMR_K = 3
+MMR_LAMBDA = 0.7
+MMR_CAND_MOD = 7  # vec_id % 7 == 1 → candidate pool
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+_MMR_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e ORDER BY vec_id LIMIT 1),
+    cand AS (
+        SELECT vec_id, v, {_sql_cos('qv', 'v')} AS rel
+        FROM e CROSS JOIN q
+        WHERE vec_id % {MMR_CAND_MOD} = 1 AND vec_id <> qid
+    ),
+    s1 AS (
+        SELECT vec_id, v, rel FROM cand
+        ORDER BY rel DESC, vec_id ASC LIMIT 1
+    ),
+    r2 AS (
+        SELECT c.vec_id, c.v, c.rel,
+               round({MMR_LAMBDA} * c.rel
+                     - {round(1 - MMR_LAMBDA, 6)}
+                       * {_sql_cos('c.v', 's1.v')}, 6) AS score
+        FROM cand c CROSS JOIN s1 WHERE c.vec_id <> s1.vec_id
+    ),
+    s2 AS (
+        SELECT vec_id, v, rel, score FROM r2
+        ORDER BY score DESC, vec_id ASC LIMIT 1
+    ),
+    r3 AS (
+        SELECT c.vec_id, c.v, c.rel,
+               round({MMR_LAMBDA} * c.rel
+                     - {round(1 - MMR_LAMBDA, 6)}
+                       * greatest({_sql_cos('c.v', 's1.v')},
+                                  {_sql_cos('c.v', 's2.v')}), 6) AS score
+        FROM cand c CROSS JOIN s1 CROSS JOIN s2
+        WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id)
+    ),
+    s3 AS (
+        SELECT vec_id, rel, score FROM r3
+        ORDER BY score DESC, vec_id ASC LIMIT 1
+    )
+    SELECT 1 AS sel_rank, vec_id, rel, rel AS score FROM s1
+    UNION ALL
+    SELECT 2, vec_id, rel, score FROM s2
+    UNION ALL
+    SELECT 3, vec_id, rel, score FROM s3
+"""
+
+
+@register("mmr_diversified_topk", oracle=_MMR_ORACLE)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR top-k (k=3, λ=0.7): query = the min-vec_id embedding,
+    candidates = vec_id % 7 == 1; round r scores every remaining
+    candidate λ·rel − (1−λ)·max cosine to the already-selected set and
+    takes the rounded-score argmax (vec_id tiebreak).
+
+    Scale shape: the candidate frame with precomputed rel is
+    materialized ONCE (localCheckpoint); each of the k rounds is one
+    full parallel pass — candidates × broadcast selected set (≤ k−1
+    rows) → per-candidate max-sim → TakeOrdered(1). Driver traffic is
+    exactly one (id, vector, scores) row per round; nothing iterates
+    per-candidate on the driver. Cosine parity with the DuckDB oracle
+    reuses the module's verified left-fold == list_dot_product
+    identity, scores rounded at one site before the argmax so both
+    engines rank identical values."""
+    from automatic_etl_spark.functions import vectors as vec
+
+    emb = table(spark, sf_dir, "embeddings")
+    prepared = emb.select(
+        "vec_id", vec.to_double_array("embedding").alias("v")
+    )
+    q_row = prepared.orderBy("vec_id").limit(1).collect()[0]
+    qid, qv = q_row["vec_id"], q_row["v"]
+    q_lit = F.array(*[F.lit(float(x)) for x in qv])
+    cand = (
+        prepared.where(
+            (F.col("vec_id") % MMR_CAND_MOD == 1) & (F.col("vec_id") != qid)
+        )
+        .select(
+            "vec_id", "v", F.round(vec.cosine(q_lit, F.col("v")), 6).alias("rel")
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam = F.lit(MMR_LAMBDA)
+    one_minus = F.lit(round(1 - MMR_LAMBDA, 6))
+    selected: list[tuple[int, list[float], float, float]] = []
+    for _ in range(MMR_K):
+        if not selected:
+            scored = cand.select("vec_id", "v", "rel", F.col("rel").alias("score"))
+        else:
+            sel_df = spark.createDataFrame(
+                [(i, v) for i, v, _r, _s in selected],
+                "sel_id long, sel_v array<double>",
+            )
+            pool = cand.where(
+                ~F.col("vec_id").isin([i for i, *_ in selected])
+            )
+            scored = (
+                pool.join(F.broadcast(sel_df))
+                .groupBy("vec_id", "v", "rel")
+                .agg(
+                    F.max(
+                        F.round(vec.cosine(F.col("v"), F.col("sel_v")), 6)
+                    ).alias("maxsim")
+                )
+                .select(
+                    "vec_id", "v", "rel",
+                    F.round(
+                        lam * F.col("rel") - one_minus * F.col("maxsim"), 6
+                    ).alias("score"),
+                )
+            )
+        top = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(1).collect()[0]
+        selected.append(
+            (top["vec_id"], top["v"], top["rel"], top["score"])
+        )
+    return spark.createDataFrame(
+        [
+            (r + 1, i, rel, score)
+            for r, (i, _v, rel, score) in enumerate(selected)
+        ],
+        "sel_rank int, vec_id long, rel double, score double",
+    )

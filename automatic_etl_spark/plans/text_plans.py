@@ -404,3 +404,136 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_total"
         ),
     )
+
+
+# --- Gopher-style rule battery -----------------------------------------------
+# Published pretraining pipelines gate documents on an explicit rule
+# battery BEFORE any learned scoring (Gopher, Rae et al. 2021, Table
+# A1; reused by MassiveText/FineWeb). The single quality_score above
+# is the blended heuristic; this reports each rule separately so a
+# corpus owner can see WHICH gate kills their documents per source.
+# Thresholds are scaled to the synthetic fixtures; the rule SHAPES
+# are the published ones.
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 5, 1000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 2.0, 12.0   # mean word length bounds
+GOPHER_MAX_SYMBOL_RATIO = 0.1                # '#' & '...' per word
+GOPHER_MIN_ALPHA_FRAC = 0.7                  # words with a letter
+GOPHER_MIN_STOPWORDS = 2                     # distinct EN markers
+
+_SQL_GWORDS = (
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+    " x -> x <> '')"
+)
+
+_GOPHER_ORACLE = f"""
+    WITH scored AS (
+        SELECT source,
+               CAST(len({_SQL_GWORDS}) AS BIGINT) AS n,
+               CAST(list_sum(list_transform({_SQL_GWORDS}, w -> len(w)))
+                    AS BIGINT) AS sumlen,
+               CAST(len(list_filter({_SQL_GWORDS},
+                    w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha,
+               CAST(len(regexp_extract_all(text, '#')) AS BIGINT)
+                   + CAST(len(regexp_extract_all(text, '\\.\\.\\.'))
+                          AS BIGINT) AS symbols,
+               CAST({_sql_lang_score('text', 'en')} AS BIGINT) AS stops
+        FROM documents
+    ),
+    flags AS (
+        SELECT source,
+               CASE WHEN n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                    THEN 1 ELSE 0 END AS ok_words,
+               CASE WHEN CAST(sumlen AS DOUBLE) / greatest(n, 1)
+                         BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                    THEN 1 ELSE 0 END AS ok_mwl,
+               CASE WHEN CAST(symbols AS DOUBLE) / greatest(n, 1)
+                         < {GOPHER_MAX_SYMBOL_RATIO}
+                    THEN 1 ELSE 0 END AS ok_symbols,
+               CASE WHEN CAST(alpha AS DOUBLE) / greatest(n, 1)
+                         > {GOPHER_MIN_ALPHA_FRAC}
+                    THEN 1 ELSE 0 END AS ok_alpha,
+               CASE WHEN stops >= {GOPHER_MIN_STOPWORDS}
+                    THEN 1 ELSE 0 END AS ok_stopwords
+        FROM scored
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(ok_words) AS BIGINT) AS pass_word_count,
+           CAST(SUM(ok_mwl) AS BIGINT) AS pass_mean_word_len,
+           CAST(SUM(ok_symbols) AS BIGINT) AS pass_symbol_ratio,
+           CAST(SUM(ok_alpha) AS BIGINT) AS pass_alpha_frac,
+           CAST(SUM(ok_stopwords) AS BIGINT) AS pass_stopwords,
+           CAST(SUM(ok_words * ok_mwl * ok_symbols * ok_alpha
+                    * ok_stopwords) AS BIGINT) AS pass_all,
+           round(CAST(SUM(ok_words * ok_mwl * ok_symbols * ok_alpha
+                          * ok_stopwords) AS DOUBLE) / COUNT(*), 6)
+               AS pass_rate
+    FROM flags GROUP BY source
+"""
+
+
+@register("gopher_rules_report", oracle=_GOPHER_ORACLE)
+def gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pass counts for the five Gopher quality gates (word
+    count bounds, mean word length bounds, symbol-to-word ratio,
+    alphabetic-word fraction, stopword presence) plus the all-rules
+    conjunction and its pass rate.
+
+    Every rule is a pure Column expression over the shared lowercased
+    whitespace tokenization (functions/text.py tokens()) — array
+    higher-order functions, zero UDFs — so the whole battery is one
+    narrow map fused into WholeStageCodegen followed by ONE source-
+    keyed aggregate. Ratio comparisons divide as double with the
+    identical guard (greatest(n,1)) on both engines; indicators are
+    integers thereafter, so the aggregate is exact."""
+    docs = table(spark, sf_dir, "documents")
+    words = tx.tokens("text")
+    n = F.size(words).cast("bigint")
+    sumlen = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    ).cast("bigint")
+    symbols = (
+        F.regexp_count(F.col("text"), F.lit("#"))
+        + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+    ).cast("bigint")
+    stops = tx.lang_score("text", "en").cast("bigint")
+    guard = F.greatest(n, F.lit(1)).cast("double")
+
+    def ind(cond) -> Column:
+        return F.coalesce(cond.cast("long"), F.lit(0))
+
+    flags = docs.select(
+        "source",
+        ind(n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)).alias("ok_words"),
+        ind(
+            (sumlen.cast("double") / guard).between(
+                GOPHER_MIN_MWL, GOPHER_MAX_MWL
+            )
+        ).alias("ok_mwl"),
+        ind(
+            (symbols.cast("double") / guard) < GOPHER_MAX_SYMBOL_RATIO
+        ).alias("ok_symbols"),
+        ind(
+            (alpha.cast("double") / guard) > GOPHER_MIN_ALPHA_FRAC
+        ).alias("ok_alpha"),
+        ind(stops >= GOPHER_MIN_STOPWORDS).alias("ok_stopwords"),
+    )
+    pass_all = F.sum(
+        F.col("ok_words") * F.col("ok_mwl") * F.col("ok_symbols")
+        * F.col("ok_alpha") * F.col("ok_stopwords")
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok_words").cast("bigint").alias("pass_word_count"),
+        F.sum("ok_mwl").cast("bigint").alias("pass_mean_word_len"),
+        F.sum("ok_symbols").cast("bigint").alias("pass_symbol_ratio"),
+        F.sum("ok_alpha").cast("bigint").alias("pass_alpha_frac"),
+        F.sum("ok_stopwords").cast("bigint").alias("pass_stopwords"),
+        pass_all.cast("bigint").alias("pass_all"),
+        F.round(
+            pass_all.cast("double") / F.count(F.lit(1)), 6
+        ).alias("pass_rate"),
+    )

@@ -874,3 +874,123 @@ def python_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.chunk_idx
         """
     )
+
+
+# --- Length-bucketed batch construction ---------------------------------------
+# Packed pretraining (sequence_packing above) concatenates documents;
+# inference / finetuning / embedding jobs instead PAD each batch to
+# its longest member, so batching strategy decides how much compute is
+# wasted on pad tokens. Bucketing documents by power-of-two length
+# before batching is the standard fix; this query quantifies it.
+
+BATCH_SIZE = 32
+
+# Exact next-power-of-two: integer bit-length, NOT ceil(log2()) —
+# log2 via libm (Spark computes ln x / ln 2) is inexact at power-of-
+# two boundaries (first seen at tok = 2^29, caught by the boundary
+# sweep in tests/test_ops_pack6.py) and the two engines' libm need
+# not even agree with each other. bin()/length()/bitwise-AND are
+# exact on both.
+_SQL_NEXT_POW2 = (
+    "CASE WHEN ({t} & ({t} - 1)) = 0 THEN {t} "
+    "ELSE CAST(pow(2, len(bin({t}))) AS BIGINT) END"
+)
+
+_LENGTH_BUCKET_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               greatest(CAST({_SQL_TOKEN_COUNT.format(c='text')} AS BIGINT),
+                        1) AS tok
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, tok,
+               {_SQL_NEXT_POW2.format(t='tok')} AS bucket_len,
+               row_number() OVER (
+                   PARTITION BY {_SQL_NEXT_POW2.format(t='tok')}
+                   ORDER BY tok DESC, doc_id ASC
+               ) AS rn
+        FROM toks
+    ),
+    batches AS (
+        SELECT bucket_len, (rn - 1) // {BATCH_SIZE} AS batch_id,
+               COUNT(*) AS n_docs, MAX(tok) AS batch_max,
+               CAST(SUM(tok) AS BIGINT) AS real_tokens
+        FROM bucketed GROUP BY bucket_len, (rn - 1) // {BATCH_SIZE}
+    )
+    SELECT bucket_len,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_batches,
+           CAST(SUM(real_tokens) AS BIGINT) AS real_tokens,
+           CAST(SUM(batch_max * n_docs) AS BIGINT) AS padded_tokens,
+           round(CAST(SUM(batch_max * n_docs) AS DOUBLE)
+                 / SUM(real_tokens) - 1, 6) AS pad_overhead
+    FROM batches GROUP BY bucket_len
+"""
+
+
+@register("length_bucket_batching", oracle=_LENGTH_BUCKET_ORACLE)
+def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-waste accounting for length-bucketed batching: documents
+    fall into power-of-two token-length buckets, each bucket is cut
+    into batches of BATCH_SIZE in length-descending order, every batch
+    pads to its longest member. Per bucket: batch count, real vs
+    padded token mass, and the pad overhead ratio.
+
+    Scale shape: one narrow pass computes token counts, ONE hash
+    shuffle partitions by bucket for the row_number window (≤ ~30
+    buckets exist, but each holds a length-sorted run — at 100 TB add
+    a salt digit to the partition key and renumber per salt, exactly
+    the skew_salted_agg recipe), then two map-side-combinable aggs.
+    The bucket function is EXACT integer bit-length arithmetic — the
+    obvious ceil(log2(tok)) was rejected because libm log2 misplaces
+    the 2^29 boundary on Spark's side (caught by the exhaustive
+    power-of-two sweep in tests/test_ops_pack6.py) and the engines'
+    libm results need not agree with each other."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.greatest(
+            tx.token_count("text").cast("bigint"), F.lit(1).cast("bigint")
+        ).alias("tok"),
+    )
+    t = F.col("tok")
+    bucket_len = F.when(t.bitwiseAND(t - 1) == 0, t).otherwise(
+        F.pow(F.lit(2.0), F.length(F.bin(t))).cast("bigint")
+    )
+    bucketed = toks.select(
+        "doc_id", "tok", bucket_len.alias("bucket_len")
+    ).select(
+        "doc_id", "tok", "bucket_len",
+        F.row_number()
+        .over(
+            Window.partitionBy("bucket_len").orderBy(
+                F.desc("tok"), F.asc("doc_id")
+            )
+        )
+        .alias("rn"),
+    )
+    batches = bucketed.groupBy(
+        "bucket_len",
+        F.call_function(
+            "div", (F.col("rn") - 1).cast("long"), F.lit(BATCH_SIZE).cast("long")
+        ).alias("batch_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("tok").alias("batch_max"),
+        F.sum("tok").cast("bigint").alias("real_tokens"),
+    )
+    return batches.groupBy("bucket_len").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("real_tokens").cast("bigint").alias("real_tokens"),
+        F.sum(F.col("batch_max") * F.col("n_docs"))
+        .cast("bigint")
+        .alias("padded_tokens"),
+        F.round(
+            F.sum(F.col("batch_max") * F.col("n_docs")).cast("double")
+            / F.sum("real_tokens")
+            - 1,
+            6,
+        ).alias("pad_overhead"),
+    )

@@ -1,0 +1,261 @@
+"""Invariant tests for the round-6 production-ops pack: MERGE
+accounting laws, EWMA predictor ground truth, MMR greedy-selection
+laws, length-bucket boundary exactness, and Gopher rule consistency.
+
+Oracle parity for these queries is covered by the registry sweep
+(test_oracle_parity.py); these tests pin the semantic claims the
+oracles alone cannot distinguish (e.g. that the MMR argmax really is
+the global relevance argmax at rank 1, or that the pow/log2 bucket
+function is exact at every power-of-two boundary).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from automatic_etl_spark.plans.all_plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- merge_three_way ---------------------------------------------------------
+
+
+def test_merge_accounting_laws(spark):
+    """Actions partition the joined key space; `survives` equals
+    n_rows exactly for surviving actions and 0 for the others; and the
+    per-action row counts match an independent key-arithmetic count
+    computed straight from orders."""
+    rows = {
+        r.action: r for r in REGISTRY["merge_three_way"][0](spark, SF).collect()
+    }
+    assert set(rows) <= {
+        "kept", "updated", "inserted", "deleted", "skipped_delete"
+    }
+    for action, r in rows.items():
+        expected = r.n_rows if action in ("kept", "updated", "inserted") else 0
+        assert r.survives == expected, action
+
+    keys = [
+        r.o_orderkey
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+    ]
+    tgt = {k for k in keys if k % 3 != 0}
+    src = {k for k in keys if k % 2 == 0}
+    dels = {k for k in src if k % 10 == 0}
+    truth = {
+        "kept": len(tgt - src),
+        "updated": len((tgt & src) - dels),
+        "deleted": len(tgt & dels),
+        "inserted": len((src - tgt) - dels),
+        "skipped_delete": len(dels - tgt),
+    }
+    got = {a: rows[a].n_rows if a in rows else 0 for a in truth}
+    assert got == truth
+
+
+# --- ewma_anomaly_report -----------------------------------------------------
+
+
+def test_ewma_scored_population(spark):
+    """n_scored sums exactly to the number of non-null-value events
+    that have at least one predecessor in their user timeline, and
+    every anomaly_rate is a valid fraction of its n_scored."""
+    report = REGISTRY["ewma_anomaly_report"][0](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").where(
+        F.col("value").isNotNull()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    expected = ev.select(rn.alias("rn")).where(F.col("rn") > 1).count()
+    assert sum(r.n_scored for r in report) == expected
+    for r in report:
+        assert 0 <= r.n_anomalies <= r.n_scored
+        assert abs(r.anomaly_rate - round(r.n_anomalies / r.n_scored, 6)) < 1e-9
+
+
+def test_ewma_prediction_ground_truth(spark):
+    """Recompute one user's bounded EWMA by hand (numpy-free, pure
+    Python over the collected timeline) and check the query's
+    anomaly accounting agrees with the per-event recomputation."""
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_scored = 0
+    anomalies: dict[str, int] = {}
+    scored: dict[str, int] = {}
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        for i, r in enumerate(rows):
+            lo = max(0, i - 8)
+            hist = rows[lo:i]
+            if not hist:
+                continue
+            n_scored += 1
+            wx = sum(
+                round(0.5 ** (i - j) * rows[j].value, 6)
+                for j in range(lo, i)
+            )
+            w = sum(0.5 ** (i - j) for j in range(lo, i))
+            pred = round(wx / w, 6)
+            rel = round(abs(r.value - pred) / (abs(pred) + 1.0), 6)
+            scored[r.event_type] = scored.get(r.event_type, 0) + 1
+            if rel > 0.5:
+                anomalies[r.event_type] = anomalies.get(r.event_type, 0) + 1
+    report = {
+        r.event_type: r
+        for r in REGISTRY["ewma_anomaly_report"][0](spark, SF).collect()
+    }
+    assert sum(r.n_scored for r in report.values()) == n_scored
+    for et, r in report.items():
+        assert r.n_scored == scored.get(et, 0), et
+        assert r.n_anomalies == anomalies.get(et, 0), et
+
+
+# --- mmr_diversified_topk ----------------------------------------------------
+
+
+def test_mmr_selection_laws(spark):
+    """Ranks are 1..k over distinct candidate ids; rank-1 is the
+    global relevance argmax (vec_id tiebreak) recomputed
+    independently; later scores stay within the ±(1−λ) diversity band
+    around λ·rel (cosine maxsim ∈ [−1, 1] — a negative maxsim
+    legitimately RAISES the score); and the rank-2 score equals the
+    direct λ·rel − (1−λ)·cos(x, s1) recomputation."""
+    from automatic_etl_spark.functions import vectors as vec
+    from automatic_etl_spark.plans.similarity_plans import (
+        MMR_CAND_MOD,
+        MMR_LAMBDA,
+    )
+
+    out = sorted(
+        REGISTRY["mmr_diversified_topk"][0](spark, SF).collect(),
+        key=lambda r: r.sel_rank,
+    )
+    assert [r.sel_rank for r in out] == [1, 2, 3]
+    assert len({r.vec_id for r in out}) == 3
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", vec.to_double_array("embedding").alias("v")
+    )
+    q = emb.orderBy("vec_id").limit(1).collect()[0]
+    q_lit = F.array(*[F.lit(float(x)) for x in q.v])
+    best = (
+        emb.where(
+            (F.col("vec_id") % MMR_CAND_MOD == 1)
+            & (F.col("vec_id") != q.vec_id)
+        )
+        .select(
+            "vec_id", F.round(vec.cosine(q_lit, F.col("v")), 6).alias("rel")
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert out[0].vec_id == best.vec_id
+    assert out[0].score == out[0].rel == best.rel
+    band = round(1 - MMR_LAMBDA, 6)
+    for r in out[1:]:
+        assert abs(r.score - MMR_LAMBDA * r.rel) <= band + 1e-9
+        assert r.vec_id % MMR_CAND_MOD == 1
+
+    vecs = {
+        r.vec_id: r.v
+        for r in emb.where(
+            F.col("vec_id").isin([x.vec_id for x in out])
+        ).collect()
+    }
+    s1, s2 = vecs[out[0].vec_id], vecs[out[1].vec_id]
+    dot = sum(a * b for a, b in zip(s1, s2))
+    norm = math.sqrt(sum(a * a for a in s1)) * math.sqrt(
+        sum(b * b for b in s2)
+    )
+    maxsim = round(dot / norm, 6)
+    assert (
+        abs(out[1].score - round(MMR_LAMBDA * out[1].rel - band * maxsim, 6))
+        < 1e-6
+    )
+
+
+# --- length_bucket_batching --------------------------------------------------
+
+
+def test_pow2_bucket_boundary_sweep(spark, duck):
+    """The bucket expression is exact at every power-of-two boundary
+    on BOTH engines: an exhaustive sweep over 1..4096 plus every
+    exact power of two (±1) up to 2^40 must land tok in
+    (bucket/2, bucket]. The libm variant ceil(log2(tok)) FAILS this
+    sweep at tok = 2^29 on Spark — which is why the production
+    expression uses integer bit-length arithmetic."""
+    from automatic_etl_spark.plans.training_plans import _SQL_NEXT_POW2
+
+    toks = list(range(1, 4097)) + sorted(
+        {2**e + d for e in range(2, 41) for d in (-1, 0, 1)}
+    )
+    df = spark.createDataFrame([(t,) for t in toks], "tok long")
+    t = F.col("tok")
+    bucket = F.when(t.bitwiseAND(t - 1) == 0, t).otherwise(
+        F.pow(F.lit(2.0), F.length(F.bin(t))).cast("bigint")
+    )
+    rows = df.select("tok", bucket.alias("b")).collect()
+    duck_rows = duck.execute(
+        "SELECT tok, " + _SQL_NEXT_POW2.format(t="tok") + " AS b "
+        "FROM (SELECT unnest(?::BIGINT[]) AS tok)", [toks]
+    ).fetchall()
+    assert sorted((r.tok, r.b) for r in rows) == sorted(duck_rows)
+    for r in rows:
+        assert r.b & (r.b - 1) == 0, f"not a power of two: {r}"
+        assert r.tok <= r.b, r
+        assert r.tok == 1 or r.b < 2 * r.tok, r
+        assert r.b == 2 ** math.ceil(math.log2(max(r.tok, 1))), r
+
+
+def test_length_bucket_conservation(spark):
+    """Real token mass is conserved across the report; padding never
+    shrinks a batch; batch counts respect the batch size."""
+    from automatic_etl_spark.functions import text as tx
+    from automatic_etl_spark.plans.training_plans import BATCH_SIZE
+
+    report = REGISTRY["length_bucket_batching"][0](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    total = docs.select(
+        F.sum(tx.token_count("text").cast("bigint")).alias("t")
+    ).collect()[0].t
+    assert sum(r.real_tokens for r in report) == total
+    assert sum(r.n_docs for r in report) == docs.count()
+    for r in report:
+        assert r.padded_tokens >= r.real_tokens
+        assert r.pad_overhead >= 0.0
+        assert r.n_batches == -(-r.n_docs // BATCH_SIZE)  # ceil div
+
+
+# --- gopher_rules_report -----------------------------------------------------
+
+
+def test_gopher_rule_consistency(spark):
+    """The all-rules conjunction can't exceed any single rule's pass
+    count; totals cover the corpus; rates are exact fractions."""
+    report = REGISTRY["gopher_rules_report"][0](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r.n_docs for r in report) == docs.count()
+    for r in report:
+        singles = [
+            r.pass_word_count, r.pass_mean_word_len, r.pass_symbol_ratio,
+            r.pass_alpha_frac, r.pass_stopwords,
+        ]
+        assert 0 <= r.pass_all <= min(singles)
+        for s in singles:
+            assert s <= r.n_docs
+        assert abs(r.pass_rate - round(r.pass_all / r.n_docs, 6)) < 1e-9
