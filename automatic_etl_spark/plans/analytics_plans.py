@@ -772,3 +772,229 @@ def temporal_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.weekofyear("ts")).alias("iso_week"),
         )
     )
+
+
+# --- Merkle-style checksum repair plan ----------------------------------------
+# table_checksum_buckets proves two replicas EQUAL; this is the other
+# half of anti-entropy: when they are NOT equal, locate the divergence
+# at bucket granularity and produce the minimal row-level repair plan
+# reading ONLY the mismatched buckets — at 100 TB the row re-check
+# touches |mismatched buckets| / |buckets| of the table, not all of
+# it (the Dynamo/Cassandra Merkle-tree repair shape, flattened to one
+# level because a bucket list is a DataFrame; deepen the tree by
+# adding a second pmod level if bucket row counts outgrow a scan).
+
+REPAIR_MISS_MOD = 97     # primary keys % 97 == 0 are missing downstream
+REPAIR_CORRUPT_MOD = 89  # surviving keys % 89 == 0 are corrupted
+
+_CK_ROWSTR = "concat_ws('|', " + ", ".join(
+    f"CAST({c} AS VARCHAR)" for c in _CK_COLS
+) + ")"
+
+_REPAIR_ORACLE = f"""
+    WITH replica AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % {REPAIR_CORRUPT_MOD} = 0
+                    THEN o_orderpriority || '*'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % {REPAIR_MISS_MOD} <> 0
+    ),
+    ph AS (
+        SELECT o_orderkey AS k, o_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+               CAST('0x' || substr(md5({_CK_ROWSTR}), 1, 15) AS BIGINT)
+                   AS h
+        FROM orders
+    ),
+    rh AS (
+        SELECT o_orderkey AS k, o_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+               CAST('0x' || substr(md5({_CK_ROWSTR}), 1, 15) AS BIGINT)
+                   AS h
+        FROM replica
+    ),
+    pb AS (SELECT bucket, COUNT(*) AS c, bit_xor(h) AS x FROM ph GROUP BY bucket),
+    rb AS (SELECT bucket, COUNT(*) AS c, bit_xor(h) AS x FROM rh GROUP BY bucket),
+    mism AS (
+        SELECT pb.bucket FROM pb JOIN rb USING (bucket)
+        WHERE pb.c <> rb.c OR pb.x <> rb.x
+    ),
+    joined AS (
+        SELECT COALESCE(p.bucket, r.bucket) AS bucket,
+               CASE WHEN r.k IS NULL THEN 'missing_in_replica'
+                    WHEN p.k IS NULL THEN 'orphan_in_replica'
+                    WHEN p.h <> r.h THEN 'corrupt_in_replica'
+                    ELSE 'verified_equal' END AS action
+        FROM (SELECT * FROM ph WHERE bucket IN (SELECT bucket FROM mism)) p
+        FULL OUTER JOIN
+             (SELECT * FROM rh WHERE bucket IN (SELECT bucket FROM mism)) r
+          ON p.k = r.k
+    )
+    SELECT action, COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets
+    FROM joined GROUP BY action
+"""
+
+
+@register("checksum_repair_plan", oracle=_REPAIR_ORACLE)
+def checksum_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy repair plan between primary orders and a replica
+    with planted drift (every 97th key missing, every surviving 89th
+    key corrupted in o_orderpriority): bucket checksums first, then a
+    row-level full-outer re-check restricted to the mismatched buckets
+    only, classifying each row as missing/corrupt/orphan/verified.
+
+    Scale shape: phase 1 is two map-side passes + two 16-row bucket
+    aggregates; phase 2 streams each side against the BROADCAST
+    mismatched-bucket list (a semi-join the scan can partition-prune
+    on when the table is bucket-partitioned — only divergent buckets
+    are ever re-read) and full-outer-joins on the key WITHIN those
+    buckets. The reference reconciles by table-level row counts
+    (tools/verificar_datos.py); this is the row-granular, scan-
+    minimal version of the same audit."""
+    orders = table(spark, sf_dir, "orders").select(*_CK_COLS)
+    replica = orders.where(
+        F.col("o_orderkey") % REPAIR_MISS_MOD != 0
+    ).withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % REPAIR_CORRUPT_MOD == 0,
+            F.concat(F.col("o_orderpriority"), F.lit("*")),
+        ).otherwise(F.col("o_orderpriority")),
+    )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        row_str = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in _CK_COLS]
+        )
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.pmod("o_orderkey", F.lit(CHECKSUM_BUCKETS)).alias("bucket"),
+            F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+
+    ph = hashed(orders).localCheckpoint(eager=True)
+    rh = hashed(replica).localCheckpoint(eager=True)
+    pb = ph.groupBy("bucket").agg(
+        F.count("*").alias("pc"), F.expr("bit_xor(h)").alias("px")
+    )
+    rb = rh.groupBy("bucket").agg(
+        F.count("*").alias("rc"), F.expr("bit_xor(h)").alias("rx")
+    )
+    mism = (
+        pb.join(rb, "bucket")
+        .where((F.col("pc") != F.col("rc")) | (F.col("px") != F.col("rx")))
+        .select("bucket")
+    )
+    p = ph.join(F.broadcast(mism), "bucket").select(
+        "bucket", F.col("k").alias("pk"), F.col("h").alias("phash")
+    )
+    r = rh.join(F.broadcast(mism), "bucket").select(
+        F.col("bucket").alias("rbucket"),
+        F.col("k").alias("rk"),
+        F.col("h").alias("rhash"),
+    )
+    joined = p.join(r, p.pk == r.rk, "full_outer").select(
+        F.coalesce("bucket", "rbucket").alias("bucket"),
+        F.when(F.col("rk").isNull(), "missing_in_replica")
+        .when(F.col("pk").isNull(), "orphan_in_replica")
+        .when(F.col("phash") != F.col("rhash"), "corrupt_in_replica")
+        .otherwise("verified_equal")
+        .alias("action"),
+    )
+    return joined.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("bucket").cast("bigint").alias("n_buckets"),
+    )
+
+
+# --- Map-typed aggregation state (map HOF surface) ----------------------------
+
+_MAP_DELTA_ORACLE = """
+    WITH per_cell AS (
+        SELECT user_id, event_type,
+               CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1
+        FROM events GROUP BY user_id, event_type
+    ),
+    changed AS (
+        SELECT user_id, event_type, c1 - c0 AS delta
+        FROM per_cell WHERE c1 - c0 <> 0
+    )
+    SELECT event_type,
+           COUNT(*) AS n_users_changed,
+           CAST(SUM(delta) AS BIGINT) AS total_delta,
+           CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_users_up
+    FROM changed GROUP BY event_type
+"""
+
+
+@register("map_delta_report", oracle=_MAP_DELTA_ORACLE)
+def map_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavior delta computed THROUGH map-typed columns:
+    each user's per-event-type counts in epoch 0/1 (event_id parity)
+    are carried as `map<string,bigint>` aggregation state, diffed with
+    `map_zip_with` (key-union semantics supply the missing-key zero),
+    pruned with `map_filter`, and exploded back to rows. The oracle is
+    the plain relational formulation — proving the map pipeline
+    computes the same truth.
+
+    Why maps at scale: the map form keeps ONE row per (user, epoch)
+    through the shuffle instead of one per (user, epoch, type) — for
+    wide type domains that is the difference between shuffling |users|
+    rows and |users|×|types|. All map functions are codegen'd Catalyst
+    expressions (no UDF), and the collect_list feeding
+    map_from_entries is per-(user,epoch) bounded by the type domain.
+    Fixture note: the local fan-out repartition (sources/parquet.py)
+    sits mid-plan, so counts are pre-aggregated per cell before map
+    assembly — the same two-level agg a cluster plan would use."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.col("event_id") % 2).cast("int").alias("epoch"),
+    )
+    cells = ev.groupBy("user_id", "epoch", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    maps = cells.groupBy("user_id", "epoch").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    m0 = maps.where(F.col("epoch") == 0).select(
+        "user_id", F.col("m").alias("m0")
+    )
+    m1 = maps.where(F.col("epoch") == 1).select(
+        "user_id", F.col("m").alias("m1")
+    )
+    empty = F.expr("map()").cast("map<string,bigint>")
+    joined = m0.join(m1, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("m0", empty).alias("m0"),
+        F.coalesce("m1", empty).alias("m1"),
+    )
+    delta = joined.select(
+        "user_id",
+        F.map_filter(
+            F.map_zip_with(
+                "m0",
+                "m1",
+                lambda _k, v0, v1: F.coalesce(v1, F.lit(0).cast("bigint"))
+                - F.coalesce(v0, F.lit(0).cast("bigint")),
+            ),
+            lambda _k, v: v != 0,
+        ).alias("changed"),
+    )
+    exploded = delta.select(
+        "user_id", F.explode("changed").alias("event_type", "delta")
+    )
+    return exploded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users_changed"),
+        F.sum("delta").cast("bigint").alias("total_delta"),
+        F.sum((F.col("delta") > 0).cast("long"))
+        .cast("bigint")
+        .alias("n_users_up"),
+    )

@@ -123,6 +123,14 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "pii_column_discovery", "join_size_estimate_report",
         "label_centroid_outliers",
     ),
+    # late-r6 production-ops pack (MERGE, EWMA, MMR, batching, rules,
+    # anti-entropy repair, map-typed state, surrogate keys)
+    (
+        "merge_three_way", "ewma_anomaly_report", "mmr_diversified_topk",
+        "length_bucket_batching", "gopher_rules_report",
+        "checksum_repair_plan", "map_delta_report",
+        "surrogate_key_assignment",
+    ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",
      "python_stream_source_totals", "state_store_inspection"),
@@ -258,8 +266,11 @@ def main() -> None:
         "queries_expected": len(HEADLINE),
     }
     if errors:
-        # names only — full text lives in logs/bench_detail.json
-        out["failed"] = sorted(errors)
+        # first few names + count — full text lives in
+        # logs/bench_detail.json; an unbounded name list re-creates
+        # the oversized-line failure once headliners approach ~100
+        out["failed_count"] = len(errors)
+        out["failed"] = sorted(errors)[:5]
     print(json.dumps(out, separators=(",", ":")))
 
 

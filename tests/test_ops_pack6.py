@@ -259,3 +259,111 @@ def test_gopher_rule_consistency(spark):
         for s in singles:
             assert s <= r.n_docs
         assert abs(r.pass_rate - round(r.pass_all / r.n_docs, 6)) < 1e-9
+
+
+# --- surrogate_key_assignment ------------------------------------------------
+
+
+def test_surrogate_keys_dense_and_partition_invariant(spark):
+    """Keys are exactly 1..N in doc_id order, and the two-phase
+    assignment is invariant to the range-partition count (2/8/27) —
+    the docstring's scale claim."""
+    from automatic_etl_spark.sources.parquet import table as load
+
+    docs = load(spark, SF, "documents").select("doc_id")
+    n = docs.count()
+
+    def assign(parts: int) -> dict[int, int]:
+        ranged = docs.repartitionByRange(parts, "doc_id").select(
+            "doc_id", F.spark_partition_id().alias("pid")
+        )
+        local = ranged.select(
+            "doc_id", "pid",
+            F.row_number()
+            .over(Window.partitionBy("pid").orderBy("doc_id"))
+            .alias("lrn"),
+        )
+        counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+        offsets = counts.select(
+            "pid",
+            F.coalesce(
+                F.sum("c").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off"),
+        )
+        return {
+            r.doc_id: r.sk
+            for r in local.join(F.broadcast(offsets), "pid")
+            .select(
+                "doc_id",
+                (F.col("off") + F.col("lrn")).cast("bigint").alias("sk"),
+            )
+            .collect()
+        }
+
+    from automatic_etl_spark.plans.all_plans import REGISTRY as REG
+
+    registry = {
+        r.doc_id: r.surrogate_key
+        for r in REG["surrogate_key_assignment"][0](spark, SF).collect()
+    }
+    assert sorted(registry.values()) == list(range(1, n + 1))
+    ordered = sorted(registry)
+    assert [registry[d] for d in ordered] == list(range(1, n + 1))
+    for parts in (2, 27):
+        assert assign(parts) == registry, parts
+
+
+# --- checksum_repair_plan ----------------------------------------------------
+
+
+def test_repair_plan_ground_truth(spark):
+    """Planted drift is recovered exactly from key arithmetic: every
+    97th key missing, every surviving 89th corrupted, zero orphans,
+    and the bucket count never exceeds the Merkle fan-out."""
+    from automatic_etl_spark.plans.analytics_plans import CHECKSUM_BUCKETS
+
+    rows = {
+        r.action: r
+        for r in REGISTRY["checksum_repair_plan"][0](spark, SF).collect()
+    }
+    keys = [
+        r.o_orderkey
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+    ]
+    missing = {k for k in keys if k % 97 == 0}
+    corrupt = {k for k in keys if k % 89 == 0 and k % 97 != 0}
+    assert rows["missing_in_replica"].n_rows == len(missing)
+    assert rows["corrupt_in_replica"].n_rows == len(corrupt)
+    assert "orphan_in_replica" not in rows
+    touched = {k % CHECKSUM_BUCKETS for k in missing | corrupt}
+    for r in rows.values():
+        assert r.n_buckets <= len(touched) <= CHECKSUM_BUCKETS
+    # verified rows = clean rows sharing a bucket with a drifted row
+    clean_in_touched = [
+        k for k in keys
+        if k % CHECKSUM_BUCKETS in touched and k not in missing | corrupt
+    ]
+    assert rows["verified_equal"].n_rows == len(clean_in_touched)
+
+
+# --- map_delta_report --------------------------------------------------------
+
+
+def test_map_delta_conservation(spark):
+    """Summed deltas across changed cells equal the global epoch-1
+    minus epoch-0 event count (unchanged cells contribute zero), and
+    n_users_up never exceeds n_users_changed."""
+    report = REGISTRY["map_delta_report"][0](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n1 = ev.where(F.col("event_id") % 2 == 1).count()
+    n0 = ev.where(F.col("event_id") % 2 == 0).count()
+    assert sum(r.total_delta for r in report) == n1 - n0
+    for r in report:
+        assert 0 <= r.n_users_up <= r.n_users_changed

@@ -169,8 +169,10 @@ def test_bench_final_json_line_stays_compact():
         "sf": 0.1,
         "queries_measured": len(bench.HEADLINE),
         "queries_expected": len(bench.HEADLINE),
-        # worst case: every query failed -> names listed
-        "failed": sorted(bench.HEADLINE),
+        # worst case: every query failed -> capped name list + count
+        # (bench.py truncates to 5; full list in logs/bench_detail)
+        "failed_count": len(bench.HEADLINE),
+        "failed": sorted(bench.HEADLINE)[:5],
     }
     line = json.dumps(worst, separators=(",", ":"))
     # the r5 failure line was >8 KiB; stay well under half of that

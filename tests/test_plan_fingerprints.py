@@ -78,6 +78,13 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 1,
     },
+    # anti-entropy: the row re-check joins against BROADCAST
+    # mismatched-bucket lists (bhj=3 incl. the offsets/mism joins);
+    # the full-outer key join is the one SMJ
+    "checksum_repair_plan": {
+        "bhj": 3, "smj": 1, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 7,
+    },
     "dedup_connected_components": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 2,
@@ -91,6 +98,32 @@ PINNED: dict[str, dict[str, int]] = {
     "exact_dedup": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 2, "topN": 0, "partialAgg": 2, "exch": 2,
+    },
+    # K-bounded EWMA: the rank-range self-join broadcasts at sf0.01
+    # (AQE size call); the load-bearing pin is the absence of any
+    # nested-loop join — a bnlj here means the equi-key was lost and
+    # the range predicate went quadratic
+    "ewma_anomaly_report": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 4,
+    },
+    # one codegen'd narrow map + ONE source-keyed agg; a second
+    # exchange means the rule battery stopped fusing
+    "gopher_rules_report": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 7, "exch": 1,
+    },
+    # bucket window + two aggs all reuse ONE bucket_len partitioning
+    "length_bucket_batching": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 7, "exch": 1,
+    },
+    # copy-on-write MERGE: ONE full-outer SMJ (both sides shuffle on
+    # the merge key) + action agg; exch=5 includes the two local
+    # fixture fan-out repartitions (no-ops at cluster scale)
+    "merge_three_way": {
+        "bhj": 0, "smj": 1, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 5,
     },
     "incremental_dedup": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
@@ -106,9 +139,22 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 3, "topN": 0, "partialAgg": 0, "exch": 2,
     },
+    # two-phase surrogate keys: range exchange + offsets join ONLY —
+    # a single-partition global-window exchange appearing here is the
+    # exact regression this pin guards against
+    "surrogate_key_assignment": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 1, "exch": 2,
+    },
     "python_udtf_chunker": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 1,
+    },
+    # map-typed state: the epoch-map self-join merges on user_id
+    # (smj=1); everything else is the two-level agg
+    "map_delta_report": {
+        "bhj": 0, "smj": 1, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 7, "exch": 7,
     },
     "minhash_jaccard_calibration": {
         "bhj": 9, "smj": 0, "shj": 0, "bnlj": 0,

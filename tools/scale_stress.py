@@ -114,6 +114,24 @@ QUERIES = (
                                 # the token stream
     "label_centroid_outliers",  # (label, dim)-keyed centroid + per-vec
                                 # distance; labels fixed, vectors x10
+    # late-r6 production-ops pack (merge_three_way is orders-based —
+    # not replicated by this harness; its SMJ shape is covered by the
+    # fingerprint pin instead)
+    "ewma_anomaly_report",      # rank-range self-join: users x10,
+                                # per-user timeline constant -> fixed
+                                # xK row growth scales linearly
+    "length_bucket_batching",   # fixed bucket count, per-bucket
+                                # window runs x10 rows
+    "gopher_rules_report",      # narrow codegen map + source agg
+                                # (linear floor)
+    "mmr_diversified_topk",     # k passes over a 10x candidate pool,
+                                # broadcast selected set constant
+    # (checksum_repair_plan is orders-based like merge_three_way —
+    # covered by its fingerprint pin instead)
+    "map_delta_report",         # users x10, per-user map bounded by
+                                # the type domain
+    "surrogate_key_assignment", # range exchange + local ranks; the
+                                # offsets frame stays |SK_PARTS| rows
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
