@@ -97,7 +97,8 @@ _CHECK_PRIORITY = [
     "merge_three_way", "ewma_anomaly_report", "mmr_diversified_topk",
     "length_bucket_batching", "gopher_rules_report",
     "checksum_repair_plan", "map_delta_report",
-    "surrogate_key_assignment",
+    "surrogate_key_assignment", "minmax_skipping_audit",
+    "late_dimension_backfill",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

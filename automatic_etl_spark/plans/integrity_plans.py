@@ -507,3 +507,112 @@ def surrogate_key_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("off") + F.col("lrn")).cast("bigint").alias("surrogate_key"),
     )
+
+
+# --- Late-arriving dimension (early-arriving fact) handling -------------------
+# The classic warehouse seam: facts land before their dimension row
+# does. The standard pattern books the fact against an "unknown
+# member" surrogate, then a backfill pass re-resolves once the
+# dimension catches up; rows whose member NEVER materializes stay on
+# the unknown member and must be visible in audits, not silently
+# dropped. The reference ingests facts and dims as independent tables
+# and assumes the join works at BI time (gen_bi_assets.py) — this is
+# the guard for the window where that assumption is false.
+
+LATE_DIM_MOD = 11   # customers arriving after the facts (backfillable)
+NEVER_DIM_MOD = 13  # customers that never materialize
+
+_LATE_DIM_ORACLE = f"""
+    WITH full_dim AS (
+        SELECT c_custkey FROM customer
+        WHERE c_custkey % {NEVER_DIM_MOD} <> 0
+    ),
+    day1_dim AS (
+        SELECT c_custkey FROM full_dim
+        WHERE c_custkey % {LATE_DIM_MOD} <> 0
+    ),
+    classified AS (
+        SELECT o.o_orderstatus,
+               CASE WHEN d1.c_custkey IS NOT NULL THEN 'resolved_day1'
+                    WHEN fd.c_custkey IS NOT NULL THEN 'late_backfilled'
+                    ELSE 'permanent_unknown' END AS resolution
+        FROM orders o
+        LEFT JOIN day1_dim d1 ON o.o_custkey = d1.c_custkey
+        LEFT JOIN full_dim fd ON o.o_custkey = fd.c_custkey
+    )
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n_facts,
+           CAST(SUM(CASE WHEN resolution <> 'resolved_day1'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unknown_initial,
+           CAST(SUM(CASE WHEN resolution = 'late_backfilled'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+           CAST(SUM(CASE WHEN resolution = 'permanent_unknown'
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_still_unknown
+    FROM classified GROUP BY o_orderstatus
+"""
+
+
+@register("late_dimension_backfill", oracle=_LATE_DIM_ORACLE)
+def late_dimension_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unknown-member accounting across the late-dimension window:
+    facts are first resolved against the day-1 dimension (every 11th
+    customer missing — late), then backfilled against the eventual
+    full dimension (every 13th customer never arrives): per order
+    status, how many facts initially booked to the unknown member,
+    how many the backfill recovered, how many stay unknown forever.
+
+    Shape: the fact table streams ONCE against two BROADCAST distinct
+    key-sets (dimension keys, not dimension rows — the orphan_fk_audit
+    build-side discipline); the resolution CASE and all counters fold
+    into one status-keyed aggregate. No fact-side shuffle before the
+    final ≤|statuses|-row agg, so the backfill audit costs one scan at
+    any fact-table scale."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus"
+    )
+    customer = table(spark, sf_dir, "customer")
+    full_dim = (
+        customer.where(F.col("c_custkey") % NEVER_DIM_MOD != 0)
+        .select(F.col("c_custkey").alias("fd_key"))
+        .distinct()
+    )
+    day1_dim = full_dim.where(
+        F.col("fd_key") % LATE_DIM_MOD != 0
+    ).select(F.col("fd_key").alias("d1_key"))
+    hit = orders.join(
+        F.broadcast(day1_dim),
+        orders.o_custkey == F.col("d1_key"),
+        "left",
+    ).join(
+        F.broadcast(full_dim),
+        orders.o_custkey == F.col("fd_key"),
+        "left",
+    )
+    resolution = (
+        F.when(F.col("d1_key").isNotNull(), "resolved_day1")
+        .when(F.col("fd_key").isNotNull(), "late_backfilled")
+        .otherwise("permanent_unknown")
+    )
+    return (
+        hit.select(
+            F.col("o_orderstatus").alias("status"),
+            resolution.alias("resolution"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            F.sum((F.col("resolution") != "resolved_day1").cast("long"))
+            .cast("bigint")
+            .alias("n_unknown_initial"),
+            F.sum((F.col("resolution") == "late_backfilled").cast("long"))
+            .cast("bigint")
+            .alias("n_recovered"),
+            F.sum(
+                (F.col("resolution") == "permanent_unknown").cast("long")
+            )
+            .cast("bigint")
+            .alias("n_still_unknown"),
+        )
+    )

@@ -527,3 +527,151 @@ def xml_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("cents_total"),
         F.sum("user_id").alias("user_total"),
     )
+
+
+# --- Min-max data-skipping audit ----------------------------------------------
+# Parquet/Delta/Iceberg scan pruning lives on per-file min/max column
+# stats: a range predicate skips every file whose [min, max] span
+# misses it, and how much it skips is decided at WRITE time by layout.
+# This audit quantifies it with deterministic stand-in "files": the
+# same events rows bucketed (a) time-clustered — equi-width windows on
+# the timestamp, the shape a date-partitioned or ts-sorted write
+# produces — and (b) hash-scattered (pmod on the key, the shape an
+# unsorted parallel write produces). Buckets replace physical files so
+# BOTH engines can reproduce the assignment exactly (real file splits
+# are writer-internal and not oracle-able); the stats math per bucket
+# is identical to what a footer-stats reader does.
+
+SKIP_FILES = 16
+SKIP_PROBE_BUCKET = 3  # probe = exactly clustered bucket #3's window
+
+_SKIP_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_id, epoch_ms(ts) AS ms FROM events
+        WHERE ts IS NOT NULL
+    ),
+    bounds AS (
+        SELECT MIN(ms) AS lo, MAX(ms) AS hi,
+               (MAX(ms) - MIN(ms)) // {SKIP_FILES} + 1 AS w
+        FROM ev
+    ),
+    assigned AS (
+        SELECT CAST(least((ms - lo) // w, {SKIP_FILES - 1}) AS BIGINT)
+                   AS cl_bucket,
+               CAST(event_id % {SKIP_FILES} AS BIGINT) AS hs_bucket,
+               ms, lo, w
+        FROM ev CROSS JOIN bounds
+    ),
+    layouts AS (
+        SELECT 'clustered' AS layout, cl_bucket AS bucket, ms, lo, w
+        FROM assigned
+        UNION ALL
+        SELECT 'hash_scattered', hs_bucket, ms, lo, w FROM assigned
+    ),
+    stats AS (
+        SELECT layout, bucket,
+               MIN(ms) AS bmin, MAX(ms) AS bmax,
+               MIN(lo) AS lo, MIN(w) AS w,
+               COUNT(*) AS rows_in_bucket
+        FROM layouts GROUP BY layout, bucket
+    )
+    SELECT layout,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(CASE WHEN bmax >= lo + {SKIP_PROBE_BUCKET} * w
+                          AND bmin <= lo + {SKIP_PROBE_BUCKET + 1} * w - 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+           round(1.0 - CAST(SUM(CASE WHEN bmax >= lo
+                                          + {SKIP_PROBE_BUCKET} * w
+                                      AND bmin <= lo
+                                          + {SKIP_PROBE_BUCKET + 1} * w - 1
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS skip_rate,
+           round(AVG(CAST(bmax - bmin AS DOUBLE)
+                     / ({SKIP_FILES} * w - 1)), 6) AS avg_span_fraction
+    FROM stats GROUP BY layout
+"""
+
+
+@register("minmax_skipping_audit", oracle=_SKIP_ORACLE)
+def minmax_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-pruning effectiveness of two physical layouts under
+    footer-stats (min/max) skipping: time-clustered buckets answer a
+    one-window probe from 1 of 16 buckets (skip_rate ≈ 0.94,
+    avg_span_fraction ≈ 1/16); hash-scattered buckets each span ~the
+    whole timeline, so the same probe scans ALL of them (skip_rate 0).
+    The number a 100 TB table owner acts on: clustering depth decides
+    whether a time-range query reads gigabytes or the whole table —
+    the quantitative companion to zorder_layout_stats (multi-dim) and
+    compaction_file_audit (file count).
+
+    Shape: one narrow pass computes epoch-ms, a broadcast 1-row
+    bounds frame assigns both layouts' buckets in the same projection
+    (each row costs two integer ops), one (layout × bucket)-keyed
+    aggregate (≤ 2×SKIP_FILES groups), and a 2-row rollup. Integer
+    epoch-ms arithmetic end-to-end; the only double is the final
+    rounded ratio pair."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("event_id", F.unix_millis("ts").alias("ms"))
+    )
+    bounds = ev.agg(
+        F.min("ms").alias("lo"),
+        F.max("ms").alias("hi"),
+        (
+            F.call_function(
+                "div", F.max("ms") - F.min("ms"), F.lit(SKIP_FILES)
+            )
+            + 1
+        ).alias("w"),
+    )
+    assigned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.call_function("div", F.col("ms") - F.col("lo"), F.col("w")),
+            F.lit(SKIP_FILES - 1).cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("cl_bucket"),
+        (F.col("event_id") % SKIP_FILES).cast("bigint").alias("hs_bucket"),
+        "ms",
+        "lo",
+        "w",
+    )
+    layouts = assigned.select(
+        F.lit("clustered").alias("layout"),
+        F.col("cl_bucket").alias("bucket"),
+        "ms", "lo", "w",
+    ).unionByName(
+        assigned.select(
+            F.lit("hash_scattered").alias("layout"),
+            F.col("hs_bucket").alias("bucket"),
+            "ms", "lo", "w",
+        )
+    )
+    stats = layouts.groupBy("layout", "bucket").agg(
+        F.min("ms").alias("bmin"),
+        F.max("ms").alias("bmax"),
+        F.min("lo").alias("lo"),
+        F.min("w").alias("w"),
+        F.count(F.lit(1)).alias("rows_in_bucket"),
+    )
+    probe_lo = F.col("lo") + SKIP_PROBE_BUCKET * F.col("w")
+    probe_hi = F.col("lo") + (SKIP_PROBE_BUCKET + 1) * F.col("w") - 1
+    hits = F.sum(
+        ((F.col("bmax") >= probe_lo) & (F.col("bmin") <= probe_hi))
+        .cast("long")
+    )
+    return stats.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        hits.cast("bigint").alias("buckets_scanned"),
+        F.round(
+            F.lit(1.0) - hits.cast("double") / F.count(F.lit(1)), 6
+        ).alias("skip_rate"),
+        F.round(
+            F.avg(
+                (F.col("bmax") - F.col("bmin")).cast("double")
+                / (F.lit(SKIP_FILES) * F.col("w") - 1)
+            ),
+            6,
+        ).alias("avg_span_fraction"),
+    )

@@ -129,7 +129,8 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "merge_three_way", "ewma_anomaly_report", "mmr_diversified_topk",
         "length_bucket_batching", "gopher_rules_report",
         "checksum_repair_plan", "map_delta_report",
-        "surrogate_key_assignment",
+        "surrogate_key_assignment", "minmax_skipping_audit",
+        "late_dimension_backfill",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",

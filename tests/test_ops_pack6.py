@@ -367,3 +367,61 @@ def test_map_delta_conservation(spark):
     assert sum(r.total_delta for r in report) == n1 - n0
     for r in report:
         assert 0 <= r.n_users_up <= r.n_users_changed
+
+
+# --- minmax_skipping_audit ---------------------------------------------------
+
+
+def test_minmax_skipping_layout_contrast(spark):
+    """Clustered buckets are disjoint so the aligned one-window probe
+    scans exactly 1 of 16; hash-scattered buckets each span ~the whole
+    timeline so the probe scans all of them; span fractions order the
+    layouts the same way."""
+    rows = {
+        r.layout: r
+        for r in REGISTRY["minmax_skipping_audit"][0](spark, SF).collect()
+    }
+    cl, hs = rows["clustered"], rows["hash_scattered"]
+    assert cl.buckets_scanned == 1
+    assert cl.skip_rate == round(1 - 1 / cl.n_buckets, 6)
+    assert hs.buckets_scanned == hs.n_buckets
+    assert hs.skip_rate == 0.0
+    assert cl.avg_span_fraction < hs.avg_span_fraction
+    assert hs.avg_span_fraction > 0.9
+
+
+# --- late_dimension_backfill -------------------------------------------------
+
+
+def test_late_dimension_ground_truth(spark):
+    """Resolution classes follow the planted key arithmetic exactly,
+    and initial unknowns decompose into recovered + still-unknown."""
+    report = REGISTRY["late_dimension_backfill"][0](spark, SF).collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey", "o_orderstatus"
+    ).collect()
+    cust = {
+        r.c_custkey
+        for r in spark.read.parquet(f"{SF}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+    }
+    truth: dict[str, dict[str, int]] = {}
+    for o in orders:
+        t = truth.setdefault(
+            o.o_orderstatus,
+            {"n": 0, "late": 0, "never": 0},
+        )
+        t["n"] += 1
+        k = o.o_custkey
+        if k not in cust or k % 13 == 0:
+            t["never"] += 1
+        elif k % 11 == 0:
+            t["late"] += 1
+    assert {r.status for r in report} == set(truth)
+    for r in report:
+        t = truth[r.status]
+        assert r.n_facts == t["n"]
+        assert r.n_recovered == t["late"]
+        assert r.n_still_unknown == t["never"]
+        assert r.n_unknown_initial == r.n_recovered + r.n_still_unknown

@@ -156,6 +156,18 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 0, "smj": 1, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 7, "exch": 7,
     },
+    # fact table streams once against two broadcast key-sets; a shj/
+    # smj here means a dimension stopped broadcasting
+    "late_dimension_backfill": {
+        "bhj": 2, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 4,
+    },
+    # the bnlj pair is the broadcast 1-row bounds frame (a cross join
+    # with a singleton — the cheap kind); keyed joins must stay absent
+    "minmax_skipping_audit": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 9, "exch": 4,
+    },
     "minhash_jaccard_calibration": {
         "bhj": 9, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 13, "exch": 14,

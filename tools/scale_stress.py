@@ -132,6 +132,11 @@ QUERIES = (
                                 # the type domain
     "surrogate_key_assignment", # range exchange + local ranks; the
                                 # offsets frame stays |SK_PARTS| rows
+    # (late_dimension_backfill is orders/customer-based — fingerprint
+    # pin covers it)
+    "minmax_skipping_audit",    # narrow double-layout projection +
+                                # (layout x bucket)-keyed agg, <=32
+                                # groups at any scale
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
