@@ -98,7 +98,8 @@ _CHECK_PRIORITY = [
     "length_bucket_batching", "gopher_rules_report",
     "checksum_repair_plan", "map_delta_report",
     "surrogate_key_assignment", "minmax_skipping_audit",
-    "late_dimension_backfill",
+    "late_dimension_backfill", "bigram_logprob_quality",
+    "watermark_lateness_audit", "dynamic_partition_overwrite_agg",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

@@ -1020,3 +1020,132 @@ def state_store_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("cnt"),
         F.col("value.sum").alias("cents_total"),
     )
+
+
+# --- Watermark-lateness audit -------------------------------------------------
+# Choosing `withWatermark` delay is a data question: how late do this
+# source's events actually arrive relative to the max event-time seen
+# so far? This batch audit replays the stream's arrival order
+# (event_id = ingestion sequence) in WM_BATCHES fixed micro-batch
+# slices and, for each candidate delay, counts the events a watermark
+# with that delay would have DROPPED (event time older than the
+# watermark established by STRICTLY EARLIER batches — Spark advances
+# the watermark between micro-batches, so intra-batch disorder never
+# drops). The running max lives on the |WM_BATCHES|-row batch frame,
+# never on the event stream — batch count is FIXED, so the audit is
+# two narrow passes + a broadcast join at any scale.
+
+WM_BATCHES = 24
+WM_DELAYS_MS = (60_000, 900_000, 7_200_000)  # 1 min, 15 min, 2 h
+
+_WM_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_id, epoch_ms(ts) AS ms FROM events
+        WHERE ts IS NOT NULL
+    ),
+    bounds AS (
+        SELECT MIN(event_id) AS lo,
+               MAX(event_id) - MIN(event_id) + 1 AS span
+        FROM ev
+    ),
+    batched AS (
+        SELECT ms,
+               CAST(least((event_id - lo) * {WM_BATCHES} // span,
+                          {WM_BATCHES - 1}) AS BIGINT) AS batch
+        FROM ev CROSS JOIN bounds
+    ),
+    bstats AS (
+        SELECT batch, MAX(ms) AS bmax FROM batched GROUP BY batch
+    ),
+    wm AS (
+        SELECT batch,
+               MAX(bmax) OVER (
+                   ORDER BY batch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM bstats
+    ),
+    joined AS (
+        SELECT b.ms, w.prev_max FROM batched b JOIN wm w USING (batch)
+    )
+    SELECT d.delay_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN j.prev_max IS NOT NULL
+                          AND j.ms < j.prev_max - d.delay_ms
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(CAST(SUM(CASE WHEN j.prev_max IS NOT NULL
+                                AND j.ms < j.prev_max - d.delay_ms
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS late_rate
+    FROM joined j CROSS JOIN (
+        VALUES {", ".join(f"({d})" for d in WM_DELAYS_MS)}
+    ) d(delay_ms)
+    GROUP BY d.delay_ms
+"""
+
+
+@register("watermark_lateness_audit", oracle=_WM_ORACLE)
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per candidate watermark delay (1 min / 15 min / 2 h), how many
+    events this source would have dropped: arrival order replayed in
+    24 fixed batch slices, watermark = max event-time of strictly
+    earlier batches minus the delay. The number that turns
+    `withWatermark` tuning from folklore into measurement — pair with
+    streaming_watermark_dedup, which assumes the delay is right.
+
+    Scale shape: one narrow pass assigns batches by pure integer
+    arithmetic on the arrival key (broadcast 1-row bounds), the
+    running max runs over the FIXED 24-row batch frame (the
+    un-partitioned window is over batches, never events), and the
+    batch stats + delay grid re-join the stream as broadcasts. Two
+    narrow passes + one ≤3-row aggregate regardless of scale."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("event_id", F.unix_millis("ts").alias("ms"))
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"),
+        (F.max("event_id") - F.min("event_id") + 1).alias("span"),
+    )
+    batched = ev.crossJoin(F.broadcast(bounds)).select(
+        "ms",
+        F.least(
+            F.call_function(
+                "div",
+                (F.col("event_id") - F.col("lo")) * WM_BATCHES,
+                F.col("span"),
+            ),
+            F.lit(WM_BATCHES - 1).cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("batch"),
+    )
+    bstats = batched.groupBy("batch").agg(F.max("ms").alias("bmax"))
+    from pyspark.sql import Window as W
+
+    wm = bstats.select(
+        "batch",
+        F.max("bmax")
+        .over(
+            W.orderBy("batch").rowsBetween(W.unboundedPreceding, -1)
+        )
+        .alias("prev_max"),
+    )
+    delays = spark.createDataFrame(
+        [(d,) for d in WM_DELAYS_MS], "delay_ms long"
+    )
+    joined = batched.join(F.broadcast(wm), "batch").crossJoin(
+        F.broadcast(delays)
+    )
+    late = (
+        F.col("prev_max").isNotNull()
+        & (F.col("ms") < F.col("prev_max") - F.col("delay_ms"))
+    ).cast("long")
+    return joined.groupBy("delay_ms").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late).cast("bigint").alias("n_late"),
+        F.round(F.sum(late).cast("double") / F.count(F.lit(1)), 6).alias(
+            "late_rate"
+        ),
+    )

@@ -1256,3 +1256,111 @@ def quantile_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").alias("kept_id_total"),
         )
     )
+
+
+# --- Bigram-LM quality scoring (CCNet shape) ----------------------------------
+# CCNet (Wenzek et al., 2020) filters web text by n-gram LM perplexity;
+# unigram_logprob_quality above is the order-1 stand-in. This is the
+# order-2 version with add-one smoothing: surprisal of each bigram is
+# −ln p(w2|w1) = ln((c(w1·) + V) / (c(w1,w2) + 1)), built entirely from
+# corpus counts — no external model artifact, same determinism rules.
+
+_BIGRAM_LM_ORACLE = f"""
+    WITH {_SQL_BIGRAMS},
+    bg AS (SELECT doc_id, lang, unnest(g) AS bigram FROM grams),
+    bcnt AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+    ctx AS (
+        SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS c1
+        FROM bg GROUP BY 1
+    ),
+    vocab AS (
+        SELECT COUNT(DISTINCT x) AS v FROM (
+            SELECT unnest(t) AS x FROM toks
+        )
+    ),
+    scored AS (
+        SELECT b.doc_id, b.lang,
+               round(ln((CAST(ctx.c1 AS DOUBLE) + vocab.v)
+                        / (bcnt.c12 + 1)), 6) AS surprisal
+        FROM bg b
+        JOIN bcnt ON b.bigram = bcnt.bigram
+        JOIN ctx ON split_part(b.bigram, ' ', 1) = ctx.w1
+        CROSS JOIN vocab
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               round(CAST(SUM(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_surprisal
+        FROM scored GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           COUNT(*) AS doc_cnt,
+           CAST(SUM(CAST(avg_surprisal AS DECIMAL(18,6))) AS DOUBLE)
+               AS surprisal_total,
+           MAX(avg_surprisal) AS surprisal_max,
+           MIN(avg_surprisal) AS surprisal_min
+    FROM per_doc GROUP BY lang
+"""
+
+
+@register("bigram_logprob_quality", oracle=_BIGRAM_LM_ORACLE)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 LM perplexity proxy: corpus bigram counts + context
+    counts + add-one smoothing over the unigram vocabulary size give
+    each bigram a surprisal −ln p(w2|w1); docs are scored by their
+    mean, rolled up per language (same output shape as the unigram
+    sibling so the two orders are directly comparable).
+
+    Scale shape: the bigram stream shuffles TWICE on zipfian keys
+    (bigram counts, then context counts) — both are AQE-skew-split
+    candidates and both aggregate with map-side combine; the vocab
+    size is a broadcast singleton. Per-bigram surprisals round at one
+    site then sum as DECIMAL (the unigram precedent), so both engines
+    aggregate identical doubles. Docs under 2 tokens have no bigrams
+    and drop from scoring (fixture min is 10 tokens)."""
+    docs = table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", "lang", F.explode(tx.word_ngrams("text", 2)).alias("bigram")
+    )
+    bcnt = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    ctx = bg.groupBy(
+        F.split(F.col("bigram"), " ").getItem(0).alias("w1")
+    ).agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(tx.tokens("text")).alias("x"))
+        .agg(F.countDistinct("x").alias("v"))
+    )
+    scored = (
+        bg.join(bcnt, "bigram")
+        .join(
+            ctx,
+            F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.log(
+                    (F.col("c1").cast("double") + F.col("v"))
+                    / (F.col("c12") + 1)
+                ),
+                6,
+            ).alias("surprisal"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.sum(F.col("surprisal").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_surprisal")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("doc_cnt"),
+        F.sum(F.col("avg_surprisal").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("surprisal_total"),
+        F.max("avg_surprisal").alias("surprisal_max"),
+        F.min("avg_surprisal").alias("surprisal_min"),
+    )

@@ -675,3 +675,64 @@ def minmax_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_span_fraction"),
     )
+
+
+# --- Dynamic partition overwrite (INSERT OVERWRITE semantics) -----------------
+
+DPO_TARGET_TYPE = "click"
+
+_DPO_ORACLE = f"""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(floor(
+               CASE WHEN event_type = '{DPO_TARGET_TYPE}'
+                    THEN value * 2 ELSE value END * 100)
+               AS BIGINT)) AS BIGINT) AS cents_total
+    FROM events GROUP BY event_type
+"""
+
+
+@register("dynamic_partition_overwrite_agg", oracle=_DPO_ORACLE)
+def dynamic_partition_overwrite_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INSERT OVERWRITE with partitionOverwriteMode=dynamic exercised
+    end-to-end: events land partitioned by event_type, then a restated
+    batch containing ONLY the DPO_TARGET_TYPE slice (values doubled) is
+    written with mode("overwrite") — dynamic mode replaces exactly the
+    partitions present in the incoming frame and leaves the other four
+    directories untouched (asserted file-identical by the companion
+    unit; STATIC mode, the default, would have deleted them). The
+    read-back aggregate must equal the oracle's restated whole-table
+    state — the backfill correctness contract a daily-partitioned
+    100 TB table relies on every time one day is recomputed.
+
+    The doubled value is an exact IEEE ×2 (exponent bump), so
+    floor(v'*100) is identical on both engines."""
+    import tempfile
+
+    ev = table(spark, sf_dir, "events")
+    target = tempfile.mkdtemp(prefix="dpo_audit_")
+    ev.repartition(5, "event_type").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(target)
+    restated = (
+        ev.where(F.col("event_type") == DPO_TARGET_TYPE)
+        .withColumn("value", F.col("value") * 2)
+        .repartition(1)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.partitionBy("event_type").mode("overwrite").parquet(
+            target
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(target)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents_total"),
+    )

@@ -130,7 +130,8 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "length_bucket_batching", "gopher_rules_report",
         "checksum_repair_plan", "map_delta_report",
         "surrogate_key_assignment", "minmax_skipping_audit",
-        "late_dimension_backfill",
+        "late_dimension_backfill", "bigram_logprob_quality",
+        "watermark_lateness_audit", "dynamic_partition_overwrite_agg",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",

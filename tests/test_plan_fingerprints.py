@@ -52,6 +52,13 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 1,
         "wgl": 0, "topN": 0, "partialAgg": 8, "exch": 5,
     },
+    # order-2 LM: both zipfian joins broadcast at sf0.01 (AQE); the
+    # pin guards the vocab singleton staying a bnlj broadcast, not a
+    # keyed shuffle
+    "bigram_logprob_quality": {
+        "bhj": 2, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 9, "exch": 6,
+    },
     # shuffle-free sort-merge join over co-bucketed tables: exch=1 is
     # the downstream agg only; a second exchange means bucketing broke
     "bucketed_join_agg": {
@@ -94,6 +101,10 @@ PINNED: dict[str, dict[str, int]] = {
     "dedup_latest": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 2, "topN": 0, "partialAgg": 2, "exch": 2,
+    },
+    "dynamic_partition_overwrite_agg": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 1,
     },
     "exact_dedup": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
@@ -145,6 +156,13 @@ PINNED: dict[str, dict[str, int]] = {
     "surrogate_key_assignment": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 1, "exch": 2,
+    },
+    # batch frame + bounds + delay grid all broadcast (bnlj=3 are the
+    # singleton/tiny cross joins); the event stream must never shuffle
+    # on anything but the final 3-key agg
+    "watermark_lateness_audit": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 3,
+        "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 5,
     },
     "python_udtf_chunker": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,

@@ -137,6 +137,13 @@ QUERIES = (
     "minmax_skipping_audit",    # narrow double-layout projection +
                                 # (layout x bucket)-keyed agg, <=32
                                 # groups at any scale
+    # (dynamic_partition_overwrite_agg is write-bound — replication
+    # does not change its shape; the files-untouched unit covers it)
+    "bigram_logprob_quality",   # two zipfian-keyed joins over the
+                                # bigram stream (vocab x10 with the
+                                # alphabet rotation)
+    "watermark_lateness_audit", # fixed 24-batch frame; event stream
+                                # never shuffles before the 3-key agg
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
