@@ -1635,3 +1635,144 @@ def ewma_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_anom).cast("double") / F.count(F.lit(1)), 6
         ).alias("anomaly_rate"),
     )
+
+
+# --- Two-sample Kolmogorov–Smirnov drift test ---------------------------------
+# dq_metric_drift compares scalar metrics between epochs; the KS test
+# compares the DISTRIBUTIONS: D = max_v |F0(v) − F1(v)|, the standard
+# nonparametric two-sample drift detector. Computed exactly in integer
+# arithmetic on the value-compressed frame (cumulative counts over
+# DISTINCT values — the operators/quantiles.py discipline), with the
+# single float division at the end: |cum0·n1 − cum1·n0| stays in
+# DECIMAL(38,0) so the cross-multiplication cannot overflow at any
+# realistic group size (int64 would overflow near n ≈ 3e9 per epoch).
+
+KS_ALPHA_COEF = 1.358  # c(α) for α = 0.05
+
+
+@register(
+    "ks_drift_test",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type, value,
+                   CAST(event_id % 2 AS BIGINT) AS epoch
+            FROM events WHERE value IS NOT NULL
+        ),
+        vc AS (
+            SELECT event_type, value,
+                   CAST(SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c0,
+                   CAST(SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c1
+            FROM ev GROUP BY event_type, value
+        ),
+        cum AS (
+            SELECT event_type,
+                   SUM(c0) OVER (
+                       PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum0,
+                   SUM(c1) OVER (
+                       PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum1,
+                   SUM(c0) OVER (PARTITION BY event_type) AS n0,
+                   SUM(c1) OVER (PARTITION BY event_type) AS n1
+            FROM vc
+        ),
+        per_type AS (
+            SELECT event_type, MAX(n0) AS n0, MAX(n1) AS n1,
+                   MAX(abs(CAST(cum0 AS DECIMAL(38,0)) * n1
+                           - CAST(cum1 AS DECIMAL(38,0)) * n0))
+                       AS d_scaled
+            FROM cum GROUP BY event_type
+            HAVING MAX(n0) > 0 AND MAX(n1) > 0
+        )
+        SELECT event_type,
+               CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+               round(CAST(d_scaled AS DOUBLE)
+                     / (CAST(n0 AS DOUBLE) * n1), 6) AS ks_stat,
+               round({KS_ALPHA_COEF} * sqrt((n0 + CAST(n1 AS DOUBLE))
+                                            / (CAST(n0 AS DOUBLE) * n1)),
+                     6) AS crit_value,
+               CAST(CASE WHEN round(CAST(d_scaled AS DOUBLE)
+                                    / (CAST(n0 AS DOUBLE) * n1), 6)
+                              > round({KS_ALPHA_COEF}
+                                      * sqrt((n0 + CAST(n1 AS DOUBLE))
+                                             / (CAST(n0 AS DOUBLE) * n1)),
+                                      6)
+                         THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+        FROM per_type
+    """,
+)
+def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic per event type between the
+    event_id-parity epochs, with the α=0.05 critical value and a
+    drift flag. D is found on the value-compressed frame: one
+    (type, value)-keyed aggregate carrying both epochs' counts, one
+    type-partitioned cumulative window over DISTINCT values (rows =
+    unique values, not events — the quantile-module scale answer),
+    and the cross-multiplied deviation stays exact DECIMAL until the
+    final division. One float division + one sqrt per TYPE, not per
+    row; both rounded at the compare site on both engines."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            (F.col("event_id") % 2).cast("bigint").alias("epoch"),
+        )
+    )
+    vc = ev.groupBy("event_type", "value").agg(
+        F.sum((F.col("epoch") == 0).cast("long")).cast("bigint").alias("c0"),
+        F.sum((F.col("epoch") == 1).cast("long")).cast("bigint").alias("c1"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = vc.select(
+        "event_type",
+        F.sum("c0").over(wc).alias("cum0"),
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c0").over(wt).alias("n0"),
+        F.sum("c1").over(wt).alias("n1"),
+    )
+    per_type = (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n0").alias("n0"),
+            F.max("n1").alias("n1"),
+            F.max(
+                F.abs(
+                    F.col("cum0").cast("decimal(38,0)") * F.col("n1")
+                    - F.col("cum1").cast("decimal(38,0)") * F.col("n0")
+                )
+            ).alias("d_scaled"),
+        )
+        .where((F.col("n0") > 0) & (F.col("n1") > 0))
+    )
+    ks = F.round(
+        F.col("d_scaled").cast("double")
+        / (F.col("n0").cast("double") * F.col("n1")),
+        6,
+    )
+    crit = F.round(
+        F.lit(KS_ALPHA_COEF)
+        * F.sqrt(
+            (F.col("n0") + F.col("n1").cast("double"))
+            / (F.col("n0").cast("double") * F.col("n1"))
+        ),
+        6,
+    )
+    return per_type.select(
+        "event_type",
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        ks.alias("ks_stat"),
+        crit.alias("crit_value"),
+        (ks > crit).cast("bigint").alias("drift_flag"),
+    )

@@ -616,3 +616,122 @@ def late_dimension_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_still_unknown"),
         )
     )
+
+
+# --- Ingestion-completeness (id hole) audit -----------------------------------
+# A sequence-keyed source (binlog position, Kafka offset, AUTO_INCREMENT
+# PK — the reference's chunked JDBC scans key on exactly this,
+# tools/ingest_runner.py partitionColumn) admits a cheap completeness
+# check: within the observed id range, every id should exist once.
+# Finding the HOLES without a global sort: fixed-width id buckets,
+# count per bucket, compare to the bucket's arithmetic capacity —
+# bucket-local work, no window over the stream. Vanished buckets (all
+# ids lost) are counted by arithmetic (n_buckets − full buckets), not
+# by groupBy rows, so total loss is never under-reported.
+
+ID_AUDIT_WIDTH = 512
+ID_LOSS_MOD = 1000  # planted loss: every id ≡ 17 (mod 1000) dropped
+
+_ID_AUDIT_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_id AS id FROM events
+        WHERE event_id % {ID_LOSS_MOD} <> 17
+    ),
+    bounds AS (
+        SELECT MIN(id) AS lo, MAX(id) AS hi,
+               (MAX(id) - MIN(id)) // {ID_AUDIT_WIDTH} + 1 AS nb
+        FROM ev
+    ),
+    per_bucket AS (
+        SELECT (id - lo) // {ID_AUDIT_WIDTH} AS bucket,
+               COUNT(*) AS present,
+               MIN(nb) AS nb, MIN(lo) AS lo, MIN(hi) AS hi
+        FROM ev CROSS JOIN bounds
+        GROUP BY (id - lo) // {ID_AUDIT_WIDTH}
+    ),
+    capacity AS (
+        SELECT bucket, present, nb, lo, hi,
+               CASE WHEN bucket = nb - 1
+                    THEN hi - lo + 1 - (nb - 1) * {ID_AUDIT_WIDTH}
+                    ELSE {ID_AUDIT_WIDTH} END AS expected
+        FROM per_bucket
+    )
+    SELECT CAST(MAX(nb) AS BIGINT) AS n_buckets,
+           CAST(MAX(hi) - MAX(lo) + 1 AS BIGINT) AS total_expected,
+           CAST(SUM(present) AS BIGINT) AS total_present,
+           CAST(MAX(hi) - MAX(lo) + 1 - SUM(present) AS BIGINT)
+               AS total_missing,
+           CAST(MAX(nb)
+                - SUM(CASE WHEN present = expected THEN 1 ELSE 0 END)
+                AS BIGINT) AS buckets_with_holes
+    FROM capacity
+"""
+
+
+@register("id_completeness_audit", oracle=_ID_AUDIT_ORACLE)
+def id_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hole census over the observed id range of a sequence-keyed
+    stream with planted loss (every id ≡ 17 mod 1000 dropped): bucket
+    the ids into fixed 512-wide slices, compare each bucket's count
+    to its arithmetic capacity, and report totals — including buckets
+    that vanished entirely, recovered by arithmetic rather than by
+    groupBy presence.
+
+    Scale shape: one narrow pass against a broadcast 1-row bounds
+    frame, one bucket-keyed aggregate (id-range/512 groups — at a
+    100 TB offset range raise the width so the bucket frame stays
+    driver-broadcastable), one 1-row rollup. No sort, no window, no
+    join wider than a singleton."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_id") % ID_LOSS_MOD != 17)
+        .select(F.col("event_id").alias("id"))
+    )
+    bounds = ev.agg(
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+        (
+            F.call_function(
+                "div", F.max("id") - F.min("id"), F.lit(ID_AUDIT_WIDTH)
+            )
+            + 1
+        ).alias("nb"),
+    )
+    per_bucket = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.call_function(
+                "div", F.col("id") - F.col("lo"), F.lit(ID_AUDIT_WIDTH)
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("present"),
+            F.min("nb").alias("nb"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+        )
+    )
+    expected = F.when(
+        F.col("bucket") == F.col("nb") - 1,
+        F.col("hi") - F.col("lo") + 1
+        - (F.col("nb") - 1) * ID_AUDIT_WIDTH,
+    ).otherwise(F.lit(ID_AUDIT_WIDTH))
+    capacity = per_bucket.select(
+        "bucket", "present", "nb", "lo", "hi", expected.alias("expected")
+    )
+    return capacity.agg(
+        F.max("nb").cast("bigint").alias("n_buckets"),
+        (F.max("hi") - F.max("lo") + 1).cast("bigint").alias(
+            "total_expected"
+        ),
+        F.sum("present").cast("bigint").alias("total_present"),
+        (F.max("hi") - F.max("lo") + 1 - F.sum("present"))
+        .cast("bigint")
+        .alias("total_missing"),
+        (
+            F.max("nb")
+            - F.sum((F.col("present") == F.col("expected")).cast("long"))
+        )
+        .cast("bigint")
+        .alias("buckets_with_holes"),
+    )

@@ -132,6 +132,7 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "surrogate_key_assignment", "minmax_skipping_audit",
         "late_dimension_backfill", "bigram_logprob_quality",
         "watermark_lateness_audit", "dynamic_partition_overwrite_agg",
+        "ks_drift_test", "id_completeness_audit",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",

@@ -520,3 +520,84 @@ def test_dynamic_overwrite_leaves_other_partitions_untouched(spark, tmp_path):
     assert spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode"
     ) == prev
+
+
+# --- ks_drift_test -----------------------------------------------------------
+
+
+def test_ks_statistic_against_direct_recompute(spark):
+    """Recompute each type's KS statistic with a pure-Python CDF walk
+    and compare exactly; the drift flag must equal the stat-vs-
+    critical comparison. (The fixture REALLY drifts between parity
+    halves for click/signup — value correlates with event_id in the
+    generator — so the flag content itself is data, not asserted.)"""
+    rows = REGISTRY["ks_drift_test"][0](spark, SF).collect()
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+        .collect()
+    )
+    by_type: dict[str, tuple[list, list]] = {}
+    for r in ev:
+        a, b = by_type.setdefault(r.event_type, ([], []))
+        (a if r.event_id % 2 == 0 else b).append(r.value)
+    for r in rows:
+        s0, s1 = by_type[r.event_type]
+        assert (r.n0, r.n1) == (len(s0), len(s1))
+        vals = sorted(set(s0) | set(s1))
+        s0s, s1s = sorted(s0), sorted(s1)
+        import bisect
+        d = max(
+            abs(
+                bisect.bisect_right(s0s, v) * r.n1
+                - bisect.bisect_right(s1s, v) * r.n0
+            )
+            for v in vals
+        )
+        assert r.ks_stat == round(d / (r.n0 * r.n1), 6)
+        assert 0.0 <= r.ks_stat <= 1.0
+        assert r.drift_flag == (1 if r.ks_stat > r.crit_value else 0)
+
+
+# --- id_completeness_audit ---------------------------------------------------
+
+
+def test_id_completeness_ground_truth(spark):
+    """Planted loss recovered exactly: missing ids are the ≡17 (mod
+    1000) ids inside the surviving range; bucket accounting matches a
+    pure-Python census including fully-vanished buckets."""
+    from automatic_etl_spark.plans.integrity_plans import (
+        ID_AUDIT_WIDTH,
+        ID_LOSS_MOD,
+    )
+
+    row = REGISTRY["id_completeness_audit"][0](spark, SF).collect()[0]
+    ids = sorted(
+        r.event_id
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id")
+        .collect()
+        if r.event_id % ID_LOSS_MOD != 17
+    )
+    lo, hi = ids[0], ids[-1]
+    assert row.total_expected == hi - lo + 1
+    assert row.total_present == len(ids)
+    assert row.total_missing == (hi - lo + 1) - len(ids)
+    nb = (hi - lo) // ID_AUDIT_WIDTH + 1
+    assert row.n_buckets == nb
+    present = [0] * nb
+    for i in ids:
+        present[(i - lo) // ID_AUDIT_WIDTH] += 1
+    holes = sum(
+        1
+        for b in range(nb)
+        if present[b]
+        != (
+            hi - lo + 1 - (nb - 1) * ID_AUDIT_WIDTH
+            if b == nb - 1
+            else ID_AUDIT_WIDTH
+        )
+    )
+    assert row.buckets_with_holes == holes
+    assert row.total_missing > 0  # the plant is visible

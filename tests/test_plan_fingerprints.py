@@ -176,6 +176,19 @@ PINNED: dict[str, dict[str, int]] = {
     },
     # fact table streams once against two broadcast key-sets; a shj/
     # smj here means a dimension stopped broadcasting
+    # id holes: bounds singleton (bnlj) + bucket agg + 1-row rollup;
+    # no sort, no window
+    "id_completeness_audit": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 11, "exch": 3,
+    },
+    # exact KS on the value-compressed frame: ONE type-keyed shuffle
+    # reused by both windows and the final agg (exch=2 incl. the
+    # fixture fan-out); joins must stay absent
+    "ks_drift_test": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 2,
+    },
     "late_dimension_backfill": {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 4,

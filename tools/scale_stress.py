@@ -144,6 +144,10 @@ QUERIES = (
                                 # alphabet rotation)
     "watermark_lateness_audit", # fixed 24-batch frame; event stream
                                 # never shuffles before the 3-key agg
+    "ks_drift_test",            # value-compressed cumulative windows
+                                # (distinct values per type, not rows)
+    "id_completeness_audit",    # bucket-keyed counts vs arithmetic
+                                # capacity; id range x10 -> buckets x10
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
