@@ -998,3 +998,262 @@ def map_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_users_up"),
     )
+
+
+# --- Kaplan–Meier survival (time-to-conversion) -------------------------------
+# Survival analysis over the event log: time from each user's first
+# event to their first subsequent purchase, right-censored at a fixed
+# observation window (the standard product-analytics "time to
+# convert" curve). The KM estimator is all integer counts until the
+# per-time hazard; survival is reported in LOG space — cumulative sum
+# of ln(1 − d_i/n_i) — because ln parity across engines is already
+# established (unigram/zipf precedents) while exp() is libm-divergent
+# between the JVM and C runtimes.
+
+KM_WINDOW_DAYS = 2
+
+
+@register(
+    "kaplan_meier_survival",
+    oracle=f"""
+        WITH f AS (
+            SELECT user_id, MIN(ts) AS first_ev FROM events GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS purch
+            FROM events e JOIN f ON e.user_id = f.user_id
+                          AND e.ts > f.first_ev
+            WHERE e.event_type = 'purchase'
+            GROUP BY e.user_id
+        ),
+        cohort AS (
+            SELECT f.user_id,
+                   CASE WHEN p.user_id IS NOT NULL
+                         AND datediff('day', CAST(f.first_ev AS DATE),
+                                      CAST(p.purch AS DATE))
+                             <= {KM_WINDOW_DAYS}
+                        THEN datediff('day', CAST(f.first_ev AS DATE),
+                                      CAST(p.purch AS DATE))
+                        ELSE {KM_WINDOW_DAYS} END AS t,
+                   CASE WHEN p.user_id IS NOT NULL
+                         AND datediff('day', CAST(f.first_ev AS DATE),
+                                      CAST(p.purch AS DATE))
+                             <= {KM_WINDOW_DAYS}
+                        THEN 1 ELSE 0 END AS ev
+            FROM f LEFT JOIN p ON f.user_id = p.user_id
+        ),
+        km AS (
+            SELECT t,
+                   CAST(SUM(ev) AS BIGINT) AS d_i,
+                   CAST(SUM(1 - ev) AS BIGINT) AS c_i
+            FROM cohort GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d_i, c_i,
+                   CAST((SELECT COUNT(*) FROM cohort)
+                        - COALESCE(SUM(d_i + c_i) OVER (
+                              ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_risk
+            FROM km
+        )
+        SELECT t AS time_days, n_risk, d_i AS n_events,
+               c_i AS n_censored,
+               round(CAST(SUM(CAST(round(ln(1.0 - CAST(d_i AS DOUBLE)
+                                               / n_risk), 8)
+                                   AS DECIMAL(18,8)) ) OVER (
+                             ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+                         AS DOUBLE), 6) AS log_survival
+        FROM risk WHERE d_i > 0
+    """,
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-conversion: per observed conversion day,
+    users at risk, conversions, window-censored exits, and the
+    cumulative log-survival ln S(t) = Σ ln(1 − d_i/n_i).
+
+    Scale shape: two user-keyed aggregates (first event; first
+    subsequent purchase) co-partition on user_id and join once; the
+    KM table itself is TIME-compressed — every window below runs over
+    ≤ KM_WINDOW_DAYS+1 rows, never over users — and the cohort size
+    enters as a broadcast scalar. Hazards round at one site then sum
+    as DECIMAL (ln parity precedent); exp() is deliberately avoided
+    (JVM Math.exp vs C libm differ in the last ulp)."""
+    ev = table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min("ts").alias("first_ev"))
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .where(F.col("ts") > F.col("first_ev"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purch"))
+    )
+    rawd = F.datediff(
+        F.col("purch").cast("date"), F.col("first_ev").cast("date")
+    )
+    converted = F.col("purch").isNotNull() & (rawd <= KM_WINDOW_DAYS)
+    cohort = f.join(p, "user_id", "left").select(
+        F.when(converted, rawd)
+        .otherwise(F.lit(KM_WINDOW_DAYS))
+        .alias("t"),
+        converted.cast("int").alias("ev"),
+    )
+    km = cohort.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d_i"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c_i"),
+    )
+    n_total = cohort.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = km.crossJoin(F.broadcast(n_total)).select(
+        "t",
+        "d_i",
+        "c_i",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d_i") + F.col("c_i")).over(w_prev), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    log_term = F.round(
+        F.log(1.0 - F.col("d_i").cast("double") / F.col("n_risk")), 8
+    ).cast("decimal(18,8)")
+    return (
+        risk.select(
+            F.col("t").alias("time_days"),
+            "n_risk",
+            F.col("d_i").alias("n_events"),
+            F.col("c_i").alias("n_censored"),
+            F.round(
+                F.sum(log_term).over(w_cum).cast("double"), 6
+            ).alias("log_survival"),
+            F.col("d_i").alias("_d"),
+        )
+        .where(F.col("_d") > 0)
+        .drop("_d")
+    )
+
+
+# --- Peak concurrency (interval overlap maximum) ------------------------------
+# "How many sessions were open at once?" — the interval-overlap peak
+# via the ±1 boundary sweep. The textbook formulation is ONE running
+# sum over the type's whole timeline — a single-partition window per
+# type, the same scale-killer the surrogate-key plan avoids — so the
+# Spark side computes it TWO-PHASE: per (type, hour-slice) local
+# running sums, then per-type cumulative slice offsets (a bounded
+# slice frame), peak = max(offset + local running). The ORACLE is the
+# naive single-window formulation — proving the decomposition exact.
+
+CONC_SLICE_MS = 3_600_000  # 1-hour slices
+CONC_MAX_MIN = 120         # session duration = clamp(value, 1, 120) min
+
+_CONC_ORACLE = f"""
+    WITH iv AS (
+        SELECT event_type,
+               epoch_ms(ts) AS s,
+               epoch_ms(ts) + CAST(greatest(1, least({CONC_MAX_MIN},
+                   floor(value))) AS BIGINT) * 60000 AS e
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    b AS (
+        SELECT event_type, s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 FROM iv
+    ),
+    run AS (
+        SELECT event_type,
+               SUM(delta) OVER (
+                   PARTITION BY event_type ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS r
+        FROM b
+    )
+    SELECT event_type,
+           CAST((SELECT COUNT(*) FROM iv i
+                 WHERE i.event_type = run.event_type) AS BIGINT)
+               AS n_intervals,
+           CAST(MAX(r) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY event_type
+"""
+
+
+@register("peak_concurrency_report", oracle=_CONC_ORACLE)
+def peak_concurrency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum simultaneous open sessions per event type (session =
+    [ts, ts + clamp(value,1,120) minutes]), computed scale-safe: the
+    ±1 boundary stream is cut into hour slices, running sums stay
+    LOCAL to a (type, slice) partition, and a bounded per-type slice
+    frame supplies cumulative offsets — no window ever spans a type's
+    whole timeline. Tie policy pinned to (t, delta asc) so an end at
+    time T closes before a start at T opens (touching sessions never
+    double-count); among equal boundaries the prefix multiset is
+    permutation-invariant, so the peak is deterministic. The oracle
+    is the textbook single-window sweep — the decomposition must
+    match it exactly."""
+    iv = (
+        table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.unix_millis("ts").alias("s"),
+            (
+                F.unix_millis("ts")
+                + F.greatest(
+                    F.lit(1),
+                    F.least(F.lit(CONC_MAX_MIN), F.floor("value")),
+                ).cast("bigint")
+                * 60000
+            ).alias("e"),
+        )
+    )
+    b = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "event_type", F.col("e").alias("t"), F.lit(-1).alias("delta")
+        )
+    ).withColumn(
+        "slice", F.call_function("div", F.col("t"), F.lit(CONC_SLICE_MS))
+    )
+    w_local = (
+        Window.partitionBy("event_type", "slice")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.select(
+        "event_type", "slice", "delta",
+        F.sum("delta").over(w_local).alias("run"),
+    )
+    slices = local.groupBy("event_type", "slice").agg(
+        F.sum("delta").alias("tot"), F.max("run").alias("loc_max")
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    peaks = slices.select(
+        "event_type",
+        (
+            F.coalesce(F.sum("tot").over(w_off), F.lit(0))
+            + F.col("loc_max")
+        ).alias("candidate"),
+    ).groupBy("event_type").agg(
+        F.max("candidate").cast("bigint").alias("peak_concurrency")
+    )
+    counts = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals")
+    )
+    return counts.join(peaks, "event_type").select(
+        "event_type", "n_intervals", "peak_concurrency"
+    )

@@ -133,6 +133,7 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "late_dimension_backfill", "bigram_logprob_quality",
         "watermark_lateness_audit", "dynamic_partition_overwrite_agg",
         "ks_drift_test", "id_completeness_audit",
+        "kaplan_meier_survival", "peak_concurrency_report",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",

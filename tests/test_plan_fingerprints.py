@@ -150,6 +150,13 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 3, "topN": 0, "partialAgg": 0, "exch": 2,
     },
+    # two-phase concurrency sweep: local windows partition on
+    # (type, slice); a single-partition per-type timeline window
+    # appearing here is the regression this guards
+    "peak_concurrency_report": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 3,
+    },
     # two-phase surrogate keys: range exchange + offsets join ONLY —
     # a single-partition global-window exchange appearing here is the
     # exact regression this pin guards against
@@ -181,6 +188,13 @@ PINNED: dict[str, dict[str, int]] = {
     "id_completeness_audit": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 1,
         "wgl": 0, "topN": 0, "partialAgg": 11, "exch": 3,
+    },
+    # KM: two user-keyed aggs join broadcast at sf0.01; the cohort
+    # size singleton is the bnlj; the compressed-table windows add no
+    # exchange of their own
+    "kaplan_meier_survival": {
+        "bhj": 2, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 7,
     },
     # exact KS on the value-compressed frame: ONE type-keyed shuffle
     # reused by both windows and the final agg (exch=2 incl. the

@@ -148,6 +148,10 @@ QUERIES = (
                                 # (distinct values per type, not rows)
     "id_completeness_audit",    # bucket-keyed counts vs arithmetic
                                 # capacity; id range x10 -> buckets x10
+    "kaplan_meier_survival",    # user-keyed aggs x10 users; KM table
+                                # stays <=3 rows
+    "peak_concurrency_report",  # boundary stream x10; local windows
+                                # bounded by (type, hour-slice)
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
