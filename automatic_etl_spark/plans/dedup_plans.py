@@ -520,3 +520,148 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("exact_total"),
     )
+
+
+# --- Sparse all-pairs cosine (inverted index + df pruning) --------------------
+# The third near-dup algorithm family beside MinHash-LSH (lexical,
+# probabilistic) and embedding-cosine (dense, model-dependent):
+# EXACT sparse tf-idf cosine over an inverted index with document-
+# frequency pruning (the "Scaling Up All Pairs Similarity Search"
+# shape, Bayardo et al. 2007). Terms appearing in fewer than
+# SPARSE_DF_MIN docs can't create pairs worth scoring; terms above
+# SPARSE_DF_CAP are dropped BEFORE the pair join so each surviving
+# term contributes at most df² bounded pair candidates — the same
+# bounded-bucket discipline as operators/text_dedup.cap_buckets, but
+# principled by idf (a ubiquitous term carries ~zero cosine weight
+# anyway).
+
+SPARSE_DF_MIN = 2
+SPARSE_DF_CAP = 30
+SPARSE_THRESHOLD = 0.5
+
+_SPARSE_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    w AS (
+        SELECT t.doc_id, t.tok,
+               round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS w
+        FROM tf t JOIN df d ON t.tok = d.tok CROSS JOIN n
+        WHERE d.df BETWEEN {SPARSE_DF_MIN} AND {SPARSE_DF_CAP}
+    ),
+    norm AS (
+        SELECT doc_id,
+               sqrt(CAST(SUM(CAST(round(w * w, 8) AS DECIMAL(28,8)))
+                         AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id
+    ),
+    u AS (
+        SELECT w.doc_id, w.tok, round(w.w / norm.nrm, 6) AS u
+        FROM w JOIN norm ON w.doc_id = norm.doc_id
+        WHERE norm.nrm > 0
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(SUM(CAST(round(a.u * b.u, 8) AS DECIMAL(28,8)))
+                          AS DOUBLE), 6) AS score
+        FROM u a JOIN u b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id, score FROM pairs WHERE score >= {SPARSE_THRESHOLD}
+"""
+
+
+@register("sparse_cosine_pairs", oracle=_SPARSE_ORACLE)
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tf-idf cosine near-dup pairs via the inverted index:
+    per-doc term weights tf·ln(N/df) restricted to the selective df
+    band [2, 30], L2-normalized, then a term-keyed self-join sums
+    u_a·u_b per ordered pair and keeps score ≥ 0.5.
+
+    Scale shape: two token-keyed aggregates build tf/df (zipfian,
+    AQE-skew-splittable), the df band bounds every term's pair
+    contribution at df² ≤ 900 BEFORE the self-join (no all-pairs term
+    exists — a ubiquitous term never reaches the join), and the pair
+    aggregate is map-side combinable on (a_id, b_id). Every float
+    crossing the engines rounds at ONE site then sums as DECIMAL
+    (weights 6dp, squared/paired products 8dp), so the order-dependent
+    double-sum trap never fires. Complements `minhash_lsh_dedup`
+    (probabilistic lexical) and `embedding_cosine_dedup` (dense
+    semantic): this one is exact AND lexical."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
+    # tf feeds THREE consumers (df, N, weights) and u feeds both sides
+    # of the pair join — materialize each once instead of re-running
+    # the token explode + aggregate per consumer (the measured-reuse
+    # pattern from enrichment_plans; halves the exchange count).
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = (
+        tf.join(
+            df.where(F.col("df").between(SPARSE_DF_MIN, SPARSE_DF_CAP)),
+            "tok",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("w"),
+        )
+    )
+    norm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("w") * F.col("w"), 8).cast("decimal(28,8)")
+            ).cast("double")
+        ).alias("nrm")
+    )
+    u = (
+        w.join(norm, "doc_id")
+        .where(F.col("nrm") > 0)
+        .select(
+            "doc_id", "tok", F.round(F.col("w") / F.col("nrm"), 6).alias("u")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = u.select(
+        F.col("doc_id").alias("a_id"), "tok", F.col("u").alias("ua")
+    )
+    b = u.select(
+        F.col("doc_id").alias("b_id"), "tok", F.col("u").alias("ub")
+    )
+    pairs = (
+        a.join(b, "tok")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("ua") * F.col("ub"), 8).cast(
+                        "decimal(28,8)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("score")
+        )
+    )
+    return pairs.where(F.col("score") >= SPARSE_THRESHOLD)

@@ -157,6 +157,13 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 3,
     },
+    # inverted-index cosine: tf and u are localCheckpoint-materialized
+    # (each feeds multiple consumers), so the final plan is the pair
+    # join + agg over the checkpointed u — the pin covers that tail
+    "sparse_cosine_pairs": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 1, "exch": 1,
+    },
     # two-phase surrogate keys: range exchange + offsets join ONLY —
     # a single-partition global-window exchange appearing here is the
     # exact regression this pin guards against

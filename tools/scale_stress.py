@@ -152,6 +152,10 @@ QUERIES = (
                                 # stays <=3 rows
     "peak_concurrency_report",  # boundary stream x10; local windows
                                 # bounded by (type, hour-slice)
+    "sparse_cosine_pairs",      # df-band-pruned inverted index; the
+                                # alphabet rotation keeps replica
+                                # vocabularies disjoint -> pair work
+                                # scales linearly with replicas
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
