@@ -102,7 +102,7 @@ _CHECK_PRIORITY = [
     "watermark_lateness_audit", "dynamic_partition_overwrite_agg",
     "ks_drift_test", "id_completeness_audit",
     "kaplan_meier_survival", "peak_concurrency_report",
-    "sparse_cosine_pairs",
+    "sparse_cosine_pairs", "asof_join_tolerance",
     # (d) r3-cohort fill — next-oldest signal
     "analytics_view_dates", "cdc_bronze_stamp", "count_star",
     "csv_source_agg", "daily_moving_avg", "embedding_norm_stats",

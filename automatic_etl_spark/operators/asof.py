@@ -119,3 +119,34 @@ def as_of_join_forward(
     for c in payload_cols:
         out = out.withColumn(f"{payload_prefix}{c}", F.col(f"{_PAYLOAD}.{c}"))
     return out.drop(_PAYLOAD)
+
+
+def as_of_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    tolerance_ms: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_prefix: str = "right_",
+) -> DataFrame:
+    """Backward as-of join with a maximum match gap (pandas
+    ``merge_asof(tolerance=...)`` semantics): the latest right row
+    at-or-before the left timestamp matches ONLY if it is within
+    ``tolerance_ms``; otherwise the row joins nothing. Because
+    backward as-of always selects the LATEST qualifying right row,
+    any earlier candidate has a strictly larger gap — so nulling an
+    out-of-tolerance match is exact, not an approximation, and the
+    operator is one conditional projection over :func:`as_of_join`
+    (same single key-hash shuffle, no extra exchange)."""
+    j = as_of_join(left, right, keys, left_ts, right_ts, payload_prefix)
+    payload_cols = [
+        c for c in j.columns if c.startswith(payload_prefix)
+    ]
+    gap_ok = (
+        F.unix_millis(F.col(left_ts))
+        - F.unix_millis(F.col(f"{payload_prefix}{right_ts}"))
+    ) <= tolerance_ms
+    for c in payload_cols:
+        j = j.withColumn(c, F.when(gap_ok, F.col(c)))
+    return j

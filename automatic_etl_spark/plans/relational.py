@@ -2719,3 +2719,86 @@ def group_by_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+# --- as-of join with tolerance (pandas merge_asof tolerance=) ----------------
+
+ASOF_TOLERANCE_MS = 86_400_000  # 1 day
+
+
+@register(
+    "asof_join_tolerance",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        s AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'signup'
+        ),
+        j AS (
+            SELECT p.event_id, p.ts AS pts, s.ts AS sts
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+        ),
+        tol AS (
+            SELECT event_id, pts,
+                   CASE WHEN sts IS NOT NULL
+                         AND epoch_ms(pts) - epoch_ms(sts)
+                             <= {ASOF_TOLERANCE_MS}
+                        THEN sts END AS sts,
+                   CASE WHEN sts IS NOT NULL
+                         AND epoch_ms(pts) - epoch_ms(sts)
+                             > {ASOF_TOLERANCE_MS}
+                        THEN 1 ELSE 0 END AS dropped
+            FROM j
+        )
+        SELECT COUNT(*) AS purchase_cnt,
+               COUNT(sts) AS matched_cnt,
+               CAST(SUM(dropped) AS BIGINT) AS dropped_by_tolerance,
+               CAST(SUM(epoch_ms(pts) - epoch_ms(sts)) AS BIGINT)
+                   AS lag_ms_total
+        FROM tol
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`asof_join_lag` with a 1-day match tolerance (pandas
+    merge_asof semantics): signups older than the tolerance no longer
+    match, and the report separates matches lost to the gap bound
+    from purchases that never had a preceding signup. Exactness note
+    in operators/asof.as_of_join_tolerance: backward as-of picks the
+    LATEST candidate, so the tolerance check is a row-local
+    projection — no second join, no extra shuffle."""
+    from automatic_etl_spark.operators.asof import (
+        as_of_join,
+        as_of_join_tolerance,
+    )
+
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts"
+    )
+    raw = as_of_join(purchases, signups, keys=["user_id"]).select(
+        "event_id", F.col("right_ts").alias("raw_ts")
+    )
+    tol = as_of_join_tolerance(
+        purchases, signups, keys=["user_id"],
+        tolerance_ms=ASOF_TOLERANCE_MS,
+    )
+    joined = tol.join(raw, "event_id")
+    return joined.agg(
+        F.count("*").alias("purchase_cnt"),
+        F.count("right_ts").alias("matched_cnt"),
+        F.sum(
+            (F.col("raw_ts").isNotNull() & F.col("right_ts").isNull())
+            .cast("long")
+        )
+        .cast("bigint")
+        .alias("dropped_by_tolerance"),
+        F.sum(F.unix_millis("ts") - F.unix_millis("right_ts")).alias(
+            "lag_ms_total"
+        ),
+    )

@@ -134,7 +134,7 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "watermark_lateness_audit", "dynamic_partition_overwrite_agg",
         "ks_drift_test", "id_completeness_audit",
         "kaplan_meier_survival", "peak_concurrency_report",
-        "sparse_cosine_pairs",
+        "sparse_cosine_pairs", "asof_join_tolerance",
     ),
     # streaming (availableNow, stateful) — last, own JVM
     ("streaming_hourly_counts", "stream_stream_join", "streaming_dq_gate",

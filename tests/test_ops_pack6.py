@@ -693,3 +693,49 @@ def test_peak_concurrency_brute_force_and_slice_invariance(spark):
             peak = max(peak, run)
         assert report[et].peak_concurrency == peak, et
         assert report[et].n_intervals == len(ivs)
+
+
+# --- asof_join_tolerance -----------------------------------------------------
+
+
+def test_asof_tolerance_monotone_and_exact(spark):
+    """Matched count is monotone in the tolerance; an infinite
+    tolerance reproduces the plain backward as-of exactly; and every
+    surviving match respects the gap bound (pandas merge_asof
+    semantics)."""
+    from automatic_etl_spark.operators.asof import (
+        as_of_join,
+        as_of_join_tolerance,
+    )
+    from automatic_etl_spark.sources.parquet import table as load
+
+    # raw parquet reads yield TIMESTAMP_NTZ (unix_millis rejects it);
+    # table() normalizes — the reason every read path routes through it
+    events = load(spark, SF, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts"
+    )
+    raw = as_of_join(purchases, signups, keys=["user_id"])
+    raw_matched = raw.where(F.col("right_ts").isNotNull()).count()
+
+    prev = -1
+    for tol_h in (1, 6, 24, 24 * 365 * 100):
+        tol = as_of_join_tolerance(
+            purchases, signups, keys=["user_id"],
+            tolerance_ms=tol_h * 3_600_000,
+        )
+        bad = tol.where(
+            F.col("right_ts").isNotNull()
+            & (
+                F.unix_millis("ts") - F.unix_millis("right_ts")
+                > tol_h * 3_600_000
+            )
+        ).count()
+        assert bad == 0, tol_h
+        m = tol.where(F.col("right_ts").isNotNull()).count()
+        assert m >= prev
+        prev = m
+    assert prev == raw_matched  # infinite tolerance == plain as-of

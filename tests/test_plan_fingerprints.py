@@ -52,6 +52,12 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 1,
         "wgl": 0, "topN": 0, "partialAgg": 8, "exch": 5,
     },
+    # tolerance is a row-local projection over the as-of window —
+    # a second join appearing here means it stopped being free
+    "asof_join_tolerance": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 3,
+    },
     # order-2 LM: both zipfian joins broadcast at sf0.01 (AQE); the
     # pin guards the vocab singleton staying a bnlj broadcast, not a
     # keyed shuffle
