@@ -241,16 +241,19 @@ def main() -> None:
                 errors[name] = f"group {i} JVM failed rc={proc.returncode}: {tail}"
             print(f"bench: group {i} FAILED rc={proc.returncode}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
-    # The final stdout line must stay COMPACT: round 5's line carried
-    # per-query sample pairs + session ages for 61 queries and blew past
-    # the driver's tail-capture window, so BENCH_r05 recorded
-    # parsed=null and the headline total was lost. Detail (raw sample
-    # pairs, session ages, full error text) goes to a side file; stdout
-    # gets only the driver contract fields.
+    # The final stdout line must stay under the driver's 2,000-char
+    # stdout TAIL (measured in BENCH_r06: the captured tail is exactly
+    # 2,000 chars and starts mid-line, so the r6 3,172-char "compact"
+    # line was still truncated and parsed=null for a second round).
+    # Contract: stdout carries the headline total plus ONLY the
+    # slowest-10 per-query pairs (~1 kB); the FULL per-query map, raw
+    # sample pairs, session ages, and error text live in
+    # logs/bench_detail.json.
     detail = {
         "jvm_groups": len(GROUPS),
         "session_age_sec": ages,
+        # every per-query timing (stdout carries only the slowest 10)
+        "queries": timings,
         # both raw samples per query (timings = min of the two)
         "runs": runs,
         "errors": errors,
@@ -259,11 +262,21 @@ def main() -> None:
     os.makedirs(log_dir, exist_ok=True)
     with open(os.path.join(log_dir, "bench_detail.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
+    print(render_final_line(timings, errors, sf))
+
+
+def render_final_line(timings: dict[str, float], errors: dict[str, str],
+                      sf: float) -> str:
+    """Render the single driver-contract stdout line, hard-bounded to
+    1,500 chars (the driver's capture window is a 2,000-char stdout
+    tail). Only the slowest-10 query pairs ride on stdout; the full
+    per-query map is in logs/bench_detail.json."""
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
         "sf": sf,
         # A partial sum must never read as a full run (ADVICE r4):
         # downstream comparisons check measured == expected first.
@@ -271,12 +284,18 @@ def main() -> None:
         "queries_expected": len(HEADLINE),
     }
     if errors:
-        # first few names + count — full text lives in
+        # count + first few names — full text lives in
         # logs/bench_detail.json; an unbounded name list re-creates
         # the oversized-line failure once headliners approach ~100
         out["failed_count"] = len(errors)
         out["failed"] = sorted(errors)[:5]
-    print(json.dumps(out, separators=(",", ":")))
+    line = json.dumps(out, separators=(",", ":"))
+    # Shed the queries map before ever shedding the headline total.
+    if len(line) > 1500:
+        out["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:3])
+        line = json.dumps(out, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

@@ -151,29 +151,24 @@ def test_connected_components_explicit_graph(spark):
 
 
 def test_bench_final_json_line_stays_compact():
-    """BENCH_r05 was lost because the final stdout line outgrew the
-    driver's tail-capture window (per-query sample pairs + session
-    ages for 61 queries). The contract is now: the stdout line carries
-    ONLY the driver fields; detail goes to logs/bench_detail.json.
-    Pin it by rendering a worst-case line for the CURRENT headliner
-    set and bounding its size."""
+    """BENCH_r05 and BENCH_r06 were both lost because the final stdout
+    line outgrew the driver's capture window, which r6 measured to be a
+    2,000-char stdout TAIL. The contract is now: stdout carries the
+    headline total plus only the slowest-10 pairs; the full per-query
+    map goes to logs/bench_detail.json. Pin the REAL render path
+    (bench.render_final_line) at worst case for the CURRENT headliner
+    set and bound it at 1,500 chars."""
     import json
 
     import bench
 
-    worst = {
-        "metric": "headline_queries_total",
-        "value": 99999.999,
-        "unit": "sec",
-        "queries": {n: 9999.999 for n in bench.HEADLINE},
-        "sf": 0.1,
-        "queries_measured": len(bench.HEADLINE),
-        "queries_expected": len(bench.HEADLINE),
-        # worst case: every query failed -> capped name list + count
-        # (bench.py truncates to 5; full list in logs/bench_detail)
-        "failed_count": len(bench.HEADLINE),
-        "failed": sorted(bench.HEADLINE)[:5],
-    }
-    line = json.dumps(worst, separators=(",", ":"))
-    # the r5 failure line was >8 KiB; stay well under half of that
-    assert len(line) < 6000, len(line)
+    worst_timings = {n: 99999.999 for n in bench.HEADLINE}
+    worst_errors = {n: "boom" for n in bench.HEADLINE}
+    line = bench.render_final_line(worst_timings, worst_errors, sf=0.1)
+    assert len(line) <= 1500, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["queries_expected"] == len(bench.HEADLINE)
+    assert len(parsed["queries"]) <= 10
+    # headline total must survive truncation no matter what
+    assert parsed["value"] == round(sum(worst_timings.values()), 3)
