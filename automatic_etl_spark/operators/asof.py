@@ -140,8 +140,12 @@ def as_of_join_tolerance(
     operator is one conditional projection over :func:`as_of_join`
     (same single key-hash shuffle, no extra exchange)."""
     j = as_of_join(left, right, keys, left_ts, right_ts, payload_prefix)
+    # Derive payload names from right.columns exactly as as_of_join
+    # does — scanning j.columns by prefix would also catch any LEFT
+    # column that happens to start with payload_prefix and wrongly
+    # null it out of tolerance.
     payload_cols = [
-        c for c in j.columns if c.startswith(payload_prefix)
+        f"{payload_prefix}{c}" for c in right.columns if c not in keys
     ]
     gap_ok = (
         F.unix_millis(F.col(left_ts))

@@ -814,8 +814,9 @@ _REPAIR_ORACLE = f"""
     pb AS (SELECT bucket, COUNT(*) AS c, bit_xor(h) AS x FROM ph GROUP BY bucket),
     rb AS (SELECT bucket, COUNT(*) AS c, bit_xor(h) AS x FROM rh GROUP BY bucket),
     mism AS (
-        SELECT pb.bucket FROM pb JOIN rb USING (bucket)
-        WHERE pb.c <> rb.c OR pb.x <> rb.x
+        SELECT COALESCE(pb.bucket, rb.bucket) AS bucket
+        FROM pb FULL OUTER JOIN rb ON pb.bucket = rb.bucket
+        WHERE COALESCE(pb.c, 0) <> COALESCE(rb.c, 0) OR pb.x <> rb.x
     ),
     joined AS (
         SELECT COALESCE(p.bucket, r.bucket) AS bucket,
@@ -860,6 +861,14 @@ def checksum_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("o_orderpriority"), F.lit("*")),
         ).otherwise(F.col("o_orderpriority")),
     )
+    return repair_plan(orders, replica)
+
+
+def repair_plan(orders: DataFrame, replica: DataFrame) -> DataFrame:
+    """Row-granular anti-entropy repair core shared by the registry
+    query and the vanished-bucket unit: bucket checksums, mismatch
+    detection, then a row-level full-outer re-check restricted to the
+    mismatched buckets."""
 
     def hashed(df: DataFrame) -> DataFrame:
         row_str = F.concat_ws(
@@ -881,9 +890,17 @@ def checksum_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rb = rh.groupBy("bucket").agg(
         F.count("*").alias("rc"), F.expr("bit_xor(h)").alias("rx")
     )
+    # FULL OUTER with counts coalesced to 0: a bucket entirely absent
+    # from one replica must surface as mismatched, or its rows would be
+    # silently excluded from the repair plan (an inner join here only
+    # catches buckets present on BOTH sides). The xor clause needs no
+    # null-coalescing — a one-sided bucket always trips the count test.
     mism = (
-        pb.join(rb, "bucket")
-        .where((F.col("pc") != F.col("rc")) | (F.col("px") != F.col("rx")))
+        pb.join(rb, "bucket", "full_outer")
+        .where(
+            (F.coalesce("pc", F.lit(0)) != F.coalesce("rc", F.lit(0)))
+            | (F.col("px") != F.col("rx"))
+        )
         .select("bucket")
     )
     p = ph.join(F.broadcast(mism), "bucket").select(

@@ -1541,7 +1541,7 @@ _EWMA_ORACLE = f"""
                row_number() OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                ) AS rn
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     pairs AS (
         SELECT c.event_id, c.event_type, c.value,
@@ -1588,9 +1588,14 @@ def ewma_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     window agg but embarrassingly parallel at any scale. Weights 2^-d
     are exact doubles (exponent shifts), so w*x is bit-identical
     across engines; products round at ONE site then sum as DECIMAL."""
+    # ts IS NOT NULL is load-bearing for cross-engine rank parity, not
+    # just hygiene: Spark sorts NULLs FIRST ascending while DuckDB
+    # sorts them LAST, so a NULL timestamp would silently shift every
+    # rn in that user's timeline (same guard as watermark_lateness_
+    # audit and peak_concurrency_report).
     ev = (
         table(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select(
             "event_id", "user_id", "event_type", "value",
             F.row_number()

@@ -708,31 +708,49 @@ def dynamic_partition_overwrite_agg(
     100 TB table relies on every time one day is recomputed.
 
     The doubled value is an exact IEEE ×2 (exponent bump), so
-    floor(v'*100) is identical on both engines."""
+    floor(v'*100) is identical on both engines.
+
+    The session-global partitionOverwriteMode toggle assumes no
+    CONCURRENT write runs in this session while the dynamic write is
+    in flight (true for the single-threaded driver/bench harnesses;
+    a multi-tenant session would need the DataFrameWriterV2
+    ``overwritePartitions()`` API instead of the conf)."""
+    import shutil
     import tempfile
 
     ev = table(spark, sf_dir, "events")
     target = tempfile.mkdtemp(prefix="dpo_audit_")
-    ev.repartition(5, "event_type").write.partitionBy("event_type").mode(
-        "overwrite"
-    ).parquet(target)
-    restated = (
-        ev.where(F.col("event_type") == DPO_TARGET_TYPE)
-        .withColumn("value", F.col("value") * 2)
-        .repartition(1)
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        restated.write.partitionBy("event_type").mode("overwrite").parquet(
-            target
+        ev.repartition(5, "event_type").write.partitionBy(
+            "event_type"
+        ).mode("overwrite").parquet(target)
+        restated = (
+            ev.where(F.col("event_type") == DPO_TARGET_TYPE)
+            .withColumn("value", F.col("value") * 2)
+            .repartition(1)
         )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            restated.write.partitionBy("event_type").mode(
+                "overwrite"
+            ).parquet(target)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+        back = spark.read.parquet(target)
+        agg = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents_total"),
+        )
+        # Materialize the tiny (≤5-row) result and cut lineage so the
+        # temp tree can be deleted before returning — without this the
+        # audit leaked one mkdtemp directory per bench/test invocation.
+        return agg.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    back = spark.read.parquet(target)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("cents_total"),
-    )
+        shutil.rmtree(target, ignore_errors=True)

@@ -739,3 +739,74 @@ def test_asof_tolerance_monotone_and_exact(spark):
         assert m >= prev
         prev = m
     assert prev == raw_matched  # infinite tolerance == plain as-of
+
+
+def test_asof_tolerance_left_prefix_collision(spark):
+    """A LEFT column that happens to start with payload_prefix must
+    never be nulled by the tolerance projection (ADVICE r6: payload
+    columns are derived from right.columns, not by scanning the
+    joined frame's names by prefix)."""
+    import datetime as dt
+
+    from automatic_etl_spark.operators.asof import as_of_join_tolerance
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=5), "keep-me")],
+        "user_id long, ts timestamp, right_note string",
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 42.0)],
+        "user_id long, ts timestamp, score double",
+    )
+    # gap = 5 h, tolerance = 1 h → the real payload (right_ts,
+    # right_score) must null out; the left-owned right_note must not.
+    row = as_of_join_tolerance(
+        left, right, keys=["user_id"], tolerance_ms=3_600_000
+    ).collect()[0]
+    assert row.right_note == "keep-me"
+    assert row.right_ts is None and row.right_score is None
+
+
+def test_repair_plan_vanished_and_orphan_buckets(spark):
+    """A bucket entirely absent from one side must surface in the
+    repair plan (ADVICE r6: the inner-join mismatch detection silently
+    excluded vanished buckets; detection is now a full-outer join with
+    counts coalesced to 0)."""
+    from automatic_etl_spark.plans.analytics_plans import (
+        CHECKSUM_BUCKETS,
+        repair_plan,
+    )
+
+    rows = [
+        (k, k * 10, "O", f"P{k % 3}") for k in range(1, 200)
+    ]
+    schema = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_orderpriority string")
+    primary = spark.createDataFrame(rows, schema)
+    # replica drops bucket 3 ENTIRELY and gains an orphan-only bucket
+    # via keys the primary lacks (k in 200..210 → various buckets; use
+    # a key set whose bucket has no primary rows: primary covers all
+    # 16 buckets, so orphan rows land in occupied buckets — ALSO drop
+    # those primary rows to make bucket 5 replica-only).
+    replica = (
+        primary.where(F.col("o_orderkey") % CHECKSUM_BUCKETS != 3)
+        .where(F.col("o_orderkey") % CHECKSUM_BUCKETS != 5)
+        .unionByName(
+            spark.createDataFrame(
+                [(k, k * 10, "O", "PX")
+                 for k in range(1, 200)
+                 if k % CHECKSUM_BUCKETS == 5],
+                schema,
+            ).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000 * 16
+            )
+        )
+    )
+    got = {r.action: r.n_rows for r in repair_plan(primary, replica).collect()}
+    n_b3 = sum(1 for k, *_ in rows if k % CHECKSUM_BUCKETS == 3)
+    n_b5 = sum(1 for k, *_ in rows if k % CHECKSUM_BUCKETS == 5)
+    # bucket 3 vanished + primary's bucket-5 rows unmatched
+    assert got["missing_in_replica"] == n_b3 + n_b5
+    # replica's shifted bucket-5 keys exist nowhere in the primary
+    assert got["orphan_in_replica"] == n_b5

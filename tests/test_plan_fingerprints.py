@@ -92,10 +92,13 @@ PINNED: dict[str, dict[str, int]] = {
         "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 1,
     },
     # anti-entropy: the row re-check joins against BROADCAST
-    # mismatched-bucket lists (bhj=3 incl. the offsets/mism joins);
-    # the full-outer key join is the one SMJ
+    # mismatched-bucket lists (bhj=2); the two SMJs are the full-outer
+    # key join and the full-outer MISMATCH-DETECTION join (ADVICE r6:
+    # detection went inner→full-outer so vanished buckets surface —
+    # full outer cannot broadcast, but it runs on ≤16-row bucket
+    # stats, so the extra SMJ is noise at any scale)
     "checksum_repair_plan": {
-        "bhj": 3, "smj": 1, "shj": 0, "bnlj": 0,
+        "bhj": 2, "smj": 2, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 7,
     },
     "dedup_connected_components": {
@@ -108,9 +111,13 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 2, "topN": 0, "partialAgg": 2, "exch": 2,
     },
+    # returns an eagerly-materialized localCheckpoint of the ≤5-row
+    # readback aggregate (ADVICE r6: lets the temp partition tree be
+    # rmtree'd before returning) — the RETURNED plan is therefore a
+    # bare checkpoint scan; the agg/exchange run inside the call
     "dynamic_partition_overwrite_agg": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 0, "exch": 0,
     },
     "exact_dedup": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
