@@ -395,7 +395,27 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch join — the oracle. At scale the event-time range bound
     is what makes this viable: state is evicted once ts <
     watermark − 7 days, so each side holds a sliding week, not the
-    stream's history."""
+    stream's history.
+
+    Micro-batch count is structural: coalesce(2) stages exactly two
+    files per side and maxFilesPerTrigger=1 consumes one per side per
+    trigger, so availableNow runs 2 data batches + 1 empty
+    watermark-finalize batch = 3 (pinned in
+    tests/test_streaming.py::test_stream_stream_join_batch_count;
+    r7 profile attributes wall time ~⅔ to state-store commits: 4 join
+    state stores × shuffle-partition count per batch)."""
+    df, _info = stream_stream_join_with_progress(spark, sf_dir)
+    return df
+
+
+def stream_stream_join_with_progress(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict]:
+    """Core of :func:`stream_stream_join`; additionally returns
+    ``{"progress": [...StreamingQueryProgress dicts...],
+    "staged_files": {"signups": n, "purchases": m}}`` so tests can pin
+    the micro-batch count (= max staged files per side, + 1 finalize)
+    and state metrics without reaching into the checkpoint."""
     import os
 
     from automatic_etl_spark.session import default_parallelism
@@ -454,7 +474,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # restore even when the stream raises — a failed stream must
         # not leak the pinned partition count into later queries
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    return (
+    result = (
         spark.table(name)
         .groupBy(F.col("s_user").alias("user_id"))
         .agg(
@@ -464,6 +484,16 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lag_ms_total"),
         )
     )
+    staged = {
+        side: len(
+            [f for f in os.listdir(d) if f.endswith(".parquet")]
+        )
+        for side, d in (("signups", sign_dir), ("purchases", purch_dir))
+    }
+    return result, {
+        "progress": list(query.recentProgress),
+        "staged_files": staged,
+    }
 
 
 @register(

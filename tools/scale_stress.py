@@ -17,6 +17,16 @@ construction, and any superlinear wall-time is a plan defect:
   is dominated by per-query constant factors. Reported as-is.
 - events: replica r shifts event_id by r*10M and user_id by r*100k
   (distinct upsert keys scale linearly -> linear state).
+- orders (round 7): replica r shifts o_orderkey by r*12M — divisible
+  by lcm(2,3,10,16)=240, so the MERGE source/target/delete classes
+  (%2, %3, %10) and the checksum buckets (%16) recur identically per
+  replica; the %97-miss / %89-corrupt drift classes keep their density
+  on any contiguous key range. o_custkey shifts by r*1.43M in lockstep
+  with customer.
+- customer (round 7): replica r shifts c_custkey by r*1,430,000 —
+  divisible by 11*13=143, so the late (%11) and never-arriving (%13)
+  dimension classes recur identically per replica and the orders FK
+  stays consistent.
 
 Each measurement runs in a FRESH JVM (same methodology as bench.py),
 warmed on sf0.001 immediately before timing.
@@ -156,6 +166,20 @@ QUERIES = (
                                 # alphabet rotation keeps replica
                                 # vocabularies disjoint -> pair work
                                 # scales linearly with replicas
+    # round-7: orders/customer replication (VERDICT r6 #4) brings the
+    # three previously fingerprint-pinned pipelines into the harness
+    "merge_three_way",          # one full-outer SMJ on the merge key;
+                                # target/source/delete classes recur
+                                # per replica (shift % 240 == 0)
+    "checksum_repair_plan",     # bucket checksums + row re-check of
+                                # mismatched buckets; at the planted
+                                # drift density every bucket diverges,
+                                # so the re-check is a full linear pass
+                                # at both scales (worst case by design)
+    "late_dimension_backfill",  # fact scan x two broadcast key-sets;
+                                # dim key-sets scale 10x but stay
+                                # broadcast-sized (143-preserving shift
+                                # keeps late/never classes identical)
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -174,9 +198,10 @@ def build_stress_dir() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    import pyarrow.parquet as _pq
+
     os.makedirs(STRESS_DIR, exist_ok=True)
-    for name in ("region", "nation", "customer", "supplier", "part",
-                 "orders", "lineitem"):
+    for name in ("region", "nation", "supplier", "part", "lineitem"):
         dst = os.path.join(STRESS_DIR, f"{name}.parquet")
         if not os.path.exists(dst):
             shutil.copy(os.path.join(BASE_DIR, f"{name}.parquet"), dst)
@@ -184,7 +209,15 @@ def build_stress_dir() -> None:
     def replicate(name: str, mutate) -> None:
         dst = os.path.join(STRESS_DIR, f"{name}.parquet")
         if os.path.exists(dst):
-            return
+            # r7 migration: orders/customer used to be PLAIN COPIES
+            # (pre-replication rounds staged them 1x); rebuild any
+            # replicated table whose staged row count is not 10x base.
+            base_rows = _pq.ParquetFile(
+                os.path.join(BASE_DIR, f"{name}.parquet")
+            ).metadata.num_rows
+            if _pq.ParquetFile(dst).metadata.num_rows == REPLICAS * base_rows:
+                return
+            os.remove(dst)
         src = pq.read_table(os.path.join(BASE_DIR, f"{name}.parquet"))
         copies = []
         for r in range(REPLICAS):
@@ -205,9 +238,22 @@ def build_stress_dir() -> None:
         df["event_id"] = df["event_id"] + r * SHIFT
         df["user_id"] = df["user_id"] + r * 100_000
 
+    # lcm(2,3,10,16)=240 | 12M: MERGE clause classes and checksum
+    # buckets recur per replica; 143 | 1.43M: late(%11)/never(%13)
+    # dimension classes recur, and orders.o_custkey shifts in
+    # lockstep with customer.c_custkey so the FK stays closed.
+    def mut_orders(df, r):
+        df["o_orderkey"] = df["o_orderkey"] + r * 12_000_000
+        df["o_custkey"] = df["o_custkey"] + r * 1_430_000
+
+    def mut_customer(df, r):
+        df["c_custkey"] = df["c_custkey"] + r * 1_430_000
+
     replicate("documents", mut_docs)
     replicate("embeddings", mut_emb)
     replicate("events", mut_events)
+    replicate("orders", mut_orders)
+    replicate("customer", mut_customer)
 
 
 def measure_child(name: str, sf_dir: str) -> None:
