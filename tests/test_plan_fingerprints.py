@@ -483,6 +483,104 @@ PINNED: dict[str, dict[str, int]] = {
     },
 }
 
+# Round-7 extension (VERDICT r6 #6): every registry query whose
+# PLANS.md row shows >=4 shuffle exchanges is now pinned — those
+# are the plans where a silent regression (lost broadcast, lost
+# pruning, extra repartition) costs the most at 100 TB. With this
+# block, all 48 >=4-exchange queries carry pins; the remaining
+# unpinned queries are all <=3-exchange shapes whose oracles plus
+# PLANS.md regeneration give adequate drift signal.
+PINNED.update({
+    "countmin_heavy_hitters": {
+        "bhj": 5, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 2, "partialAgg": 5, "exch": 7,
+    },
+    "dq_constraint_report": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 8,
+    },
+    "dq_metric_drift": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 10, "exch": 7,
+    },
+    "dup_graph_triangles": {
+        "bhj": 2, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 5,
+    },
+    "embedding_drift_epochs": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 10, "exch": 5,
+    },
+    "funnel_conversion": {
+        "bhj": 3, "smj": 0, "shj": 0, "bnlj": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 7, "exch": 8,
+    },
+    "kmeans_two_iter": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 9, "exch": 6,
+    },
+    "market_share": {
+        "bhj": 7, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 4,
+    },
+    "minhash_lsh_capped": {
+        "bhj": 9, "smj": 0, "shj": 0, "bnlj": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 23, "exch": 17,
+    },
+    "nation_profit": {
+        "bhj": 4, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 1, "exch": 4,
+    },
+    "ngram_jaccard_pairs": {
+        "bhj": 3, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 4,
+    },
+    "parts_supplier_counts": {
+        "bhj": 2, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 1, "exch": 4,
+    },
+    "promo_stock_suppliers": {
+        "bhj": 4, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 5,
+    },
+    "reconciliation": {
+        "bhj": 0, "smj": 1, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 4,
+    },
+    "set_ops": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 7,
+    },
+    "small_quantity_revenue": {
+        "bhj": 3, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 5,
+    },
+    "snapshot_diff": {
+        "bhj": 0, "smj": 1, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 6,
+    },
+    "time_gap_fill": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 6,
+    },
+    "top_tables_by_size": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 8,
+    },
+    "unigram_logprob_quality": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 8, "exch": 6,
+    },
+    "union_all_labels": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 4,
+    },
+    "waiting_suppliers": {
+        "bhj": 4, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 1, "partialAgg": 1, "exch": 5,
+    },
+})
+
 
 @pytest.mark.parametrize("name", sorted(PINNED))
 def test_plan_fingerprint_pinned(spark, name):
