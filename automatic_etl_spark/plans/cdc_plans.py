@@ -143,11 +143,15 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = stage_stream_dir(spark, sf_dir, "events")
     # Stateful-stream shuffle partition count is baked into the
     # checkpoint at first batch; on a default session that is 200 tiny
-    # tasks. Pin it to the CPU budget (fresh checkpoint per call).
-    from automatic_etl_spark.session import default_parallelism
+    # tasks. Size it to staged volume (fresh checkpoint per call) —
+    # state-store commit cost is per (partition × batch), so a
+    # low-volume stream must not pay the full CPU budget's worth.
+    from automatic_etl_spark.session import stream_state_partitions
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(path))
+    )
     # Staged files are normalized (ts is plain TIMESTAMP) regardless of
     # the fixture's on-disk encoding.
     stream = spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
@@ -210,10 +214,12 @@ def streaming_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_dir = os.path.join(stage, "data")
     doubled.coalesce(2).write.mode("overwrite").parquet(data_dir)
 
-    from automatic_etl_spark.session import default_parallelism
+    from automatic_etl_spark.session import stream_state_partitions
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(data_dir))
+    )
     stream = (
         spark.readStream.schema("event_id long, user_id long, event_type string")
         .option("maxFilesPerTrigger", 1)
@@ -261,7 +267,7 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon, not the stream's lifetime."""
     import os
 
-    from automatic_etl_spark.session import default_parallelism
+    from automatic_etl_spark.session import stream_state_partitions
 
     events = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
@@ -272,7 +278,9 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled.coalesce(2).write.mode("overwrite").parquet(data_dir)
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(data_dir))
+    )
     stream = (
         spark.readStream.schema(
             "event_id long, user_id long, event_type string, ts timestamp"
@@ -337,6 +345,11 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.coalesce(2).write.mode("overwrite").parquet(data_dir)
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    # Deliberately CPU-sized, NOT volume-sized (stream_state_partitions):
+    # applyInPandasWithState runs every group's pandas code in a Python
+    # worker, so the partition count is the Python-stage parallelism and
+    # per-partition state commits are noise next to it — the r7 A/B
+    # measured 2.8-5.1 s at 32 partitions vs 5.3-7.6 s at 1.
     spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
     stream = (
         spark.readStream.schema("user_id long, cents long")
@@ -403,7 +416,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark-finalize batch = 3 (pinned in
     tests/test_streaming.py::test_stream_stream_join_batch_count;
     r7 profile attributes wall time ~⅔ to state-store commits: 4 join
-    state stores × shuffle-partition count per batch)."""
+    state stores × shuffle-partition count per batch — which is why
+    the partition count is volume-sized via stream_state_partitions,
+    a measured ~30% win at sf0.1)."""
     df, _info = stream_stream_join_with_progress(spark, sf_dir)
     return df
 
@@ -418,7 +433,7 @@ def stream_stream_join_with_progress(
     and state metrics without reaching into the checkpoint."""
     import os
 
-    from automatic_etl_spark.session import default_parallelism
+    from automatic_etl_spark.session import stream_state_partitions
 
     events = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
@@ -434,7 +449,12 @@ def stream_stream_join_with_progress(
     ).coalesce(2).write.mode("overwrite").parquet(purch_dir)
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    # 4 join state stores × partitions × batches commits: size the
+    # partition count to the staged volume, not the CPU budget.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stream_state_partitions(sign_dir, purch_dir)),
+    )
     signups = (
         spark.readStream.schema("user_id long, ts timestamp")
         .option("maxFilesPerTrigger", 1)
@@ -585,7 +605,7 @@ def streaming_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     enrichment shape for CDC/event streams."""
     import os
 
-    from automatic_etl_spark.session import default_parallelism
+    from automatic_etl_spark.session import stream_state_partitions
 
     dim = spark.createDataFrame(
         [
@@ -605,7 +625,9 @@ def streaming_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.coalesce(2).write.mode("overwrite").parquet(data_dir)
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(data_dir))
+    )
     stream = (
         spark.readStream.schema("event_type string, cents long")
         .option("maxFilesPerTrigger", 1)
@@ -659,12 +681,14 @@ def streaming_upsert_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (foreach_batch_upsert_partitioned) or Delta MERGE INTO."""
     import os
 
-    from automatic_etl_spark.session import default_parallelism
+    from automatic_etl_spark.session import stream_state_partitions
 
     path = stage_stream_dir(spark, sf_dir, "events")
     silver = tempfile.mkdtemp(prefix="upsert_silver_") + "/t"
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(path))
+    )
     stream = (
         spark.readStream.schema(spark.read.parquet(path).schema)
         .option("maxFilesPerTrigger", 1)
@@ -721,14 +745,16 @@ def streaming_upsert_partitioned_pipe(spark: SparkSession, sf_dir: str) -> DataF
     Delta MERGE INTO cost model expressed with plain parquet."""
     import os
 
-    from automatic_etl_spark.session import default_parallelism
+    from automatic_etl_spark.session import stream_state_partitions
 
     path = stage_stream_dir(spark, sf_dir, "events")
     silver = os.path.join(
         tempfile.mkdtemp(prefix="upsert_part_silver_"), "t"
     )
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(path))
+    )
     stream = (
         spark.readStream.schema(spark.read.parquet(path).schema)
         .option("maxFilesPerTrigger", 1)
@@ -863,11 +889,13 @@ def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the at-least-once replay guard are pinned by dedicated units in
     tests/test_streaming.py."""
     path = stage_stream_dir(spark, sf_dir, "events")
-    from automatic_etl_spark.session import default_parallelism
+    from automatic_etl_spark.session import stream_state_partitions
     from automatic_etl_spark.streaming.dq import run_dq_gate
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(path))
+    )
     try:
         stream = (
             spark.readStream.schema(spark.read.parquet(path).schema)
@@ -937,10 +965,13 @@ def python_stream_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automatic_etl_spark.sources import pydatasource
 
     pydatasource.register(spark)
-    from automatic_etl_spark.session import default_parallelism
+    from automatic_etl_spark.session import stream_state_partitions
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stream_state_partitions(rows=PYDS_STREAM_ROWS)),
+    )
     name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
     try:
         stream = (
@@ -1009,13 +1040,13 @@ def state_store_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate of the same input, proving the persisted state is the
     answer, not just the memory sink. At scale the state source reads
     only state files (O(|keys|)), never the stream's input data."""
-    from automatic_etl_spark.session import default_parallelism
+    from automatic_etl_spark.session import stream_state_partitions
 
     path = stage_stream_dir(spark, sf_dir)
     chk = tempfile.mkdtemp(prefix="state_chk_")
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(default_parallelism())
+        "spark.sql.shuffle.partitions", str(stream_state_partitions(path))
     )
     name = f"state_inspect_{uuid.uuid4().hex[:8]}"
     try:

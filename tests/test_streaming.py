@@ -465,3 +465,43 @@ def test_stream_stream_join_batch_count(spark, sf_dir):
         p["numInputRows"] for p in data_batches
     )
     assert df.count() > 0
+
+
+def test_stream_state_partitions_sizing(tmp_path):
+    """Volume-sized state partitions (r7): a stateful stream's
+    shuffle/state partition count must track staged input volume —
+    every partition costs a state-store open/commit PER BATCH, so a
+    low-volume stream at the full CPU budget pays ~cpus× the commit
+    overhead for zero parallelism win (the r7 stream_stream_join
+    profile: ~2/3 of wall in state commits at 32 partitions)."""
+    from automatic_etl_spark.session import (
+        default_parallelism,
+        stream_state_partitions,
+    )
+
+    d = tmp_path / "staged"
+    d.mkdir()
+    # empty staging -> minimum of 1 partition, never 0
+    assert stream_state_partitions(str(d)) == 1
+    (d / "part-0.parquet").write_bytes(b"x" * 1024)
+    # metadata/hidden files must not count toward volume
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / ".part-0.parquet.crc").write_bytes(b"y" * 10_000_000)
+    assert stream_state_partitions(str(d)) == 1
+    assert stream_state_partitions(str(d), bytes_per_partition=512) == 2
+    # rows floor for sources with no staged files (custom stream source)
+    assert stream_state_partitions(rows=250_000) == 1
+    assert stream_state_partitions(rows=250_001) == 2
+    # volume beyond the CPU budget caps at the budget — on a cluster the
+    # same call scales up with SPARK_GRAFT_CPUS
+    assert (
+        stream_state_partitions(str(d), rows=10**12) == default_parallelism()
+    )
+    # multiple staged dirs aggregate (stream-stream join: both sides)
+    d2 = tmp_path / "staged2"
+    d2.mkdir()
+    (d2 / "part-0.parquet").write_bytes(b"x" * 1024)
+    assert (
+        stream_state_partitions(str(d), str(d2), bytes_per_partition=1024)
+        == 2
+    )
