@@ -715,42 +715,44 @@ def dynamic_partition_overwrite_agg(
     in flight (true for the single-threaded driver/bench harnesses;
     a multi-tenant session would need the DataFrameWriterV2
     ``overwritePartitions()`` API instead of the conf)."""
+    import os
     import shutil
     import tempfile
 
     ev = table(spark, sf_dir, "events")
-    target = tempfile.mkdtemp(prefix="dpo_audit_")
+    # ONE fixed per-process target, cleared at call start: a fresh
+    # mkdtemp per call leaked one tree per bench/test invocation, and
+    # deleting it before returning forced a localCheckpoint that made
+    # the returned plan a bare checkpoint scan — vacuous under the
+    # fingerprint gate. The upfront rmtree also evicts stale partitions
+    # a previous call at a different SF would otherwise leave for the
+    # dynamic overwrite to miss.
+    target = os.path.join(tempfile.gettempdir(), "spark_graft_dpo_audit")
+    shutil.rmtree(target, ignore_errors=True)
+    ev.repartition(5, "event_type").write.partitionBy(
+        "event_type"
+    ).mode("overwrite").parquet(target)
+    restated = (
+        ev.where(F.col("event_type") == DPO_TARGET_TYPE)
+        .withColumn("value", F.col("value") * 2)
+        .repartition(1)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
     try:
-        ev.repartition(5, "event_type").write.partitionBy(
-            "event_type"
-        ).mode("overwrite").parquet(target)
-        restated = (
-            ev.where(F.col("event_type") == DPO_TARGET_TYPE)
-            .withColumn("value", F.col("value") * 2)
-            .repartition(1)
-        )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            restated.write.partitionBy("event_type").mode(
-                "overwrite"
-            ).parquet(target)
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
-        back = spark.read.parquet(target)
-        agg = back.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("cents_total"),
-        )
-        # Materialize the tiny (≤5-row) result and cut lineage so the
-        # temp tree can be deleted before returning — without this the
-        # audit leaked one mkdtemp directory per bench/test invocation.
-        return agg.localCheckpoint(eager=True)
+        restated.write.partitionBy("event_type").mode(
+            "overwrite"
+        ).parquet(target)
     finally:
-        shutil.rmtree(target, ignore_errors=True)
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev
+        )
+    back = spark.read.parquet(target)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents_total"),
+    )

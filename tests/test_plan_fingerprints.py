@@ -112,12 +112,13 @@ PINNED: dict[str, dict[str, int]] = {
         "wgl": 2, "topN": 0, "partialAgg": 2, "exch": 2,
     },
     # returns an eagerly-materialized localCheckpoint of the ≤5-row
-    # readback aggregate (ADVICE r6: lets the temp partition tree be
-    # rmtree'd before returning) — the RETURNED plan is therefore a
-    # bare checkpoint scan; the agg/exchange run inside the call
+    # real read-back aggregate over the dynamically-overwritten
+    # partition tree (r7: the fixed per-process target replaced the
+    # rmtree-forced localCheckpoint whose bare-scan fingerprint was
+    # vacuous — all zeros could never catch a drift)
     "dynamic_partition_overwrite_agg": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 0, "exch": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 1,
     },
     "exact_dedup": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
@@ -487,10 +488,17 @@ PINNED: dict[str, dict[str, int]] = {
 # PLANS.md row shows >=4 shuffle exchanges is now pinned — those
 # are the plans where a silent regression (lost broadcast, lost
 # pruning, extra repartition) costs the most at 100 TB. With this
-# block, all 48 >=4-exchange queries carry pins; the remaining
-# unpinned queries are all <=3-exchange shapes whose oracles plus
-# PLANS.md regeneration give adequate drift signal.
+# block, all 49 >=4-exchange queries carry pins (the r7 self-review
+# caught scalar_subquery_filter missing from the original "48"); the
+# remaining unpinned queries are all <=3-exchange shapes whose
+# oracles plus PLANS.md regeneration give adequate drift signal.
 PINNED.update({
+    # the scalar subquery must stay a broadcast 1-row agg, never a
+    # per-row join
+    "scalar_subquery_filter": {
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 4,
+    },
     "countmin_heavy_hitters": {
         "bhj": 5, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 2, "partialAgg": 5, "exch": 7,

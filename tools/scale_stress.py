@@ -124,9 +124,9 @@ QUERIES = (
                                 # the token stream
     "label_centroid_outliers",  # (label, dim)-keyed centroid + per-vec
                                 # distance; labels fixed, vectors x10
-    # late-r6 production-ops pack (merge_three_way is orders-based —
-    # not replicated by this harness; its SMJ shape is covered by the
-    # fingerprint pin instead)
+    # late-r6 production-ops pack (orders/customer are replicated by
+    # this harness since r7 — merge_three_way / checksum_repair_plan /
+    # late_dimension_backfill are stressed below with the rest)
     "ewma_anomaly_report",      # rank-range self-join: users x10,
                                 # per-user timeline constant -> fixed
                                 # xK row growth scales linearly
@@ -136,14 +136,10 @@ QUERIES = (
                                 # (linear floor)
     "mmr_diversified_topk",     # k passes over a 10x candidate pool,
                                 # broadcast selected set constant
-    # (checksum_repair_plan is orders-based like merge_three_way —
-    # covered by its fingerprint pin instead)
     "map_delta_report",         # users x10, per-user map bounded by
                                 # the type domain
     "surrogate_key_assignment", # range exchange + local ranks; the
                                 # offsets frame stays |SK_PARTS| rows
-    # (late_dimension_backfill is orders/customer-based — fingerprint
-    # pin covers it)
     "minmax_skipping_audit",    # narrow double-layout projection +
                                 # (layout x bucket)-keyed agg, <=32
                                 # groups at any scale
@@ -198,8 +194,6 @@ def build_stress_dir() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    import pyarrow.parquet as _pq
-
     os.makedirs(STRESS_DIR, exist_ok=True)
     for name in ("region", "nation", "supplier", "part", "lineitem"):
         dst = os.path.join(STRESS_DIR, f"{name}.parquet")
@@ -212,10 +206,10 @@ def build_stress_dir() -> None:
             # r7 migration: orders/customer used to be PLAIN COPIES
             # (pre-replication rounds staged them 1x); rebuild any
             # replicated table whose staged row count is not 10x base.
-            base_rows = _pq.ParquetFile(
+            base_rows = pq.ParquetFile(
                 os.path.join(BASE_DIR, f"{name}.parquet")
             ).metadata.num_rows
-            if _pq.ParquetFile(dst).metadata.num_rows == REPLICAS * base_rows:
+            if pq.ParquetFile(dst).metadata.num_rows == REPLICAS * base_rows:
                 return
             os.remove(dst)
         src = pq.read_table(os.path.join(BASE_DIR, f"{name}.parquet"))
