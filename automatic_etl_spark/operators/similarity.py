@@ -45,14 +45,20 @@ def projection_bucket(
     return F.concat(*bits)
 
 
-def _scored(queries: DataFrame, corpus: DataFrame) -> DataFrame:
-    return queries.crossJoin(corpus).filter(
-        F.col("q_id") != F.col("n_id")
-    ).select(
+def _score_pairs(joined: DataFrame) -> DataFrame:
+    """Self-exclusion + the ONE rounded-cosine score projection shared
+    by the brute-force, LSH-bucketed, and IVF paths — ann_recall_report
+    assumes truth and approx rank identical rounded values, which only
+    holds while all three score through this single definition."""
+    return joined.filter(F.col("q_id") != F.col("n_id")).select(
         "q_id",
         "n_id",
         F.round(vec.cosine("q_vec", "n_vec"), 6).alias("score"),
     )
+
+
+def _scored(queries: DataFrame, corpus: DataFrame) -> DataFrame:
+    return _score_pairs(queries.crossJoin(corpus))
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -93,13 +99,8 @@ def lsh_bucketed_topk(
     sign-projection bucket."""
     corpus_b = embeddings.withColumn("bucket", projection_bucket(F.col("n_vec"), planes))
     queries_b = queries.withColumn("bucket", projection_bucket(F.col("q_vec"), planes))
-    joined = corpus_b.join(F.broadcast(queries_b), "bucket").filter(
-        F.col("q_id") != F.col("n_id")
-    )
-    scored = joined.select(
-        "q_id", "n_id", F.round(vec.cosine("q_vec", "n_vec"), 6).alias("score")
-    )
-    return _topk(scored, k)
+    joined = corpus_b.join(F.broadcast(queries_b), "bucket")
+    return _topk(_score_pairs(joined), k)
 
 
 def cosine_near_dup_pairs(
@@ -172,6 +173,20 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _dim_sums(inverted: DataFrame) -> DataFrame:
+    """(list_id, pos, s, c): per-list per-dimension exact decimal sums
+    — the ONE numeric contract of the k-means update, shared by
+    mean_centroid_stats and mean_centroids so a precision change
+    cannot make kmeans_two_iter internally inconsistent."""
+    ex = inverted.select(
+        "list_id", F.posexplode("n_vec").alias("pos", "val")
+    )
+    return ex.groupBy("list_id", "pos").agg(
+        F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+        F.count("*").alias("c"),
+    )
+
+
 def mean_centroid_stats(inverted: DataFrame) -> DataFrame:
     """The IVF training step: per-list mean centroid, computed as a
     distributed array aggregation — ``posexplode`` fans each vector
@@ -184,13 +199,7 @@ def mean_centroid_stats(inverted: DataFrame) -> DataFrame:
     at 1e-6 over exact decimal intermediates, so the result is
     identical under any partitioning (and to the DuckDB oracle).
     """
-    ex = inverted.select(
-        "list_id", F.posexplode("n_vec").alias("pos", "val")
-    )
-    dims = ex.groupBy("list_id", "pos").agg(
-        F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
-        F.count("*").alias("c"),
-    )
+    dims = _dim_sums(inverted)
     mean = F.round(F.col("s").cast("double") / F.col("c"), 6).cast(
         "decimal(18,6)"
     )
@@ -208,11 +217,7 @@ def mean_centroids(inverted: DataFrame) -> DataFrame:
     ``ivf_assign`` iteration. Same shuffle shape as
     ``mean_centroid_stats``; the reassembly is a collect_list made
     deterministic by sorting on the dimension index."""
-    ex = inverted.select("list_id", F.posexplode("n_vec").alias("pos", "val"))
-    dims = ex.groupBy("list_id", "pos").agg(
-        F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
-        F.count("*").alias("c"),
-    )
+    dims = _dim_sums(inverted)
     m = F.round(F.col("s").cast("double") / F.col("c"), 6)
     return (
         dims.select("list_id", F.struct(F.col("pos"), m.alias("m")).alias("pm"))
@@ -253,10 +258,5 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select("q_id", "q_vec", F.col("c_id").alias("list_id"))
     )
-    cand = inverted.join(F.broadcast(probe), "list_id").filter(
-        F.col("q_id") != F.col("n_id")
-    )
-    scored = cand.select(
-        "q_id", "n_id", F.round(vec.cosine("q_vec", "n_vec"), 6).alias("score")
-    )
-    return _topk(scored, k)
+    cand = inverted.join(F.broadcast(probe), "list_id")
+    return _topk(_score_pairs(cand), k)

@@ -83,11 +83,21 @@ def lsh_band_keys(
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def bucket_sizes(keyed: DataFrame, bucket_cols: list[str]) -> DataFrame:
+    """(bucket_cols..., bucket_n) census — the single source both
+    capping and any drop-reporting must derive from, so a caller that
+    also reports dropped buckets reuses ONE aggregate subtree (Spark's
+    ReusedExchange then computes the census once per action) instead
+    of re-running the full upstream chain for the report branch."""
+    return keyed.groupBy(*bucket_cols).agg(F.count("*").alias("bucket_n"))
+
+
 def cap_buckets(
     keyed: DataFrame,
     bucket_cols: list[str],
     max_bucket_size: int,
     on_drop: Callable[[int], None] | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Drop rows belonging to buckets larger than ``max_bucket_size``.
 
@@ -100,9 +110,13 @@ def cap_buckets(
 
     ``on_drop`` receives the dropped-bucket count (a tiny aggregate
     job); pass it whenever capping is enabled in production so the
-    truncation is observable, never silent.
+    truncation is observable, never silent. ``sizes`` accepts a
+    precomputed :func:`bucket_sizes` frame so a caller that ALSO
+    consumes the census (e.g. a dropped-bucket report column) shares
+    the exact subtree instead of paying the aggregation twice.
     """
-    sizes = keyed.groupBy(*bucket_cols).agg(F.count("*").alias("bucket_n"))
+    if sizes is None:
+        sizes = bucket_sizes(keyed, bucket_cols)
     if on_drop is not None:
         on_drop(sizes.filter(F.col("bucket_n") > max_bucket_size).count())
     kept = sizes.filter(F.col("bucket_n") <= max_bucket_size).select(*bucket_cols)
@@ -115,16 +129,22 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     max_bucket_size: int | None = None,
     on_drop: Callable[[int], None] | None = None,
+    keys: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (a_id, b_id) pairs sharing at least one band bucket.
 
     ``max_bucket_size`` bounds the quadratic in-bucket pair blow-up
     (the 100 TB requirement): buckets with more members are dropped
     before the pair join and their count reported via ``on_drop``.
+    ``keys``/``sizes`` accept the precomputed :func:`lsh_band_keys` /
+    :func:`bucket_sizes` frames when the caller also consumes them,
+    so shared subtrees are built once (see :func:`cap_buckets`).
     """
-    keys = lsh_band_keys(signatures, bands, rows_per_band)
+    if keys is None:
+        keys = lsh_band_keys(signatures, bands, rows_per_band)
     if max_bucket_size is not None:
-        keys = cap_buckets(keys, ["band", "key"], max_bucket_size, on_drop)
+        keys = cap_buckets(keys, ["band", "key"], max_bucket_size, on_drop, sizes)
     a = keys.alias("a")
     b = keys.alias("b")
     return (

@@ -25,6 +25,7 @@ from automatic_etl_spark.functions import text as tx
 from automatic_etl_spark.operators import text_dedup as td
 from automatic_etl_spark.operators.graph import connected_components
 from automatic_etl_spark.plans.dedup_plans import (
+    PLANT_OFFSET,
     _BAND_MATCH,
     _SQL_JACCARD,
     _SQL_SHINGLES,
@@ -45,15 +46,21 @@ CHAIN_SUFFIX_2 = " zyx wvu tsr qpo nml kji"
 
 
 def _chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # doc_id < PLANT_OFFSET clamp: see dedup_plans.PLANT_OFFSET — the
+    # planted id spaces must stay collision-free at any table size.
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .filter(F.col("doc_id") < PLANT_OFFSET)
+    )
     base = docs.filter(F.col("doc_id") % 5 == 0)
     copy1 = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(CHAIN_SUFFIX_1)).alias("text"),
         "lang",
     )
     copy2 = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
+        (F.col("doc_id") + 2 * PLANT_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(CHAIN_SUFFIX_2)).alias("text"),
         "lang",
     )
@@ -62,13 +69,14 @@ def _chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CHAIN_CORPUS = f"""
         corpus AS (
-            SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 = 0
+            SELECT doc_id, text, lang FROM documents
+            WHERE doc_id % 5 = 0 AND doc_id < {PLANT_OFFSET}
             UNION ALL
-            SELECT doc_id + 1000000, text || '{CHAIN_SUFFIX_1}', lang
-            FROM documents WHERE doc_id % 10 = 0
+            SELECT doc_id + {PLANT_OFFSET}, text || '{CHAIN_SUFFIX_1}', lang
+            FROM documents WHERE doc_id % 10 = 0 AND doc_id < {PLANT_OFFSET}
             UNION ALL
-            SELECT doc_id + 2000000, text || '{CHAIN_SUFFIX_2}', lang
-            FROM documents WHERE doc_id % 20 = 0
+            SELECT doc_id + {2 * PLANT_OFFSET}, text || '{CHAIN_SUFFIX_2}', lang
+            FROM documents WHERE doc_id % 20 = 0 AND doc_id < {PLANT_OFFSET}
         )
 """
 
@@ -998,13 +1006,13 @@ MIN_SPAN = 20
         evalset AS (
             SELECT DISTINCT substr(lower(trim(text)), 1, {SPAN_LEN}) AS span
             FROM corpus
-            WHERE doc_id % {EVAL_MOD} = 0 AND doc_id < 1000000
+            WHERE doc_id % {EVAL_MOD} = 0 AND doc_id < {PLANT_OFFSET}
               AND length(substr(lower(trim(text)), 1, {SPAN_LEN}))
                   >= {MIN_SPAN}
         ),
         train AS (
             SELECT doc_id, lang, lower(trim(text)) AS t FROM corpus
-            WHERE doc_id % {EVAL_MOD} <> 0 OR doc_id >= 1000000
+            WHERE doc_id % {EVAL_MOD} <> 0 OR doc_id >= {PLANT_OFFSET}
         ),
         flagged AS (
             SELECT DISTINCT tr.doc_id
@@ -1028,14 +1036,14 @@ def substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.lower(F.trim(F.col("text")))
     evalset = (
         corpus.filter(
-            (F.col("doc_id") % EVAL_MOD == 0) & (F.col("doc_id") < 1000000)
+            (F.col("doc_id") % EVAL_MOD == 0) & (F.col("doc_id") < PLANT_OFFSET)
         )
         .select(F.substring(norm, 1, SPAN_LEN).alias("span"))
         .filter(F.length("span") >= MIN_SPAN)
         .distinct()
     )
     train = corpus.filter(
-        (F.col("doc_id") % EVAL_MOD != 0) | (F.col("doc_id") >= 1000000)
+        (F.col("doc_id") % EVAL_MOD != 0) | (F.col("doc_id") >= PLANT_OFFSET)
     ).select("doc_id", "lang", norm.alias("t"))
     flagged = (
         train.join(F.broadcast(evalset), F.contains(F.col("t"), F.col("span")))

@@ -25,14 +25,27 @@ JACCARD_THRESHOLD = 0.5
 
 # --- shared corpus construction ---------------------------------------------
 
+# Planted ids live ABOVE a clamped base id space: every planted corpus
+# filters the base table to doc_id < PLANT_OFFSET, so the +PLANT_OFFSET
+# (and +2*PLANT_OFFSET) shifts can never collide with a real doc_id at
+# ANY table size (at fixture scale the clamp is a no-op). Without it a
+# documents table past 1M rows would silently merge a real doc's
+# shingles with a planted copy's — engine-consistently on both sides,
+# so the oracles could never catch the corruption.
+PLANT_OFFSET = 1_000_000
+
 
 def _corpus(spark: SparkSession, sf_dir: str, near_dups: bool) -> DataFrame:
     """Every 5th doc, plus planted copies of every 10th doc (exact or
-    3-token-suffix near-dups) under doc_id+1000000."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    3-token-suffix near-dups) under doc_id+PLANT_OFFSET."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .filter(F.col("doc_id") < PLANT_OFFSET)
+    )
     base = docs.filter(F.col("doc_id") % 5 == 0)
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
         (
             F.concat(F.col("text"), F.lit(NEAR_DUP_SUFFIX))
             if near_dups
@@ -47,19 +60,27 @@ def _sql_corpus(near_dups: bool) -> str:
     text_expr = f"text || '{NEAR_DUP_SUFFIX}'" if near_dups else "text"
     return f"""
         corpus AS (
-            SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 = 0
+            SELECT doc_id, text, lang FROM documents
+            WHERE doc_id % 5 = 0 AND doc_id < {PLANT_OFFSET}
             UNION ALL
-            SELECT doc_id + 1000000 AS doc_id, {text_expr} AS text, lang
-            FROM documents WHERE doc_id % 10 = 0
+            SELECT doc_id + {PLANT_OFFSET} AS doc_id, {text_expr} AS text, lang
+            FROM documents WHERE doc_id % 10 = 0 AND doc_id < {PLANT_OFFSET}
         )
     """
 
 
-_SQL_SHINGLES = """
+# The ONE DuckDB mirror of functions/text.tokens() — every oracle in
+# this module that tokenizes derives from this constant so a tokenizer
+# change cannot desynchronize a subset of the oracles.
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+    " x -> x <> '')"
+)
+
+
+_SQL_SHINGLES = f"""
         toks AS (
-            SELECT doc_id,
-                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                               x -> x <> '') AS t
+            SELECT doc_id, {_SQL_TOKENS} AS t
             FROM corpus
         ),
         sh AS (
@@ -243,13 +264,14 @@ _SQL_BAND_KEYS = " UNION ALL ".join(
     "minhash_lsh_capped",
     oracle=f"""
         WITH corpus AS (
-            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 5 = 0 AND doc_id < {PLANT_OFFSET}
             UNION ALL
-            SELECT doc_id + 1000000, '{BOILERPLATE}'
-            FROM documents WHERE doc_id % 10 = 0
+            SELECT doc_id + {PLANT_OFFSET}, '{BOILERPLATE}'
+            FROM documents WHERE doc_id % 10 = 0 AND doc_id < {PLANT_OFFSET}
             UNION ALL
-            SELECT doc_id + 2000000, text
-            FROM documents WHERE doc_id % 20 = 0
+            SELECT doc_id + {2 * PLANT_OFFSET}, text
+            FROM documents WHERE doc_id % 20 = 0 AND doc_id < {PLANT_OFFSET}
         ),
         {_SQL_SHINGLES},
         {_SQL_SIGNATURES},
@@ -284,32 +306,40 @@ def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     are dropped before the pair join; exact-copy pairs planted under
     +2000000 sit in tiny buckets and must survive. The dropped-bucket
     count is an output column — capping is observable, never silent."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < PLANT_OFFSET)
+    )
     corpus = (
         docs.filter(F.col("doc_id") % 5 == 0)
         .unionByName(
             docs.filter(F.col("doc_id") % 10 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
+                (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
                 F.lit(BOILERPLATE).alias("text"),
             )
         )
         .unionByName(
             docs.filter(F.col("doc_id") % 20 == 0).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+                (F.col("doc_id") + 2 * PLANT_OFFSET).alias("doc_id"), "text"
             )
         )
     )
     sh = td.shingle_rows(corpus)
     signatures = td.minhash_signatures(sh, NUM_HASHES)
     keys = td.lsh_band_keys(signatures, BANDS, ROWS_PER_BAND)
+    # ONE census frame feeds both the dropped-bucket report and the
+    # cap filter: identical subtrees let ReusedExchange compute the
+    # corpus→shingle→signature→census chain once per action, where two
+    # independently-built aggregates re-ran the whole chain.
+    sizes = td.bucket_sizes(keys, ["band", "key"])
     dropped = (
-        keys.groupBy("band", "key")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") > BUCKET_CAP)
+        sizes.filter(F.col("bucket_n") > BUCKET_CAP)
         .agg(F.count("*").alias("dropped_buckets"))
     )
     candidates = td.lsh_candidate_pairs(
-        signatures, BANDS, ROWS_PER_BAND, max_bucket_size=BUCKET_CAP
+        signatures, BANDS, ROWS_PER_BAND,
+        max_bucket_size=BUCKET_CAP, keys=keys, sizes=sizes,
     )
     verified = td.jaccard_pairs(sh, candidates=candidates).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
@@ -348,9 +378,7 @@ _BIT_CONCAT = " || ".join(
     oracle=f"""
         WITH {_sql_corpus(near_dups=True)},
         tokd AS (
-            SELECT DISTINCT doc_id,
-                   unnest(list_filter(regexp_split_to_array(trim(lower(text)),
-                          '\\s+'), x -> x <> '')) AS tok
+            SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS tok
             FROM corpus
         ),
         votes AS (SELECT doc_id, {_VOTE_COLS} FROM tokd GROUP BY doc_id),
@@ -400,13 +428,16 @@ def dedup_final_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: register the dedup as a VIEW (`dedup_view`) and aggregate
     THROUGH `spark.table(...)` — every reader sees merged state with no
     rewrite, the ReplacingMergeTree ``FINAL``-on-read contract."""
-    import uuid
-
     from automatic_etl_spark.operators.dedup import dedup_view
     from automatic_etl_spark.sources.parquet import table as t
 
     events = t(spark, sf_dir, "events")
-    name = f"events_final_{uuid.uuid4().hex[:8]}"
+    # Fixed name: createOrReplaceTempView replaces it, so repeated
+    # invocations (bench best-of-2, oracle sweeps) hold exactly ONE
+    # catalog entry — a fresh uuid per call leaked views unboundedly
+    # across a long session. The view must outlive this function (the
+    # returned frame reads it lazily), so it is never dropped here.
+    name = "events_final_dedup"
     dedup_view(
         events, ["user_id"], [F.col("ts")], name, tiebreaker=("event_id",)
     )
@@ -541,10 +572,7 @@ SPARSE_THRESHOLD = 0.5
 
 _SPARSE_ORACLE = f"""
     WITH toks AS (
-        SELECT doc_id,
-               unnest(list_filter(
-                   regexp_split_to_array(trim(lower(text)), '\\s+'),
-                   x -> x <> '')) AS tok
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS tok
         FROM documents
     ),
     tf AS (

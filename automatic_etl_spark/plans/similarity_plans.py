@@ -17,10 +17,18 @@ from automatic_etl_spark.sources.parquet import table
 K = 5
 QUERY_MOD = 100  # vec_id % 100 == 0 → the query set
 
-_SQL_COSINE = (
-    "round(list_dot_product(qv, nv)"
-    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6)"
-)
+def _sql_cos(a: str, b: str) -> str:
+    """The ONE DuckDB cosine text — every similarity oracle derives
+    from this so a rounding/precision change cannot desynchronize a
+    subset of them."""
+    return (
+        f"round(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+_SQL_COSINE = _sql_cos("qv", "nv")
 
 
 def _sql_bucket(var: str) -> str:
@@ -99,6 +107,47 @@ CENTROID_MOD = 67  # vec_id % 67 == 3 → the fixed IVF coarse centroids
 NPROBE = 2
 
 
+def _sql_cosine_rank_assign(
+    out: str, cent: str, cid: str = "c_id", cvec: str = "cv"
+) -> str:
+    """One k-means assignment round as a CTE: every vector to its
+    argmax-cosine centroid (ties → smallest centroid id). The ONE
+    source of the assignment rule — `_SQL_ASSIGN` and the ann_ivf_topk
+    oracle are generated from it, so a tiebreak/rounding tweak cannot
+    leave one copy on old semantics."""
+    return f"""
+        {out} AS (
+            SELECT n_id, {cid} AS list_id, nv FROM (
+                SELECT n.vec_id AS n_id, n.v AS nv, c.{cid},
+                       ROW_NUMBER() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY list_dot_product(n.v, c.{cvec})
+                                    / (sqrt(list_dot_product(n.v, n.v))
+                                       * sqrt(list_dot_product(c.{cvec},
+                                                               c.{cvec}))) DESC,
+                                    c.{cid} ASC
+                       ) AS rn
+                FROM e n CROSS JOIN {cent} c
+            ) WHERE rn = 1
+        )
+"""
+
+
+# (e, c) corpus/centroid CTE prefix + the rn=1 assignment, shared by
+# every IVF oracle in this module.
+_SQL_ASSIGN = (
+    f"""
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id AS c_id, v AS cv FROM e
+            WHERE vec_id % {CENTROID_MOD} = 3
+        ),"""
+    + _sql_cosine_rank_assign("assign", "c")
+)
+
+
 @register(
     "embedding_cosine_dedup",
     oracle=f"""
@@ -128,26 +177,7 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     oracle=f"""
-        WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ),
-        c AS (
-            SELECT vec_id AS c_id, v AS cv FROM e
-            WHERE vec_id % {CENTROID_MOD} = 3
-        ),
-        assign AS (
-            SELECT n_id, c_id AS list_id, nv FROM (
-                SELECT n.vec_id AS n_id, n.v AS nv, c.c_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY n.vec_id
-                           ORDER BY list_dot_product(n.v, c.cv)
-                                    / (sqrt(list_dot_product(n.v, n.v))
-                                       * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                                    c.c_id ASC
-                       ) AS rn
-                FROM e n CROSS JOIN c
-            ) WHERE rn = 1
-        ),
+        WITH {_SQL_ASSIGN},
         probe AS (
             SELECT q_id, c_id AS list_id, qv FROM (
                 SELECT q.vec_id AS q_id, q.v AS qv, c.c_id,
@@ -220,30 +250,6 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_ASSIGN = f"""
-        e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ),
-        c AS (
-            SELECT vec_id AS c_id, v AS cv FROM e
-            WHERE vec_id % {CENTROID_MOD} = 3
-        ),
-        assign AS (
-            SELECT n_id, c_id AS list_id, nv FROM (
-                SELECT n.vec_id AS n_id, n.v AS nv, c.c_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY n.vec_id
-                           ORDER BY list_dot_product(n.v, c.cv)
-                                    / (sqrt(list_dot_product(n.v, n.v))
-                                       * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                                    c.c_id ASC
-                       ) AS rn
-                FROM e n CROSS JOIN c
-            ) WHERE rn = 1
-        )
-"""
-
-
 @register(
     "ivf_mean_centroids",
     oracle=f"""
@@ -284,29 +290,6 @@ def ivf_mean_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inverted = sim.ivf_assign(corpus, centroids)
     return sim.mean_centroid_stats(inverted)
-
-
-def _sql_cosine_rank_assign(
-    out: str, cent: str, cid: str = "c_id", cvec: str = "cv"
-) -> str:
-    """One k-means assignment round as a CTE: every vector to its
-    argmax-cosine centroid (ties → smallest centroid id)."""
-    return f"""
-        {out} AS (
-            SELECT n_id, {cid} AS list_id, nv FROM (
-                SELECT n.vec_id AS n_id, n.v AS nv, c.{cid},
-                       ROW_NUMBER() OVER (
-                           PARTITION BY n.vec_id
-                           ORDER BY list_dot_product(n.v, c.{cvec})
-                                    / (sqrt(list_dot_product(n.v, n.v))
-                                       * sqrt(list_dot_product(c.{cvec},
-                                                               c.{cvec}))) DESC,
-                                    c.{cid} ASC
-                       ) AS rn
-                FROM e n CROSS JOIN {cent} c
-            ) WHERE rn = 1
-        )
-"""
 
 
 _SQL_MEANS = """
@@ -574,14 +557,6 @@ MMR_LAMBDA = 0.7
 MMR_CAND_MOD = 7  # vec_id % 7 == 1 → candidate pool
 
 
-def _sql_cos(a: str, b: str) -> str:
-    return (
-        f"round(list_dot_product({a}, {b})"
-        f" / (sqrt(list_dot_product({a}, {a}))"
-        f" * sqrt(list_dot_product({b}, {b}))), 6)"
-    )
-
-
 _MMR_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -650,7 +625,13 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepared = emb.select(
         "vec_id", vec.to_double_array("embedding").alias("v")
     )
-    q_row = prepared.orderBy("vec_id").limit(1).collect()[0]
+    empty = spark.createDataFrame(
+        [], "sel_rank int, vec_id long, rel double, score double"
+    )
+    q_rows = prepared.orderBy("vec_id").limit(1).collect()
+    if not q_rows:  # empty embeddings: degrade like the oracle (0 rows)
+        return empty
+    q_row = q_rows[0]
     qid, qv = q_row["vec_id"], q_row["v"]
     q_lit = F.array(*[F.lit(float(x)) for x in qv])
     cand = (
@@ -691,7 +672,10 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("score"),
                 )
             )
-        top = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(1).collect()[0]
+        tops = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(1).collect()
+        if not tops:  # pool exhausted before k picks — emit fewer rows,
+            break  # matching the oracle's empty later-round CTEs
+        top = tops[0]
         selected.append(
             (top["vec_id"], top["v"], top["rel"], top["score"])
         )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automatic_etl_spark.functions import text as tx
+from automatic_etl_spark.plans.dedup_plans import PLANT_OFFSET
 from automatic_etl_spark.plans.registry import register
 from automatic_etl_spark.sources.parquet import table
 
@@ -159,10 +160,10 @@ def quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprint_stats",
     oracle=f"""
         WITH corpus AS (
-            SELECT doc_id, text FROM documents
+            SELECT doc_id, text FROM documents WHERE doc_id < {PLANT_OFFSET}
             UNION ALL
-            SELECT doc_id + 1000000 AS doc_id, text
-            FROM documents WHERE doc_id % 10 = 0
+            SELECT doc_id + {PLANT_OFFSET} AS doc_id, text
+            FROM documents WHERE doc_id % 10 = 0 AND doc_id < {PLANT_OFFSET}
         ), fp AS (
             SELECT doc_id, {_SQL_FINGERPRINT} AS fingerprint FROM corpus
         ), groups AS (
@@ -177,10 +178,16 @@ def quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # doc_id < PLANT_OFFSET clamp: planted ids must never collide with
+    # real ones at any table size (see dedup_plans.PLANT_OFFSET).
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < PLANT_OFFSET)
+    )
     corpus = docs.unionByName(
         docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
         )
     )
     groups = (
@@ -341,9 +348,10 @@ QUALITY_THRESHOLD = 0.5
     oracle=f"""
         WITH corpus AS (
             SELECT doc_id, lang, text FROM documents
+            WHERE doc_id < {PLANT_OFFSET}
             UNION ALL
-            SELECT doc_id + 1000000 AS doc_id, lang, text
-            FROM documents WHERE doc_id % 10 = 0
+            SELECT doc_id + {PLANT_OFFSET} AS doc_id, lang, text
+            FROM documents WHERE doc_id % 10 = 0 AND doc_id < {PLANT_OFFSET}
         ),
         scored AS (
             SELECT doc_id, lang, text,
@@ -378,9 +386,13 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediates."""
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.col("doc_id") < PLANT_OFFSET)
+    )
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text"
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "lang", "text"
     )
     corpus = docs.unionByName(planted)
     scored = corpus.select(
