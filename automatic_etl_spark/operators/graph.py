@@ -32,6 +32,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a superseded localCheckpoint's storage blocks NOW.
+
+    Each round checkpoints a fresh labels frame; without an explicit
+    release, every round's (node, component) blocks stay persisted
+    until the JVM happens to GC the unreferenced RDD and the
+    ContextCleaner gets to it — up to max_iter full copies of the
+    label table alive at once, exactly in the long-chain regime where
+    many rounds run. There is no public PySpark API for this (the
+    blocks belong to the checkpointed internal RDD, not a cache
+    entry), so this reaches through the analyzed LogicalRDD; if the
+    internals ever shift, failing soft falls back to the GC-driven
+    cleanup path, which is correct but unbounded."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort storage release
+        pass
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -73,6 +92,7 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
+    prev_ckpt = labels
 
     for _ in range(max_iter):
         nbr_min = (
@@ -98,8 +118,15 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = relabeled.agg(F.sum("changed")).first()[0] or 0
+        # the new checkpoint is materialized — the previous round's
+        # label blocks are dead weight from here, free them now
+        # (prev_ckpt is always the checkpoint FRAME itself: a
+        # projection over it would not expose the LogicalRDD)
+        _release_checkpoint(prev_ckpt)
+        prev_ckpt = relabeled
         labels = relabeled.drop("changed")
         if changed == 0:
+            _release_checkpoint(sym)
             return labels
         if compress:
             # p(u) := p(p(u)) — component values are node ids, so the
@@ -120,6 +147,8 @@ def connected_components(
                 )
             )
             labels = jumped.localCheckpoint(eager=True)
+            _release_checkpoint(prev_ckpt)
+            prev_ckpt = labels
     raise RuntimeError(
         f"connected_components: no convergence in {max_iter} rounds — "
         "graph diameter exceeds the bound; raise max_iter or switch to "

@@ -1029,7 +1029,7 @@ MIN_SPAN = 20
 )
 def substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flag training docs containing any benchmark doc's opening
-    {40}-char span verbatim. Eval spans broadcast; the corpus is
+    SPAN_LEN-char span verbatim. Eval spans broadcast; the corpus is
     scanned once with a row-local contains probe. Returns per-lang
     (train_docs, flagged_docs, flagged_id_total)."""
     corpus = _corpus(spark, sf_dir, near_dups=False)

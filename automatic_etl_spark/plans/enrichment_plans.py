@@ -674,7 +674,7 @@ def _sql_char_pairs(w: str) -> str:
     """,
 )
 def bpe_merge_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{20} BPE merge candidates over ``documents``: adjacent
+    """Top-20 BPE merge candidates over ``documents``: adjacent
     character pairs weighted by word frequency — (pair, pair_count,
     rank), ties broken by pair text."""
     docs = table(spark, sf_dir, "documents").select("text")
@@ -865,6 +865,7 @@ def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS DECIMAL(18,2))) AS DOUBLE) / q.n_events, 6)
                    AS wins_mean
         FROM q JOIN events e USING (event_type)
+        WHERE e.value IS NOT NULL
         GROUP BY q.event_type, q.n_events, q.p05, q.p95
     """,
 )
@@ -872,8 +873,16 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean per event_type: clamp values to the type-1
     [p05, p95] fences (operators/quantiles.py), then aggregate with a
     decimal-pinned sum. Returns (event_type, n_events, p05, p95,
-    wins_mean)."""
-    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    wins_mean). The NOT NULL filter is load-bearing, not hygiene:
+    least/greatest SKIP nulls on both engines, so an unfiltered NULL
+    value would clamp to p05 (a non-null!) and inflate the sum while
+    n_events — the quantile module's NULL-excluding count — stays
+    fixed."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .where(F.col("value").isNotNull())
+    )
     q = qt.grouped_type1_quantiles(
         ev, "event_type", "value", {"p05": (1, 20), "p95": (19, 20)}
     )
@@ -912,11 +921,12 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    lead(ts) OVER (
                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                    ) AS valid_to
-            FROM events WHERE event_type <> 'purchase'
+            FROM events
+            WHERE event_type <> 'purchase' AND ts IS NOT NULL
         ),
         fact AS (
             SELECT user_id, ts, value FROM events
-            WHERE event_type = 'purchase'
+            WHERE event_type = 'purchase' AND ts IS NOT NULL
         ),
         pit AS (
             SELECT d.status, f.value
@@ -936,9 +946,13 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchases joined to the user's activity status valid at
     purchase time (SCD2 dimension from the non-purchase event stream,
     half-open [valid_from, valid_to) intervals, lead-window build).
-    Returns (status, purchases, value_total)."""
-    events = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    Returns (status, purchases, value_total). ts IS NOT NULL is
+    load-bearing for cross-engine parity, not hygiene: Spark sorts
+    NULLs FIRST ascending while DuckDB sorts them LAST, so a NULL
+    timestamp would shift every validity interval in that user's
+    timeline differently per engine (same guard as
+    ewma_anomaly_report / watermark_lateness_audit)."""
+    events = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     dim = (
         events.filter(F.col("event_type") != "purchase")
         .select(
@@ -1095,7 +1109,7 @@ LABEL_TOP_K = 3
     """,
 )
 def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{3} terms per embedding cluster (fixed seed centroids,
+    """Top-3 terms per embedding cluster (fixed seed centroids,
     token multiplicity counted): (list_id, term, term_cnt, rank)."""
     emb = table(spark, sf_dir, "embeddings")
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1282,7 +1296,7 @@ NULLQ_MOD = 7
 )
 def null_safe_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-1 quartiles per event_type over a value column with
-    deterministically planted NULLs (event_id % {7} == 0): NULLs must
+    deterministically planted NULLs (event_id % 7 == 0): NULLs must
     not shift the cumulative counts or inflate n. Returns
     (event_type, n_events, q1, med, q3) where n_events counts
     non-NULL values only."""
@@ -1460,21 +1474,47 @@ def embedding_drift_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are decimal-exact then rounded once per dimension; the cosine's
     moment sums are decimal-pinned products of those rounded means."""
     emb = table(spark, sf_dir, "embeddings")
-    w = Window.orderBy("vec_id")
-    ids = emb.select("vec_id").select(
-        "vec_id",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    # Median vec_id WITHOUT a global-order window (which would plan
+    # the single-partition sort this module's scale notes reject):
+    # the surrogate_key_assignment two-phase rank — range-partition,
+    # rank locally in parallel, add broadcast per-partition offsets
+    # (a DRIFT_PARTS-row frame), then take the (n+1) DIV 2-ranked id.
+    DRIFT_PARTS = 8
+    ranged = (
+        emb.select("vec_id")
+        .repartitionByRange(DRIFT_PARTS, "vec_id")
+        .select("vec_id", F.spark_partition_id().alias("pid"))
     )
-    med = ids.agg(
-        F.min(
-            F.when(
-                F.col("rn") >= F.call_function(
-                    "div", (F.col("n") + 1).cast("long"), F.lit(2).cast("long")
-                ),
-                F.col("vec_id"),
+    local = ranged.select(
+        "vec_id",
+        "pid",
+        F.row_number()
+        .over(Window.partitionBy("pid").orderBy("vec_id"))
+        .alias("lrn"),
+    ).localCheckpoint(eager=True)  # 3 consumers: offsets, n, the rank probe
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    offsets = counts.select(
+        "pid",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    n_total = counts.agg(F.sum("c").alias("n"))
+    med = (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(n_total))
+        .where(
+            (F.col("off") + F.col("lrn"))
+            == F.call_function(
+                "div", (F.col("n") + 1).cast("long"), F.lit(2).cast("long")
             )
-        ).alias("m")
+        )
+        .agg(F.min("vec_id").alias("m"))
     )
     ex = (
         emb.crossJoin(F.broadcast(med))

@@ -73,7 +73,7 @@ PACK_BUCKETS = 8
     """,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack docs into {PACK_BUDGET}-token training sequences by greedy
+    """Pack docs into PACK_BUDGET-token training sequences by greedy
     next-fit in doc_id order per bucket: a doc joins the sequence where
     its exclusive running-token-sum lands. A doc may overflow its
     sequence (greedy fill) — the fill_ratio column reports the packing
@@ -124,10 +124,16 @@ BOILER_PCT = 8  # gram is boilerplate if present in >= 8% of docs
             FROM documents
         ),
         grams AS (
-            SELECT DISTINCT toks.doc_id, toks.lang,
-                   toks.t[s.i] || ' ' || toks.t[s.i+1] AS g
-            FROM toks CROSS JOIN generate_series(1, 2000) AS s(i)
-            WHERE s.i <= len(toks.t) - {BOILER_N - 1}
+            -- len-driven positions (NOT a fixed generate_series cap):
+            -- the Spark side's tx.shingles is unbounded, so a fixed
+            -- cap would silently truncate any doc longer than the cap
+            -- and break parity
+            SELECT DISTINCT doc_id, lang, t[i] || ' ' || t[i+1] AS g
+            FROM (
+                SELECT doc_id, lang, t,
+                       unnest(generate_series(1, len(t) - {BOILER_N - 1})) AS i
+                FROM toks
+            )
         ),
         total AS (SELECT COUNT(*) AS n FROM documents),
         boiler AS (
@@ -154,7 +160,7 @@ BOILER_PCT = 8  # gram is boilerplate if present in >= 8% of docs
 )
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate detection: distinct word bigrams scored by
-    document frequency; a gram in >= {BOILER_PCT}% of the corpus is
+    document frequency; a gram in >= BOILER_PCT% of the corpus is
     boilerplate, and each doc reports how much of its distinct-gram
     mass is boilerplate. Two shuffles at scale — the gram-keyed DF
     aggregate (zipfian skew; AQE skew join applies) and the doc-keyed
@@ -385,6 +391,12 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIFF_DEL = 19  # keys % 19 == 0 deleted in B
 _DIFF_UPD = 7  # keys % 7 == 0 get totalprice + 1.0 in B
 _DIFF_INS = 13  # keys % 13 == 0 cloned as new keys (+10M) in B
+# Snapshot A is CLAMPED to o_orderkey < _DIFF_SHIFT on both sides so
+# the +_DIFF_SHIFT insert clones can never collide with a real key at
+# any scale factor (TPC-H max o_orderkey = 6M x SF crosses 10M at
+# SF >= 2; a collision would double-count the key in snapshot b and
+# fan out the full outer join — engine-consistently, so the oracle
+# could never catch it). No-op at fixture scale.
 _DIFF_SHIFT = 10_000_000
 
 
@@ -396,10 +408,14 @@ _DIFF_SHIFT = 10_000_000
                    CASE WHEN o_orderkey % {_DIFF_UPD} = 0
                         THEN o_totalprice + 1.0 ELSE o_totalprice END
                        AS o_totalprice
-            FROM orders WHERE o_orderkey % {_DIFF_DEL} <> 0
+            FROM orders
+            WHERE o_orderkey % {_DIFF_DEL} <> 0
+              AND o_orderkey < {_DIFF_SHIFT}
             UNION ALL
             SELECT o_orderkey + {_DIFF_SHIFT} AS o_orderkey, o_totalprice
-            FROM orders WHERE o_orderkey % {_DIFF_INS} = 0
+            FROM orders
+            WHERE o_orderkey % {_DIFF_INS} = 0
+              AND o_orderkey < {_DIFF_SHIFT}
         ),
         diff AS (
             SELECT CASE
@@ -409,7 +425,9 @@ _DIFF_SHIFT = 10_000_000
                        ELSE 'unchanged'
                    END AS status,
                    COALESCE(a.o_orderkey, b.o_orderkey) AS key
-            FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+            FROM (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_orderkey < {_DIFF_SHIFT}) a
+            FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
         )
         SELECT status, COUNT(*) AS cnt, CAST(SUM(key) AS BIGINT) AS key_total
         FROM diff GROUP BY status
@@ -421,7 +439,11 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact IEEE equality on identically-derived doubles. At 100 TB
     both snapshots bucket by the key so the join is co-located
     (no shuffle when bucketing matches); output is a 4-row rollup."""
-    a = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") < _DIFF_SHIFT)
+    )
     b = (
         a.filter(F.col("o_orderkey") % _DIFF_DEL != 0)
         .select(
@@ -533,7 +555,7 @@ _SQL_TF_COLS = ", ".join(
     """,
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-{BM25_TOPK} per query term (k1={BM25_K1}, b={BM25_B}).
+    """BM25 top-BM25_TOPK per query term (constants BM25_K1, BM25_B).
     Cross-engine float policy: avgdl, idf, and the final score are each
     rounded once at the same site in both engines; everything between
     the roundings is exactly-specified IEEE +,-,*,/ on
@@ -766,7 +788,7 @@ PPS_TARGET_PER_LANG = 40
     """,
 )
 def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Systematic PPS sample of ~{PPS_TARGET_PER_LANG} docs per
+    """Systematic PPS sample of ~PPS_TARGET_PER_LANG docs per
     language, weight = n_chars. A doc is picked iff its weight span
     [cum_before, cum_before + w) crosses a stride boundary — inclusion
     chance ∝ weight, no RNG, no floats, reproducible across engines /

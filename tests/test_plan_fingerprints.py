@@ -515,9 +515,12 @@ PINNED.update({
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 1,
         "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 5,
     },
+    # r7: median vec_id moved off the global-order window (single-
+    # partition sort) onto the two-phase range/local-rank pattern —
+    # more exchanges, all parallel and bounded
     "embedding_drift_epochs": {
-        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 2,
-        "wgl": 0, "topN": 0, "partialAgg": 10, "exch": 5,
+        "bhj": 3, "smj": 0, "shj": 0, "bnlj": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 12, "exch": 10,
     },
     "funnel_conversion": {
         "bhj": 3, "smj": 0, "shj": 0, "bnlj": 2,
