@@ -129,6 +129,7 @@ def as_of_join_tolerance(
     left_ts: str = "ts",
     right_ts: str = "ts",
     payload_prefix: str = "right_",
+    mark_dropped: str | None = None,
 ) -> DataFrame:
     """Backward as-of join with a maximum match gap (pandas
     ``merge_asof(tolerance=...)`` semantics): the latest right row
@@ -147,10 +148,16 @@ def as_of_join_tolerance(
     payload_cols = [
         f"{payload_prefix}{c}" for c in right.columns if c not in keys
     ]
+    matched_ts = F.col(f"{payload_prefix}{right_ts}")
     gap_ok = (
-        F.unix_millis(F.col(left_ts))
-        - F.unix_millis(F.col(f"{payload_prefix}{right_ts}"))
+        F.unix_millis(F.col(left_ts)) - F.unix_millis(matched_ts)
     ) <= tolerance_ms
+    if mark_dropped is not None:
+        # must be derived BEFORE the payload is nulled: true iff an
+        # as-of match existed but fell outside the tolerance
+        j = j.withColumn(
+            mark_dropped, matched_ts.isNotNull() & ~gap_ok
+        )
     for c in payload_cols:
         j = j.withColumn(c, F.when(gap_ok, F.col(c)))
     return j

@@ -754,12 +754,17 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = table(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # when/otherwise, not a bare boolean cast: isin() over a NULL
+    # priority yields NULL, which SUM skips (NULL for an all-null
+    # group) while the oracle's CASE ... ELSE 0 sums to 0. A NULL
+    # priority counts as NEITHER high nor low on both sides (IN and
+    # NOT IN are both NULL → ELSE 0).
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
-            F.sum(high.cast("int")).alias("high_line_count"),
-            F.sum((~high).cast("int")).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 
@@ -833,18 +838,28 @@ def disjunctive_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def value_share_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: groups whose share of the GLOBAL sum exceeds a
-    fraction — the scalar-subquery-in-HAVING pattern, decorrelated to
-    a broadcast of the 1-row global aggregate against the grouped
-    result (no driver collect, no second scan shuffle). Both totals
-    are exact decimal sums; the threshold comparison happens on the
-    identical doubles in both engines."""
+    fraction. ONE scan and ONE shuffle: the global total is a window
+    sum over the already-tiny per-user DECIMAL rollup (decimal
+    addition is exact and associative, so it equals the oracle's
+    whole-table decimal sum bit-for-bit), the same idiom
+    top_supplier_revenue uses — a separate events.agg() branch would
+    scan and partially aggregate the fact table twice."""
+    from pyspark.sql import Window
+
     events = table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(
-        dsum("value", "user_total")
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("user_total_dec")
     )
-    total = events.agg(dsum("value", "__total"))
+    w = Window.partitionBy()  # global window over the per-user rollup
     return (
-        per_user.crossJoin(F.broadcast(total))
+        per_user.withColumn(
+            "__total", F.sum("user_total_dec").over(w).cast("double")
+        )
+        .select(
+            "user_id",
+            F.col("user_total_dec").cast("double").alias("user_total"),
+            "__total",
+        )
         .filter(F.col("user_total") > 0.002 * F.col("__total"))
         .select("user_id", "user_total")
     )
@@ -1194,15 +1209,28 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS total
         FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(o_totalprice)
+            FROM orders
+        )
         GROUP BY o_orderstatus
     """,
 )
 def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders above the global average price — the scalar-subquery
-    filter, as a broadcast of a 1-row aggregate (no driver collect)."""
+    filter, as a broadcast of a 1-row aggregate (no driver collect).
+    The average derives from an exact DECIMAL sum on both engines (the
+    module's determinism rule): a raw-double AVG's last ULPs depend on
+    partition merge order, and a price sitting between the two
+    engines' averages would flip in/out of the filtered set."""
     orders = table(spark, sf_dir, "orders")
-    avg_price = orders.agg(F.avg("o_totalprice").alias("__avg"))
+    avg_price = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("o_totalprice")
+        ).alias("__avg")
+    )
     return (
         orders.crossJoin(F.broadcast(avg_price))
         .filter(F.col("o_totalprice") > F.col("__avg"))
@@ -1332,7 +1360,8 @@ def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH ordered AS (
             SELECT user_id, ts, event_id,
-                   CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w
+                             > 1800000
                           OR LAG(ts) OVER w IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM events
@@ -1358,14 +1387,19 @@ def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """30-minute-gap sessionization over the events stream table."""
+    """30-minute-gap sessionization over the events stream table.
+
+    The gap compares MILLISECOND epochs on both engines (unix_millis /
+    epoch_ms) — not a whole-second cast against a full-precision
+    interval, where two events ~1800.8 s apart could flip the boundary
+    differently per engine depending on their fractional parts."""
     from pyspark.sql import Window
 
     events = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > 30 * 60), F.lit(1)
+        gap.isNull() | (gap > 30 * 60 * 1000), F.lit(1)
     ).otherwise(F.lit(0))
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -2767,12 +2801,12 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     match, and the report separates matches lost to the gap bound
     from purchases that never had a preceding signup. Exactness note
     in operators/asof.as_of_join_tolerance: backward as-of picks the
-    LATEST candidate, so the tolerance check is a row-local
-    projection — no second join, no extra shuffle."""
-    from automatic_etl_spark.operators.asof import (
-        as_of_join,
-        as_of_join_tolerance,
-    )
+    LATEST candidate, so the tolerance check AND the dropped marker
+    are row-local projections over ONE as-of pass — no second join,
+    no extra shuffle (r7: the previous formulation ran the as-of join
+    twice and re-joined the results on event_id, tripling the
+    dominant shuffle)."""
+    from automatic_etl_spark.operators.asof import as_of_join_tolerance
 
     events = table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
@@ -2781,21 +2815,15 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     signups = events.filter(F.col("event_type") == "signup").select(
         "user_id", "ts"
     )
-    raw = as_of_join(purchases, signups, keys=["user_id"]).select(
-        "event_id", F.col("right_ts").alias("raw_ts")
-    )
     tol = as_of_join_tolerance(
         purchases, signups, keys=["user_id"],
         tolerance_ms=ASOF_TOLERANCE_MS,
+        mark_dropped="__dropped",
     )
-    joined = tol.join(raw, "event_id")
-    return joined.agg(
+    return tol.agg(
         F.count("*").alias("purchase_cnt"),
         F.count("right_ts").alias("matched_cnt"),
-        F.sum(
-            (F.col("raw_ts").isNotNull() & F.col("right_ts").isNull())
-            .cast("long")
-        )
+        F.sum(F.col("__dropped").cast("long"))
         .cast("bigint")
         .alias("dropped_by_tolerance"),
         F.sum(F.unix_millis("ts") - F.unix_millis("right_ts")).alias(

@@ -52,11 +52,12 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 1,
         "wgl": 0, "topN": 0, "partialAgg": 8, "exch": 5,
     },
-    # tolerance is a row-local projection over the as-of window —
-    # a second join appearing here means it stopped being free
+    # tolerance AND the dropped marker are row-local projections over
+    # ONE as-of pass (r7: the double-join formulation is gone) — any
+    # join appearing here means it stopped being free
     "asof_join_tolerance": {
-        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 3,
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 2,
     },
     # order-2 LM: both zipfian joins broadcast at sf0.01 (AQE); the
     # pin guards the vocab singleton staying a bnlj broadcast, not a
@@ -495,9 +496,11 @@ PINNED: dict[str, dict[str, int]] = {
 PINNED.update({
     # the scalar subquery must stay a broadcast 1-row agg, never a
     # per-row join
+    # r7: the threshold avg now derives from an exact decimal sum
+    # (one extra partial agg), still a broadcast 1-row scalar
     "scalar_subquery_filter": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 1,
-        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 4,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 4,
     },
     "countmin_heavy_hitters": {
         "bhj": 5, "smj": 0, "shj": 0, "bnlj": 0,
