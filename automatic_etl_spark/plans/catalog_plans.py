@@ -47,7 +47,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return summarize(buyers.intersect(rich), "intersect").unionByName(
-        summarize(rich.exceptAll(buyers).distinct(), "except")
+        summarize(rich.subtract(buyers), "except")
     )
 
 
@@ -72,7 +72,11 @@ def top_tables_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = ("lineitem", "orders", "customer", "part", "events", "documents")
     counts = None
     for name in names:
-        branch = table(spark, sf_dir, name).agg(
+        # fan_out=False: a COUNT(*) directly on the scan answers from
+        # parquet footer metadata; the fan-out repartition would force
+        # full row materialization + a shuffle per table (count_star
+        # documents the same rule).
+        branch = table(spark, sf_dir, name, fan_out=False).agg(
             F.lit(name).alias("name"), F.count("*").alias("total_rows")
         )
         counts = branch if counts is None else counts.unionByName(branch)
@@ -201,7 +205,9 @@ def usefulness_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automatic_etl_spark.operators.profile import usefulness_report
     from automatic_etl_spark.sources.parquet import TABLES, load_tables
 
-    report = usefulness_report(load_tables(spark, sf_dir, TABLES))
+    report = usefulness_report(
+        load_tables(spark, sf_dir, TABLES, fan_out=False)
+    )
     return spark.createDataFrame(
         [
             (r["table"], r["rows"], r["useful"], r["numeric_cols"])
@@ -229,6 +235,8 @@ def ddl_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply it TWICE (IF NOT EXISTS must no-op), load via INSERT INTO
     ... SELECT, and aggregate through the catalog table. Proves the
     generated DDL round-trips data exactly."""
+    import os
+    import shutil
     import tempfile
     import uuid
 
@@ -236,11 +244,17 @@ def ddl_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = table(spark, sf_dir, "customer")
     name = f"ddl_rt_{uuid.uuid4().hex[:8]}"
+    # Fixed per-process LOCATION, cleared at call start: DROP TABLE on
+    # an external-LOCATION table removes only catalog metadata, so a
+    # fresh mkdtemp per call stranded the inserted parquet on disk
+    # (the storage_plans dpo_audit precedent).
+    loc = os.path.join(tempfile.gettempdir(), "spark_graft_ddl_rt")
+    shutil.rmtree(loc, ignore_errors=True)
     ddl = create_table_sql(
         name,
         cust.schema,
         TableLayout("default", sort_columns=("c_custkey",)),
-        location=tempfile.mkdtemp(prefix="ddl_rt_"),
+        location=loc,
     )
     view = f"src_{name}"
     try:
@@ -338,18 +352,23 @@ def catalog_cleanup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     conn = f"conn{uuid.uuid4().hex[:8]}"
     db = bootstrap_databases(spark, [conn])[0]
-    cust = table(spark, sf_dir, "customer")
-    li = table(spark, sf_dir, "lineitem").limit(3)
-    cust.write.saveAsTable(f"{db}.keep_customer")
-    li.write.saveAsTable(f"{db}.keep_pattern_tiny")
-    li.write.saveAsTable(f"{db}.drop_tiny")
-    cleanup_catalog(spark, db, min_rows=10, keep_patterns=(r"^keep_pattern",))
-    survivors = {
-        t.name for t in spark.catalog.listTables(db) if not t.isTemporary
-    }
-    # The report is materialized above; drop the scratch database so
-    # repeated runs leave no warehouse residue.
-    spark.sql(f"DROP DATABASE {db} CASCADE")
+    try:
+        cust = table(spark, sf_dir, "customer")
+        li = table(spark, sf_dir, "lineitem").limit(3)
+        cust.write.saveAsTable(f"{db}.keep_customer")
+        li.write.saveAsTable(f"{db}.keep_pattern_tiny")
+        li.write.saveAsTable(f"{db}.drop_tiny")
+        cleanup_catalog(
+            spark, db, min_rows=10, keep_patterns=(r"^keep_pattern",)
+        )
+        survivors = {
+            t.name for t in spark.catalog.listTables(db) if not t.isTemporary
+        }
+    finally:
+        # finally, not post-hoc: a failure mid-plan must not strand the
+        # scratch database + a full customer copy in spark-warehouse
+        # ("repeated runs leave no warehouse residue" is the contract).
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     return spark.createDataFrame(
         [
             ("keep_customer", "keep_customer" in survivors),
@@ -449,6 +468,18 @@ def pipeline_status_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- S1/S11 live: JDBC write → chunked partitioned scan → aggregate ----------
 
 
+def _drop_memory_derby(spark: SparkSession, dbname: str) -> None:
+    """Free an in-memory Derby database. Derby signals a successful
+    ``drop=true`` by RAISING SQLException 08006, so the except is the
+    success path, not error suppression."""
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:memory:{dbname};drop=true"
+        )
+    except Exception:  # noqa: BLE001 — 08006 == dropped
+        pass
+
+
 @register(
     "jdbc_roundtrip_agg",
     oracle="""
@@ -467,7 +498,7 @@ def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     50k-chunk pattern (tools/ingest_runner.py:1475). The aggregate
     over the JDBC read must equal the aggregate over the original
     parquet — the full out-and-back fidelity check."""
-    import tempfile
+    import uuid
 
     from automatic_etl_spark.sources import jdbc
 
@@ -477,27 +508,39 @@ def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = cust.agg(
         F.min("c_custkey"), F.max("c_custkey")
     ).first()
+    # memory: Derby — still the embedded engine and the same JDBC wire
+    # contract, but no on-disk database directory per invocation (a
+    # fresh mkdtemp per call leaked a customer copy per bench run);
+    # dropped explicitly below so repeated runs hold no JVM residue.
+    dbname = f"jdbc_rt_{uuid.uuid4().hex[:8]}"
     src = jdbc.JdbcSource(
-        url=f"jdbc:derby:{tempfile.mkdtemp(prefix='jdbc_rt_')}/db;create=true",
+        url=f"jdbc:derby:memory:{dbname};create=true",
         driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
     )
-    jdbc.write_table(cust, src, "customer_rt", mode="append", batchsize=500)
-    back = jdbc.read_table(
-        spark,
-        src,
-        "customer_rt",
-        partition_column="c_custkey",
-        lower_bound=int(lo),
-        upper_bound=int(hi) + 1,
-        num_partitions=4,
-    )
-    return back.agg(
-        F.count("*").alias("cnt"),
-        F.sum("c_custkey").alias("key_total"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("acctbal_total"),
-    )
+    try:
+        jdbc.write_table(
+            cust, src, "customer_rt", mode="append", batchsize=500
+        )
+        back = jdbc.read_table(
+            spark,
+            src,
+            "customer_rt",
+            partition_column="c_custkey",
+            lower_bound=int(lo),
+            upper_bound=int(hi) + 1,
+            num_partitions=4,
+        )
+        result = back.agg(
+            F.count("*").alias("cnt"),
+            F.sum("c_custkey").alias("key_total"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("acctbal_total"),
+        )
+        rows = result.collect()  # materialize before dropping the db
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        _drop_memory_derby(spark, dbname)
 
 
 # --- S3: live column/PK/nullability reflection (was unit-only through r4) ----
@@ -525,12 +568,13 @@ def reflect_to_struct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     and cross-check the resulting StructType against the schema Spark
     itself resolves for the same table over JDBC. Metadata-only
     driver-side probe — no row data moves."""
-    import tempfile
+    import uuid
 
     from automatic_etl_spark.sources import jdbc
     from automatic_etl_spark.sources.schema import reflect_to_struct
 
-    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='refl_')}/db;create=true"
+    dbname = f"refl_{uuid.uuid4().hex[:8]}"
+    url = f"jdbc:derby:memory:{dbname};create=true"
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
@@ -572,6 +616,7 @@ def reflect_to_struct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert spark_view[f.name] == f.dataType.simpleString(), (
             f.name, spark_view[f.name], f.dataType.simpleString()
         )
+    _drop_memory_derby(spark, dbname)  # rows below are already Python
     return spark.createDataFrame(
         [
             (f.name, f.dataType.simpleString(), f.nullable,
@@ -608,6 +653,8 @@ def self_repair_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     which succeeds. The aggregate over the repaired table must equal
     the aggregate over the source — repair loses no data — and the
     status row pins attempts=2 / repaired=true."""
+    import os
+    import shutil
     import tempfile
     import uuid
 
@@ -618,7 +665,10 @@ def self_repair_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"repair_rt_{uuid.uuid4().hex[:8]}"
     view = f"src_{name}"
-    loc = tempfile.mkdtemp(prefix="repair_rt_")
+    # fixed per-process LOCATION, cleared at call start (DROP TABLE on
+    # an external table leaves its parquet behind — see ddl_apply)
+    loc = os.path.join(tempfile.gettempdir(), "spark_graft_repair_rt")
+    shutil.rmtree(loc, ignore_errors=True)
 
     def ingest(_ctx):
         spark.sql(f"INSERT INTO {name} SELECT * FROM {view}")

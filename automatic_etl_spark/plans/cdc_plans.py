@@ -28,6 +28,7 @@ from pyspark.sql.types import (
 )
 
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.scratch import scratch_dir
 from automatic_etl_spark.sources.parquet import table
 from automatic_etl_spark.streaming import cdc
 
@@ -41,7 +42,7 @@ def stage_stream_dir(
     TIMESTAMP_NTZ the next — is absorbed at this boundary and the
     staged files always carry plain TIMESTAMP columns. Tiny write: the
     stream tables don't scale with sf."""
-    d = tempfile.mkdtemp(prefix=f"stream_{name}_")
+    d = scratch_dir(f"stream_{name}")
     table(spark, sf_dir, name, fan_out=False).coalesce(2).write.mode(
         "overwrite"
     ).parquet(d)
@@ -176,7 +177,7 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="cdc_ckpt_"))
+        .option("checkpointLocation", scratch_dir("cdc_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -210,7 +211,7 @@ def streaming_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     doubled = events.unionByName(events)  # the replayed delivery
-    stage = tempfile.mkdtemp(prefix="replay_stage_")
+    stage = scratch_dir("replay_stage")
     data_dir = os.path.join(stage, "data")
     doubled.coalesce(2).write.mode("overwrite").parquet(data_dir)
 
@@ -231,7 +232,7 @@ def streaming_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="replay_ckpt_"))
+        .option("checkpointLocation", scratch_dir("replay_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -273,7 +274,7 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "ts"
     )
     doubled = events.unionByName(events)  # the replayed delivery
-    stage = tempfile.mkdtemp(prefix="wm_dedup_stage_")
+    stage = scratch_dir("wm_dedup_stage")
     data_dir = os.path.join(stage, "data")
     doubled.coalesce(2).write.mode("overwrite").parquet(data_dir)
 
@@ -295,7 +296,7 @@ def streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="wm_dedup_ckpt_"))
+        .option("checkpointLocation", scratch_dir("wm_dedup_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -340,7 +341,7 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events").select(
         "user_id", F.floor(F.col("value") * 100).alias("cents")
     )
-    stage = tempfile.mkdtemp(prefix="stateful_stage_")
+    stage = scratch_dir("stateful_stage")
     data_dir = os.path.join(stage, "data")
     events.coalesce(2).write.mode("overwrite").parquet(data_dir)
 
@@ -362,7 +363,7 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stateful_ckpt_"))
+        .option("checkpointLocation", scratch_dir("stateful_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -438,7 +439,7 @@ def stream_stream_join_with_progress(
     events = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
-    stage = tempfile.mkdtemp(prefix="ss_join_stage_")
+    stage = scratch_dir("ss_join_stage")
     sign_dir = os.path.join(stage, "signups")
     purch_dir = os.path.join(stage, "purchases")
     events.filter(F.col("event_type") == "signup").select(
@@ -484,7 +485,7 @@ def stream_stream_join_with_progress(
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ss_join_ckpt_"))
+        .option("checkpointLocation", scratch_dir("ss_join_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -620,7 +621,7 @@ def streaming_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events").select(
         "event_type", F.floor(F.col("value") * 100).alias("cents")
     )
-    stage = tempfile.mkdtemp(prefix="enrich_stage_")
+    stage = scratch_dir("enrich_stage")
     data_dir = os.path.join(stage, "data")
     events.coalesce(2).write.mode("overwrite").parquet(data_dir)
 
@@ -642,7 +643,7 @@ def streaming_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="enrich_ckpt_"))
+        .option("checkpointLocation", scratch_dir("enrich_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -684,7 +685,7 @@ def streaming_upsert_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automatic_etl_spark.session import stream_state_partitions
 
     path = stage_stream_dir(spark, sf_dir, "events")
-    silver = tempfile.mkdtemp(prefix="upsert_silver_") + "/t"
+    silver = scratch_dir("upsert_silver") + "/t"
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(stream_state_partitions(path))
@@ -698,7 +699,7 @@ def streaming_upsert_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.foreachBatch(
             cdc.foreach_batch_upsert(silver, ["user_id"], ["ts", "event_id"])
         )
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ckpt_"))
+        .option("checkpointLocation", scratch_dir("upsert_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -749,7 +750,7 @@ def streaming_upsert_partitioned_pipe(spark: SparkSession, sf_dir: str) -> DataF
 
     path = stage_stream_dir(spark, sf_dir, "events")
     silver = os.path.join(
-        tempfile.mkdtemp(prefix="upsert_part_silver_"), "t"
+        scratch_dir("upsert_part_silver"), "t"
     )
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -768,7 +769,7 @@ def streaming_upsert_partitioned_pipe(spark: SparkSession, sf_dir: str) -> DataF
             )
         )
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="upsert_part_ckpt_")
+            "checkpointLocation", scratch_dir("upsert_part_ckpt")
         )
         .trigger(availableNow=True)
         .start()
@@ -911,7 +912,7 @@ def streaming_dq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "signup", "purchase", "click", "view", "error"
                 ),
             },
-            checkpoint=tempfile.mkdtemp(prefix="dq_ckpt_"),
+            checkpoint=scratch_dir("dq_ckpt"),
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
@@ -985,7 +986,7 @@ def python_stream_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .outputMode("append")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="pyds_ckpt_")
+                "checkpointLocation", scratch_dir("pyds_ckpt")
             )
             .trigger(processingTime="0 seconds")
             .start()
@@ -1043,7 +1044,7 @@ def state_store_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automatic_etl_spark.session import stream_state_partitions
 
     path = stage_stream_dir(spark, sf_dir)
-    chk = tempfile.mkdtemp(prefix="state_chk_")
+    chk = scratch_dir("state_chk")
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(stream_state_partitions(path))

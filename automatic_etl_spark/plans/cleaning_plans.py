@@ -380,11 +380,21 @@ def fill_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  WHEN TRY_CAST(id AS DOUBLE) = floor(TRY_CAST(id AS DOUBLE))
                                  THEN TRY_CAST(TRY_CAST(id AS DOUBLE) AS BIGINT) END,
                             0) AS id,
+                   -- composed C1+C3 window: sanitize keeps years
+                   -- [1901, 2099], then clamp_datetime_range's default
+                   -- lo=1970-01-01 nulls anything earlier -> the net
+                   -- keep window the Spark pipeline actually applies
+                   -- is [1970, 2099]
                    CASE WHEN f IN ({_SENTINELS_SQL}) THEN NULL
-                        WHEN year(TRY_CAST(f AS TIMESTAMP)) BETWEEN 1901 AND 2099
+                        WHEN year(TRY_CAST(f AS TIMESTAMP)) BETWEEN 1970 AND 2099
                         THEN TRY_CAST(f AS TIMESTAMP) END AS f,
+                   -- string kind = normalize(fix_mojibake(.)): mirror
+                   -- the repair chain innermost (no-op on this
+                   -- fixture, load-bearing if priorities ever carry
+                   -- mojibake pairs or '??')
                    NULLIF(trim(regexp_replace(regexp_replace(
-                       prio, '[\\x00-\\x1f\\x7f-\\x9f]', ' ', 'g'),
+                       {_nested_replace_sql('prio')},
+                       '[\\x00-\\x1f\\x7f-\\x9f]', ' ', 'g'),
                        '\\s+', ' ', 'g')), '') AS prio,
                    CASE WHEN isnan(TRY_CAST(price AS DOUBLE))
                           OR TRY_CAST(price AS DOUBLE) = 'inf'::DOUBLE
@@ -486,9 +496,15 @@ def decode_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automatic_etl_spark.functions.encoding import decode_binary
 
     docs = table(spark, sf_dir, "documents")
+    # detect=False: the oracle assumes every row round-trips, and a
+    # chardet statistical mis-guess (if the library ever appears in
+    # the environment) would make the result model-version-dependent —
+    # same reasoning encoding_fallback_chain documents.
     decoded = docs.select(
         "text",
-        decode_binary(F.encode(F.col("text"), "UTF-8")).alias("decoded"),
+        decode_binary(
+            F.encode(F.col("text"), "UTF-8"), detect=False
+        ).alias("decoded"),
     )
     return decoded.agg(
         F.count("*").alias("cnt"),
@@ -779,7 +795,11 @@ def try_arithmetic_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio"
         ),
         F.try_multiply(F.col("cents"), F.lit(OVERFLOW_MULT)).alias("ov"),
-        F.try_to_number(F.col("s"), F.lit("999999")).alias("parsed"),
+        # 18 digits: the format must cover any floor(value*100) the
+        # fixture can produce at ANY scale factor — a 6-digit cap
+        # would silently null 7-digit cents in Spark while the
+        # oracle's uncapped TRY_CAST parses them.
+        F.try_to_number(F.col("s"), F.lit("9" * 18)).alias("parsed"),
     )
     return x.groupBy("event_type").agg(
         F.count("*").alias("rows_n"),

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from automatic_etl_spark.ingest import IngestSpec, ingest_table
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.scratch import scratch_dir
 from automatic_etl_spark.sources.parquet import table
 
 
@@ -38,7 +39,7 @@ def ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, event_type); the audit reports dedup shrinkage per type
     (sink count == distinct users per type)."""
     events = table(spark, sf_dir, "events")
-    target = tempfile.mkdtemp(prefix="ingest_e2e_") + "/events_silver"
+    target = scratch_dir("ingest_e2e") + "/events_silver"
     spec = IngestSpec(
         dedup_keys=("user_id", "event_type"),
         version_cols=("ts",),
@@ -84,7 +85,7 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automatic_etl_spark.operators.views import create_analytics_views
     from automatic_etl_spark.orchestrator import Orchestrator, Phase, status_report
 
-    base = tempfile.mkdtemp(prefix="pipeline_e2e_")
+    base = scratch_dir("pipeline_e2e")
     state: dict = {}
 
     def discovery(_):
@@ -159,7 +160,7 @@ def ingest_partitioned_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     layout = choose_layout("events_log", events.schema)
     assert layout.table_kind == "log" and layout.partition_column == "ts"
-    target = tempfile.mkdtemp(prefix="ingest_part_") + "/events_by_month"
+    target = scratch_dir("ingest_part") + "/events_by_month"
     write_with_layout(events, target, layout)
     back = spark.read.parquet(target)
     from pyspark.sql import functions as F

@@ -303,10 +303,16 @@ def dynamic_partition_pruning_agg(
     the same aggregate from the unpartitioned table — pruning must be
     result-invisible. The write is the fixture stand-in for a table
     that is ALREADY partitioned this way in production."""
+    import os
+    import shutil
     import tempfile
 
     ev = table(spark, sf_dir, "events")
-    target = tempfile.mkdtemp(prefix="dpp_audit_")
+    # ONE fixed per-process target, cleared at call start (the
+    # storage_plans dpo_audit precedent): a fresh mkdtemp per call
+    # leaked a full partitioned events copy per bench/test invocation.
+    target = os.path.join(tempfile.gettempdir(), "spark_graft_dpp_audit")
+    shutil.rmtree(target, ignore_errors=True)
     # One file per partition dir (the compaction_file_audit pattern).
     ev.repartition(5, "event_type").write.partitionBy("event_type").mode(
         "overwrite"

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from automatic_etl_spark.operators.ddl import write_bucketed
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.scratch import scratch_dir
 from automatic_etl_spark.sources import files
 from automatic_etl_spark.sources.parquet import table
 
@@ -31,7 +32,7 @@ def build_bucketed_join(
     pre-agg frame, aggregated result). Shared by the plan and the
     no-Exchange plan test."""
     run = uuid.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix="bucketed_")
+    base = scratch_dir("bucketed")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -99,7 +100,7 @@ def csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100).alias("cents"),
     )
-    path = tempfile.mkdtemp(prefix="csv_src_") + "/events_csv"
+    path = scratch_dir("csv_src") + "/events_csv"
     files.write_csv(events, path)
     back = files.read_csv(
         spark,
@@ -130,7 +131,7 @@ def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100).alias("cents"),
     )
-    path = tempfile.mkdtemp(prefix="json_src_") + "/events_json"
+    path = scratch_dir("json_src") + "/events_json"
     files.write_json(events, path)
     back = files.read_json(
         spark, path, schema="event_id long, event_type string, cents long"
@@ -159,7 +160,7 @@ def text_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automatic_etl_spark.functions import text as tx
 
     docs = table(spark, sf_dir, "documents").select(F.col("text").alias("value"))
-    path = tempfile.mkdtemp(prefix="text_src_") + "/docs_txt"
+    path = scratch_dir("text_src") + "/docs_txt"
     files.write_text(docs, path)
     back = files.read_text(spark, path)
     return back.agg(
@@ -186,7 +187,7 @@ def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="orc_src_") + "/orders_orc"
+    path = scratch_dir("orc_src") + "/orders_orc"
     files.write_orc(orders, path)
     back = files.read_orc(spark, path)
     return back.groupBy("o_orderpriority").agg(
@@ -224,7 +225,7 @@ def _build_mor_table(spark: SparkSession, sf_dir: str) -> str:
     tombstones for every 10th."""
     from automatic_etl_spark.operators import mor
 
-    path = tempfile.mkdtemp(prefix="mor_")
+    path = scratch_dir("mor")
     ev = table(spark, sf_dir, "events").withColumn(
         mor.DELETED, F.lit(False)
     )
@@ -303,7 +304,7 @@ def schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automatic_etl_spark.sources.parquet import read_merged
 
     cust = table(spark, sf_dir, "customer")
-    target = tempfile.mkdtemp(prefix="evolve_")
+    target = scratch_dir("evolve")
     cust.select("c_custkey").write.mode("append").parquet(
         os.path.join(target, "v=1")
     )
@@ -354,7 +355,7 @@ def compaction_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").withColumn(
         "bucket", (F.col("event_id") % AUDIT_BUCKETS).cast("int")
     )
-    target = tempfile.mkdtemp(prefix="compact_audit_")
+    target = scratch_dir("compact_audit")
     # One task per bucket value -> one file per partition directory.
     # Without this repartition, every task holding any bucket writes
     # its own fragment into that bucket's directory.
@@ -416,7 +417,7 @@ def corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(line)
         .alias("value")
     )
-    target = tempfile.mkdtemp(prefix="corrupt_audit_")
+    target = scratch_dir("corrupt_audit")
     files.write_text(corrupted, target)
     back = files.read_json(
         spark,
@@ -515,7 +516,7 @@ def xml_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100).alias("cents"),
     )
-    path = tempfile.mkdtemp(prefix="xml_src_") + "/events_xml"
+    path = scratch_dir("xml_src") + "/events_xml"
     files.write_xml(events, path)
     back = files.read_xml(
         spark,

@@ -127,9 +127,17 @@ def table(
 
 
 def load_tables(
-    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TABLES,
+    fan_out: bool = True,
 ) -> dict[str, DataFrame]:
-    return {name: table(spark, sf_dir, name) for name in names}
+    """``fan_out=False`` for metadata-only consumers (COUNT(*)/schema
+    census): the fan-out repartition would force full row
+    materialization where the parquet footer answers for free."""
+    return {
+        name: table(spark, sf_dir, name, fan_out=fan_out) for name in names
+    }
 
 
 def register_views(

@@ -450,7 +450,6 @@ def test_tfidf_matches_python_model(spark, docs):
     """The per-language top-5 TF-IDF ranking must match a pure-Python
     tf/df/ln model (same rounding, same score-desc/term-asc order)."""
     import math
-    import tempfile
 
     import pandas as pd
 
@@ -466,7 +465,9 @@ def test_tfidf_matches_python_model(spark, docs):
             "n_chars": [len(t) for _, t in docs],
         }
     )
-    d = tempfile.mkdtemp(prefix="tfidf_prop_")
+    from automatic_etl_spark.scratch import scratch_dir
+
+    d = scratch_dir("t_tfidf_prop")
     pdf.to_parquet(f"{d}/documents.parquet", index=False)
 
     got = {

@@ -8,6 +8,8 @@ import json
 import shutil
 import tempfile
 
+from automatic_etl_spark.scratch import scratch_dir
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -77,8 +79,8 @@ def test_streaming_foreach_batch_upsert(spark, sf_dir):
     from automatic_etl_spark.plans.cdc_plans import stage_stream_dir
     from automatic_etl_spark.sources.parquet import table
 
-    silver = tempfile.mkdtemp(prefix="silver_")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    silver = scratch_dir("t_silver")
+    ckpt = scratch_dir("t_ckpt")
     try:
         path = stage_stream_dir(spark, sf_dir, "events")
         raw_schema = spark.read.parquet(path).schema
@@ -121,7 +123,7 @@ def test_foreach_batch_upsert_partitioned_prunes(spark):
     import glob
     import os
 
-    target = tempfile.mkdtemp(prefix="part_upsert_") + "/silver"
+    target = scratch_dir("t_part_upsert") + "/silver"
     base = spark.createDataFrame(
         [(1, "a1", 100, "2024-01"), (2, "b1", 100, "2024-02")],
         "id long, nombre string, _ts_ms long, month string",
@@ -192,7 +194,7 @@ def _stage_dq_files(spark, n_files=3):
     """n single-part parquet files, each 2 rows with exactly 1
     violation (value IS NULL), so cumulative totals are independent of
     the (unspecified) file-stream pickup order."""
-    d = tempfile.mkdtemp(prefix="dq_abort_src_")
+    d = scratch_dir("t_dq_abort_src")
     for i in range(n_files):
         spark.createDataFrame(
             [(2 * i, None), (2 * i + 1, 5.0)], "event_id long, value double"
@@ -225,7 +227,7 @@ def test_dq_gate_abort_preserves_partial_totals(spark):
         run_dq_gate(
             stream,
             checks={"null_value": F.col("value").isNull()},
-            checkpoint=tempfile.mkdtemp(prefix="dq_abort_ckpt_"),
+            checkpoint=scratch_dir("t_dq_abort_ckpt"),
             budgets={"null_value": 1},
         )
     exc = ei.value
@@ -290,7 +292,7 @@ def test_tws_running_totals_matches_legacy_state_api(spark, sf_dir):
     events = t(spark, sf_dir, "events").select(
         "user_id", F.floor(F.col("value") * 100).alias("cents")
     )
-    stage = tempfile.mkdtemp(prefix="tws_parity_")
+    stage = scratch_dir("t_tws_parity")
     data_dir = os.path.join(stage, "data")
     events.coalesce(2).write.mode("overwrite").parquet(data_dir)
 
@@ -314,7 +316,7 @@ def test_tws_running_totals_matches_legacy_state_api(spark, sf_dir):
             .queryName(name)
             .outputMode("update")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="tws_par_ck_")
+                "checkpointLocation", scratch_dir("t_tws_par_ck")
             )
             .trigger(availableNow=True)
             .start()
@@ -351,7 +353,7 @@ def test_streaming_observe_metrics_reach_listener(spark):
 
     from pyspark.sql.streaming import StreamingQueryListener
 
-    src = tempfile.mkdtemp(prefix="observe_src_")
+    src = scratch_dir("t_observe_src")
     spark.createDataFrame(
         [(i, None if i % 5 == 0 else float(i)) for i in range(40)],
         "event_id long, value double",
@@ -392,7 +394,7 @@ def test_streaming_observe_metrics_reach_listener(spark):
             .queryName(f"obs_{uuid.uuid4().hex[:8]}")
             .outputMode("append")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="obs_ckpt_")
+                "checkpointLocation", scratch_dir("t_obs_ckpt")
             )
             .trigger(availableNow=True)
             .start()
