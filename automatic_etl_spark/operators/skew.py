@@ -59,7 +59,21 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join of a huge skewed ``fact`` against a small
-    ``dim``; result is identical to ``fact.join(dim, key, how)``."""
+    ``dim``; result is identical to ``fact.join(dim, key, how)``.
+
+    Only fact-preserving join types are supported: the dim side is
+    REPLICATED once per salt bucket, so a right/full outer join would
+    emit every unmatched dim row ``buckets`` times — silently wrong,
+    hence the hard error. For those, join the other way around or
+    dedup the dim-only remainder separately (anti-join + union).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched dim "
+            f"rows {buckets}x (dim is salt-replicated); use a "
+            "fact-preserving join type"
+        )
     keys = [key] if isinstance(key, str) else list(key)
     f = fact.withColumn(_SALT, _fact_salt(fact, buckets))
     d = dim.withColumn(

@@ -72,7 +72,8 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                GROUPING(l_returnflag) AS g_flag,
                GROUPING(l_linestatus) AS g_status,
                COUNT(*) AS cnt,
-               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qty_total
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
@@ -89,7 +90,7 @@ def cube_sales_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
             F.count("*").alias("cnt"),
-            F.sum(F.col("l_quantity").cast("bigint")).alias("qty_total"),
+            F.sum(F.floor("l_quantity").cast("bigint")).alias("qty_total"),
         )
     )
 
@@ -104,7 +105,7 @@ UNPIVOT_METRICS = ("qty_total", "item_cnt", "distinct_orders")
     oracle=f"""
         WITH wide AS (
             SELECT l_returnflag,
-                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
                        AS qty_total,
                    COUNT(*) AS item_cnt,
                    COUNT(DISTINCT l_orderkey) AS distinct_orders
@@ -124,7 +125,11 @@ def unpivot_returnflag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows map-side), so the plan is agg + Expand, nothing else."""
     li = table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_total"),
+        # FLOOR before the bigint cast: Spark's decimal->bigint cast
+        # truncates while DuckDB's ROUNDS, so a fractional quantity
+        # would silently diverge — floor pins both engines (quantities
+        # are non-negative, so floor == truncate).
+        F.sum(F.floor("l_quantity").cast("bigint")).alias("qty_total"),
         F.count("*").alias("item_cnt"),
         F.countDistinct("l_orderkey").alias("distinct_orders"),
     )
@@ -457,7 +462,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(y * y) AS BIGINT) AS syy
             FROM (
                 SELECT l_returnflag,
-                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(FLOOR(l_quantity) AS BIGINT) AS x,
                        CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
                 FROM lineitem
             ) GROUP BY l_returnflag
@@ -483,7 +488,7 @@ def corr_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     pts = li.select(
         "l_returnflag",
-        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor("l_quantity").cast("bigint").alias("x"),
         F.floor("l_extendedprice").cast("bigint").alias("y"),
     )
     m = pts.groupBy("l_returnflag").agg(
@@ -570,8 +575,18 @@ def value_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(k) AS k_min,
                MAX(k) AS k_max
         FROM (
+            -- TRUNC-toward-zero mirror: Spark's try_variant_get(...,
+            -- 'long') TRUNCATES fractional numbers (12.7 -> 12,
+            -- -12.5 -> -12) while a bare TRY_CAST(... AS BIGINT)
+            -- ROUNDS in DuckDB (12.5 -> 13) — a fractional k in any
+            -- future fixture would diverge. Documented residual edges
+            -- (none occur in the fixtures): JSON booleans (Spark 1/0,
+            -- oracle NULL), numeric STRINGS with fractions (Spark
+            -- NULL, oracle truncates), > int64 range.
             SELECT event_type,
-                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                   TRY_CAST(TRUNC(TRY_CAST(
+                       json_extract_string(props, '$.k') AS DOUBLE
+                   )) AS BIGINT) AS k
             FROM events
         ) GROUP BY event_type
     """,
@@ -695,8 +710,12 @@ def window_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sorted_array_agg",
     oracle="""
         WITH per_user AS (
+            -- COALESCE pins the all-NULL-types edge: string_agg over
+            -- only NULLs is NULL in DuckDB while Spark's collect_list
+            -- skips NULLs and concat_ws renders the empty array as ''
             SELECT user_id,
-                   string_agg(event_type, ',' ORDER BY event_type)
+                   COALESCE(string_agg(event_type, ','
+                                       ORDER BY event_type), '')
                        AS type_seq,
                    COUNT(*) AS n_events
             FROM events GROUP BY user_id
@@ -1077,13 +1096,22 @@ KM_WINDOW_DAYS = 2
         )
         SELECT t AS time_days, n_risk, d_i AS n_events,
                c_i AS n_censored,
-               round(CAST(SUM(CAST(round(ln(1.0 - CAST(d_i AS DOUBLE)
-                                               / n_risk), 8)
-                                   AS DECIMAL(18,8)) ) OVER (
-                             ORDER BY t
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW)
-                         AS DOUBLE), 6) AS log_survival
+               -- d_i = n_risk means S(t) hits exactly 0 (ln = -inf,
+               -- only possible at the final emitted time point):
+               -- report NULL for that row on BOTH engines — DuckDB's
+               -- ln(0) otherwise hard-errors while Spark's log(0)
+               -- yields NULL that SUM silently skips (a finite wrong
+               -- value). The guarded term keeps the oracle runnable.
+               CASE WHEN d_i = n_risk THEN NULL ELSE
+                   round(CAST(SUM(CASE WHEN d_i < n_risk THEN
+                                  CAST(round(ln(1.0 - CAST(d_i AS DOUBLE)
+                                                  / n_risk), 8)
+                                       AS DECIMAL(18,8)) END) OVER (
+                                 ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW)
+                             AS DOUBLE), 6)
+               END AS log_survival
         FROM risk WHERE d_i > 0
     """,
 )
@@ -1142,17 +1170,26 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_risk"),
     )
-    log_term = F.round(
-        F.log(1.0 - F.col("d_i").cast("double") / F.col("n_risk")), 8
-    ).cast("decimal(18,8)")
+    # d_i = n_risk → S(t) = 0 exactly (ln = -inf, only possible at the
+    # final emitted time point): emit NULL log_survival for that row,
+    # mirroring the oracle's CASE guard — an unguarded F.log(0) returns
+    # NULL that SUM silently SKIPS (a finite wrong value) while
+    # DuckDB's ln(0) hard-errors: divergent failure modes either way.
+    log_term = F.when(
+        F.col("d_i") < F.col("n_risk"),
+        F.round(
+            F.log(1.0 - F.col("d_i").cast("double") / F.col("n_risk")), 8
+        ).cast("decimal(18,8)"),
+    )
     return (
         risk.select(
             F.col("t").alias("time_days"),
             "n_risk",
             F.col("d_i").alias("n_events"),
             F.col("c_i").alias("n_censored"),
-            F.round(
-                F.sum(log_term).over(w_cum).cast("double"), 6
+            F.when(
+                F.col("d_i") < F.col("n_risk"),
+                F.round(F.sum(log_term).over(w_cum).cast("double"), 6),
             ).alias("log_survival"),
             F.col("d_i").alias("_d"),
         )

@@ -510,37 +510,35 @@ def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     # memory: Derby — still the embedded engine and the same JDBC wire
     # contract, but no on-disk database directory per invocation (a
-    # fresh mkdtemp per call leaked a customer copy per bench run);
-    # dropped explicitly below so repeated runs hold no JVM residue.
-    dbname = f"jdbc_rt_{uuid.uuid4().hex[:8]}"
+    # fresh mkdtemp per call leaked a customer copy per bench run).
+    # ONE fixed db name, dropped at call START (scratch_dir pattern):
+    # the returned frame stays a LIVE partitioned JDBC scan — a
+    # collect-and-drop would reduce the plan to a local scan and make
+    # the fingerprint/PLANS row vacuous — and at most one customer
+    # copy ever lives in JVM memory.
+    dbname = "jdbc_rt_scratch"
+    _drop_memory_derby(spark, dbname)
     src = jdbc.JdbcSource(
         url=f"jdbc:derby:memory:{dbname};create=true",
         driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
     )
-    try:
-        jdbc.write_table(
-            cust, src, "customer_rt", mode="append", batchsize=500
-        )
-        back = jdbc.read_table(
-            spark,
-            src,
-            "customer_rt",
-            partition_column="c_custkey",
-            lower_bound=int(lo),
-            upper_bound=int(hi) + 1,
-            num_partitions=4,
-        )
-        result = back.agg(
-            F.count("*").alias("cnt"),
-            F.sum("c_custkey").alias("key_total"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("acctbal_total"),
-        )
-        rows = result.collect()  # materialize before dropping the db
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        _drop_memory_derby(spark, dbname)
+    jdbc.write_table(cust, src, "customer_rt", mode="append", batchsize=500)
+    back = jdbc.read_table(
+        spark,
+        src,
+        "customer_rt",
+        partition_column="c_custkey",
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+    )
+    return back.agg(
+        F.count("*").alias("cnt"),
+        F.sum("c_custkey").alias("key_total"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("acctbal_total"),
+    )
 
 
 # --- S3: live column/PK/nullability reflection (was unit-only through r4) ----

@@ -1167,7 +1167,7 @@ def _sql_corr(a: str, b: str) -> str:
     "corr_matrix_moments",
     oracle=f"""
         WITH pts AS (
-            SELECT CAST(l_quantity AS BIGINT) AS qty,
+            SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
                    CAST(FLOOR(l_extendedprice) AS BIGINT) AS price,
                    CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS disc,
                    CAST(FLOOR(l_tax * 10000 + 0.5) AS BIGINT) AS tax
@@ -1207,7 +1207,7 @@ def corr_matrix_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan: (col_x, col_y, n, corr) for the 6 unordered pairs."""
     li = table(spark, sf_dir, "lineitem")
     pts = li.select(
-        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor("l_quantity").cast("bigint").alias("qty"),
         F.floor("l_extendedprice").cast("bigint").alias("price"),
         F.floor(F.col("l_discount") * 10000 + 0.5).cast("bigint").alias(
             "disc"

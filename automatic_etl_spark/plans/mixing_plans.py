@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 
 from automatic_etl_spark.functions import text as tx
 from automatic_etl_spark.plans.registry import register
-from automatic_etl_spark.plans.text_plans import _sql_quality_score
+from automatic_etl_spark.plans.text_plans import (
+    _sql_quality_score,
+    _sql_token_count,
+)
 from automatic_etl_spark.sources.parquet import table
 
 # --- Temperature-scaled mixing allocation ------------------------------------
@@ -34,9 +37,7 @@ _TEMPERATURE_ORACLE = f"""
     WITH per_source AS (
         SELECT source,
                COUNT(*) AS n_docs,
-               CAST(SUM(len(list_filter(
-                   regexp_split_to_array(trim(lower(text)), '\\s+'),
-                   x -> x <> ''))) AS BIGINT) AS tokens
+               CAST(SUM({_sql_token_count('text')}) AS BIGINT) AS tokens
         FROM documents GROUP BY source
     ),
     powed AS (
@@ -99,13 +100,11 @@ def temperature_mix_allocation(
 
 # --- Dedup-adjusted effective tokens -----------------------------------------
 
-_EFFECTIVE_ORACLE = """
+_EFFECTIVE_ORACLE = f"""
     WITH uniq AS (
         SELECT source, md5(text) AS h,
                COUNT(*) AS copies,
-               MIN(CAST(len(list_filter(
-                   regexp_split_to_array(trim(lower(text)), '\\s+'),
-                   x -> x <> '')) AS BIGINT)) AS tok
+               MIN(CAST({_sql_token_count('text')} AS BIGINT)) AS tok
         FROM documents GROUP BY source, md5(text)
     )
     SELECT source,

@@ -7,7 +7,7 @@ engines can't drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automatic_etl_spark.functions import text as tx

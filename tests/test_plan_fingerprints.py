@@ -561,9 +561,11 @@ PINNED.update({
         "bhj": 0, "smj": 1, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 4,
     },
+    # r7: EXCEPT is subtract() (left-anti + distinct in one operator)
+    # instead of exceptAll().distinct() — three fewer exchanges
     "set_ops": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 7,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 4,
     },
     "small_quantity_revenue": {
         "bhj": 3, "smj": 0, "shj": 0, "bnlj": 0,
@@ -577,9 +579,11 @@ PINNED.update({
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 1,
         "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 6,
     },
+    # r7: fan_out=False on the count-only scans dropped the two
+    # fan-out repartition exchanges — COUNT(*) answers from footers
     "top_tables_by_size": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 8,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 6,
     },
     "unigram_logprob_quality": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 1,
