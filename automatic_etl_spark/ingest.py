@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automatic_etl_spark.functions.cleaning import clean_table
-from automatic_etl_spark.operators.audit import grand_total, reconcile_counts
+from automatic_etl_spark.operators.audit import grand_total
 from automatic_etl_spark.operators.dedup import latest_version
 
 
@@ -61,7 +61,8 @@ def ingest_table(
     (per-key counts + verdict, Q1). The write is an atomic overwrite —
     the Spark analog of the reference's tmp-table + RENAME swap (W2).
     """
-    writer = transform(source, spec).write.mode("overwrite")
+    expected = transform(source, spec)
+    writer = expected.write.mode("overwrite")
     if spec.partition_by:
         writer = writer.partitionBy(*spec.partition_by)
     writer.parquet(target_path)
@@ -75,12 +76,57 @@ def ingest_table(
             [(src_cnt, snk_cnt, src_cnt - snk_cnt)],
             "src_cnt long, snk_cnt long, diff long",
         )
-    return reconcile_counts(source, sink, key=key, key_alias=key)
+    # The VERDICT compares the EXPECTED end state (the clean+dedup
+    # transform) against the sink — a raw-source comparison would flag
+    # MISMATCH on every intended dedup shrink and could never separate
+    # designed shrinkage from real loss. src_cnt stays in the report
+    # so the shrinkage itself remains observable (diff = src - snk).
+    raw = source.groupBy(F.col(key).alias(key)).agg(
+        F.count("*").alias("src_cnt")
+    )
+    exp = expected.groupBy(F.col(key).alias(key)).agg(
+        F.count("*").alias("expected_cnt")
+    )
+    snk = sink.groupBy(F.col(key).alias(key)).agg(
+        F.count("*").alias("snk_cnt")
+    )
+    src_c = F.coalesce(F.col("src_cnt"), F.lit(0))
+    exp_c = F.coalesce(F.col("expected_cnt"), F.lit(0))
+    snk_c = F.coalesce(F.col("snk_cnt"), F.lit(0))
+    return (
+        raw.join(exp, key, "full_outer")
+        .join(snk, key, "full_outer")
+        .select(
+            key,
+            src_c.alias("src_cnt"),
+            exp_c.alias("expected_cnt"),
+            snk_c.alias("snk_cnt"),
+            (src_c - snk_c).alias("diff"),
+            F.when(exp_c == snk_c, F.lit("OK"))
+            .otherwise(F.lit("MISMATCH"))
+            .alias("verdict"),
+        )
+    )
 
 
 def ingest_status(audit: DataFrame) -> DataFrame:
-    """Q6 status rollup: totals + overall verdict."""
-    return grand_total(audit)
+    """Q6 status rollup: totals + overall verdict. The verdict rolls
+    up the per-key verdicts (expected-vs-sink), NOT raw diff — a
+    dedup-shrinking ingest is OK by design; grand_total's diff-based
+    verdict stays the contract for the cross-table reconciliation,
+    where no transform sits between source and sink."""
+    if "verdict" not in audit.columns:
+        return grand_total(audit)
+    return audit.agg(
+        F.sum("src_cnt").alias("src_total"),
+        F.sum("snk_cnt").alias("snk_total"),
+        F.sum("diff").alias("total_diff"),
+        F.when(
+            F.sum((F.col("verdict") != "OK").cast("int")) == 0, F.lit("OK")
+        )
+        .otherwise(F.lit("MISMATCH"))
+        .alias("verdict"),
+    )
 
 
 def ingest_many(

@@ -29,8 +29,19 @@ class Phase:
     run: Callable[..., object]
     depends_on: tuple[str, ...] = ()
     validate: Callable[[object], bool] | None = None
+    # maximum TOTAL attempts (>= 1); a granted repair adds one more.
+    # Named for the reference's retry loop — max_retries=3 means "up
+    # to 3 attempts", not "1 run + 3 retries".
     max_retries: int = 3
     critical: bool = True  # failed critical phase skips dependents
+
+    def __post_init__(self) -> None:
+        if self.max_retries < 1:
+            raise ValueError(
+                f"Phase {self.name!r}: max_retries={self.max_retries} "
+                "would never run the phase (it is the maximum TOTAL "
+                "attempt count, minimum 1)"
+            )
     # Self-repair hook (reference tools/multi_database_ingest.py:173-219
     # — failed ingest → fix schemas → retry ONCE): called on a
     # non-recoverable failure with (context, error); returning True
@@ -90,10 +101,14 @@ class Orchestrator:
         overlap their scans/writes)."""
         if max_workers > 1:
             return self._run_parallel(context, max_workers)
+        by_name = {p.name: p for p in self.phases}
         results: dict[str, PhaseResult] = {}
         for phase in self._ordered():
+            # a failed NON-critical dependency does not block
+            # dependents (critical=False marks optional enrichment)
             failed_dep = any(
-                results[d].status != "success" for d in phase.depends_on
+                results[d].status != "success" and by_name[d].critical
+                for d in phase.depends_on
             )
             if failed_dep:
                 results[phase.name] = PhaseResult(phase.name, "skipped")
@@ -122,6 +137,7 @@ class Orchestrator:
                     pending.discard(n)
                     if any(
                         results[d].status != "success"
+                        and by_name[d].critical
                         for d in by_name[n].depends_on
                     ):
                         results[n] = PhaseResult(n, "skipped")

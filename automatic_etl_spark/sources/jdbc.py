@@ -53,6 +53,28 @@ def scan_options(
     """S1 chunked scan options. With a numeric PK the read fans out to
     ``num_partitions`` parallel range queries; ``limit`` reproduces the
     reference's --limit (S4) via pushed-down subquery."""
+    if limit is not None and partition_column is not None:
+        # Each of the N range queries would re-execute the unordered
+        # LIMIT subquery independently — the server may return a
+        # DIFFERENT n-row subset per range, so the union duplicates
+        # and drops rows nondeterministically. Apply .limit() on the
+        # DataFrame after a partitioned read instead.
+        raise ValueError(
+            "scan_options: limit cannot be combined with "
+            "partition_column (per-partition LIMIT subqueries are "
+            "nondeterministic); limit the DataFrame after the read"
+        )
+    if partition_column is not None and (
+        lower_bound is None or upper_bound is None
+    ):
+        # Defaulting bounds to (0, 1) silently clamps numPartitions to
+        # upperBound-lowerBound = 1 — the whole table through one
+        # executor, defeating the fan-out this module exists for.
+        raise ValueError(
+            "scan_options: partition_column requires explicit "
+            "lower_bound and upper_bound (probe MIN/MAX of the key "
+            "first); implicit (0, 1) bounds serialize the scan"
+        )
     opts = source.base_options()
     if limit is not None:
         opts["dbtable"] = f"(SELECT * FROM {table} LIMIT {limit}) AS t"
@@ -61,8 +83,8 @@ def scan_options(
     if partition_column is not None:
         opts.update(
             partitionColumn=partition_column,
-            lowerBound=str(lower_bound or 0),
-            upperBound=str(upper_bound or 1),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
             numPartitions=str(num_partitions),
         )
     return opts

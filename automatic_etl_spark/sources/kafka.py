@@ -20,8 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 def topic_pattern(prefix: str, connection: str) -> str:
     """Debezium topic naming: ``{prefix}_{conn}.{schema}.{table}``
-    (reference tools/gen_pipeline.py:190,286) → subscribe regex."""
-    return f"{prefix}_{connection}\\..*"
+    (reference tools/gen_pipeline.py:190,286) → subscribe regex.
+    Prefix/connection are regex-ESCAPED: connector names routinely
+    carry dots/dashes ("prod.primary"), and an unescaped dot would
+    subscribe to unintended topics ("prod_primary" vs "prodXprimary")."""
+    import re as _re
+
+    return f"{_re.escape(prefix)}_{_re.escape(connection)}\\..*"
 
 
 def stream_options(

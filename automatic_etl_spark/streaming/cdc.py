@@ -78,14 +78,26 @@ def parse_envelope(raw: DataFrame, payload: StructType, value_col: str = "value"
 def unwrap_envelope(parsed: DataFrame, env_col: str = "_env") -> DataFrame:
     """ExtractNewRecordState with delete rewrite (P9/T8): deletes keep
     the ``before`` image and get ``__deleted = true``; everything else
-    takes ``after``. Adds ``_op`` and ``_ts_ms`` metadata columns."""
+    takes ``after``. Adds ``_op`` and ``_ts_ms`` metadata columns.
+
+    NULL envelopes are DROPPED (the SMT's drop-tombstones default):
+    Debezium emits a null-value record after every delete
+    (tombstones.on.delete=true) and from_json yields null for
+    unparseable payloads — without the filter each becomes a ghost row
+    with ``__deleted = NULL`` and all-null keys that survives the LWW
+    dedup (nulls group together) and accumulates in silver, invisible
+    to ``__deleted == false`` readers."""
     env = F.col(env_col)
     is_delete = env.getField("op") == "d"
     record = F.when(is_delete, env.getField("before")).otherwise(
         env.getField("after")
     )
+    # op is mandatory in every Debezium envelope, so requiring it
+    # drops BOTH null structs (tombstones) and the all-null-field
+    # structs PERMISSIVE-mode from_json returns for unparseable JSON.
     return (
-        parsed.withColumn("_rec", record)
+        parsed.where(env.isNotNull() & env.getField("op").isNotNull())
+        .withColumn("_rec", record)
         .withColumn("__deleted", is_delete)
         .withColumn("_op", env.getField("op"))
         .withColumn("_ts_ms", env.getField("ts_ms"))
@@ -103,6 +115,20 @@ def cdc_microbatch_dedup(
     return latest_version(unwrapped, keys, version_cols)
 
 
+def _path_exists(spark, path: str) -> bool:
+    """Filesystem-agnostic probe for "silver table present" via the
+    Hadoop FS API — a driver-local os.path check is always False on
+    HDFS/S3, which would make the upsert sinks silently treat an
+    EXISTING silver table as absent and destroy its rows with a
+    batch-only overwrite. An existing but EMPTY directory (a
+    pre-created target) counts as absent: there is nothing to merge
+    and reading it cannot infer a schema."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath) and len(fs.listStatus(hpath)) > 0
+
+
 def foreach_batch_upsert(
     target_path: str, keys: list[str], version_cols: list[str]
 ):
@@ -114,12 +140,19 @@ def foreach_batch_upsert(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         deduped = cdc_microbatch_dedup(batch_df, keys, version_cols)
-        try:
+        # Existence is probed EXPLICITLY, never inferred from a broad
+        # except: a schema-evolution error in unionByName or a
+        # transient read failure caught as "table absent" would
+        # overwrite the accumulated silver state with one batch —
+        # unrecoverable, since the checkpoint already committed the
+        # earlier batches. Real errors must fail the batch (the
+        # checkpoint will replay it).
+        if _path_exists(spark, target_path):
             existing = spark.read.parquet(target_path)
             merged = cdc_microbatch_dedup(
                 existing.unionByName(deduped), keys, version_cols
             )
-        except Exception:
+        else:
             merged = deduped
         merged.write.mode("overwrite").parquet(target_path)
 
@@ -151,17 +184,22 @@ def foreach_batch_upsert_partitioned(
     proportional to the batch's partition footprint, exactly the Delta
     ``MERGE INTO`` cost model, expressed with plain parquet.
     """
-    import os
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         deduped = cdc_microbatch_dedup(batch_df, keys, version_cols)
+        # Touched partitions come from the RAW batch (dedup cannot add
+        # or remove a partition value — partition_col is stable per
+        # key), so the distinct is a plain aggregate; deriving it from
+        # `deduped` would execute the row_number window twice per
+        # batch.
         touched = [
-            r[0] for r in deduped.select(partition_col).distinct().collect()
+            r[0]
+            for r in batch_df.select(partition_col).distinct().collect()
+            if r[0] is not None
         ]
         if not touched:
             return
-        if os.path.isdir(target_path):
+        if _path_exists(spark, target_path):
             existing = spark.read.parquet(target_path).filter(
                 F.col(partition_col).isin(touched)
             )
@@ -170,17 +208,14 @@ def foreach_batch_upsert_partitioned(
             )
         else:
             merged = deduped
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # per-WRITER dynamic overwrite: mutating the session-global
+        # conf here would race with any concurrent writer on the same
+        # SparkSession (ingest_many runs driver threads in parallel)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(target_path)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                merged.write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(target_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return _apply

@@ -23,31 +23,39 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "user_id long, n_events long, cents_total long"
+_OUTPUT_FIELDS = "n_events long, cents_total long"
 STATE_SCHEMA = "cnt long, cents long"
 
 
-def _update(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    cnt, cents = state.get if state.exists else (0, 0)
-    for pdf in pdfs:
-        cnt += len(pdf)
-        cents += int(pdf["cents"].sum())
-    state.update((cnt, cents))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [cnt], "cents_total": [cents]}
-    )
+def _make_update(key_name: str):
+    """Build the per-group update fn with the OUTPUT KEY COLUMN named
+    after the caller's group key — pandas output maps to the declared
+    schema BY NAME, so a hardcoded "user_id" label would emit nulls
+    (not a rename) for any other key column."""
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            cents += int(pdf["cents"].sum())
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {key_name: [key[0]], "n_events": [cnt], "cents_total": [cents]}
+        )
+
+    return _update
 
 
 def running_user_totals(stream: DataFrame, key: str = "user_id") -> DataFrame:
     """Running (count, cents_total) per key, emitted on every batch the
     key appears in (update mode). Input needs a ``cents`` long column."""
     return stream.groupBy(key).applyInPandasWithState(
-        _update,
-        outputStructType=OUTPUT_SCHEMA,
+        _make_update(key),
+        outputStructType=f"{key} long, {_OUTPUT_FIELDS}",
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -76,6 +84,8 @@ def running_user_totals_tws(
         StatefulProcessorHandle,
     )
 
+    key_name = key  # handleInputRows' own `key` arg shadows the param
+
     class _RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState("totals", STATE_SCHEMA)
@@ -90,7 +100,7 @@ def running_user_totals_tws(
             self._totals.update((cnt, cents))
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]],
+                    key_name: [key[0]],
                     "n_events": [cnt],
                     "cents_total": [cents],
                 }
@@ -101,7 +111,7 @@ def running_user_totals_tws(
 
     return stream.groupBy(key).transformWithStateInPandas(
         statefulProcessor=_RunningTotals(),
-        outputStructType=OUTPUT_SCHEMA,
+        outputStructType=f"{key} long, {_OUTPUT_FIELDS}",
         outputMode="Update",
         timeMode="None",
     )

@@ -1039,3 +1039,82 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_dim_duplicating_join_types(spark):
+    """salted_join replicates the dim per salt, so right/full outer
+    would emit unmatched dim rows buckets times — must hard-error, not
+    silently violate the plain-join identity contract (r7 review)."""
+    from automatic_etl_spark.operators import skew
+
+    fact = spark.createDataFrame([(1, "a")], "k long, v string")
+    dim = spark.createDataFrame([(2, "dim-only")], "k long, d string")
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="fact-preserving"):
+            skew.salted_join(fact, dim, "k", buckets=4, how=how)
+    # left outer stays supported: unmatched FACT rows appear exactly once
+    rows = skew.salted_join(fact, dim, "k", buckets=4, how="left").collect()
+    assert len(rows) == 1 and rows[0]["d"] is None
+
+
+def test_jdbc_scan_options_guards():
+    """limit+partition_column is nondeterministic (per-range LIMIT
+    subqueries); partition_column without explicit bounds silently
+    clamps to ONE partition — both now refuse loudly (r7 review)."""
+    from automatic_etl_spark.sources import jdbc
+
+    src = jdbc.JdbcSource(url="jdbc:mysql://h:3306/db")
+    with pytest.raises(ValueError, match="nondeterministic"):
+        jdbc.scan_options(
+            src, "t", partition_column="id",
+            lower_bound=0, upper_bound=10, limit=5,
+        )
+    with pytest.raises(ValueError, match="explicit"):
+        jdbc.scan_options(src, "t", partition_column="id")
+
+
+def test_orchestrator_critical_flag_and_retry_floor():
+    """critical=False failures must not skip dependents; max_retries=0
+    (which would never run the phase) must be rejected at construction
+    (r7 review: both were silently ignored)."""
+    from automatic_etl_spark.orchestrator import Orchestrator, Phase
+
+    def boom(_):
+        raise RuntimeError("optional enrichment failed")
+
+    results = (
+        Orchestrator()
+        .add(Phase("opt", boom, max_retries=1, critical=False))
+        .add(Phase("main", lambda _: "ran", depends_on=("opt",)))
+        .run()
+    )
+    assert results["opt"].status == "failed"
+    assert results["main"].status == "success"
+    # parallel scheduler honors the same rule
+    results_p = (
+        Orchestrator()
+        .add(Phase("opt", boom, max_retries=1, critical=False))
+        .add(Phase("main", lambda _: "ran", depends_on=("opt",)))
+        .run(max_workers=2)
+    )
+    assert results_p["main"].status == "success"
+    # critical failure still skips
+    results_c = (
+        Orchestrator()
+        .add(Phase("req", boom, max_retries=1))
+        .add(Phase("main", lambda _: "ran", depends_on=("req",)))
+        .run()
+    )
+    assert results_c["main"].status == "skipped"
+    with pytest.raises(ValueError, match="never run"):
+        Phase("p", lambda _: None, max_retries=0)
+
+
+def test_topic_pattern_escapes_connector_names():
+    from automatic_etl_spark.sources.kafka import topic_pattern
+    import re as _re
+
+    pat = topic_pattern("dbz", "prod.primary")
+    assert _re.fullmatch(pat, "dbz_prod.primary.inventory.customers")
+    # the dot in the CONNECTION name must not match arbitrary chars
+    assert not _re.fullmatch(pat, "dbz_prodXprimary.inventory.customers")

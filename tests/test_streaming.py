@@ -507,3 +507,46 @@ def test_stream_state_partitions_sizing(tmp_path):
         stream_state_partitions(str(d), str(d2), bytes_per_partition=1024)
         == 2
     )
+
+
+def test_unwrap_envelope_drops_tombstones(spark):
+    """Debezium emits a NULL-value record after every delete
+    (tombstones.on.delete default) and from_json yields NULL for
+    unparseable payloads; both must be DROPPED — before r7 each became
+    a ghost row with __deleted=NULL and all-null keys that survived
+    the LWW dedup and accumulated in silver."""
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from automatic_etl_spark.streaming import cdc
+
+    payload = StructType([StructField("id", LongType(), True)])
+    rows = [
+        (json.dumps({"before": None, "after": {"id": 1},
+                     "source": {"table": "t"}, "op": "c", "ts_ms": 1}),),
+        (None,),                 # tombstone
+        ("{not json at all",),   # unparseable -> from_json NULL
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    out = cdc.unwrap_envelope(cdc.parse_envelope(raw, payload)).collect()
+    assert len(out) == 1
+    assert out[0]["id"] == 1 and out[0]["__deleted"] is False
+
+
+def test_upsert_path_probe_semantics(spark, tmp_path):
+    """_path_exists: missing and EMPTY directories count as absent
+    (nothing to merge, schema uninferable); a written table counts as
+    present — and the probe goes through the Hadoop FS API so non-local
+    filesystems behave identically (r7 review: os.path.isdir on S3/HDFS
+    was always False, turning merges into destructive overwrites)."""
+    from automatic_etl_spark.streaming.cdc import _path_exists
+
+    missing = str(tmp_path / "nope")
+    assert not _path_exists(spark, missing)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert not _path_exists(spark, str(empty))
+    written = str(tmp_path / "t")
+    spark.range(3).write.parquet(written)
+    assert _path_exists(spark, written)
