@@ -159,8 +159,17 @@ def clean_integers(c: Column | str, pk: bool = False) -> Column:
     get 0 instead of NULL (ingest_runner.py:540-544).
     """
     s = F.trim(_col(c).cast("string"))
-    d = F.when(~s.isin(*NULL_SENTINELS), _numeric_text(s)).try_cast("double")
-    as_long = F.when(d == F.floor(d), d).try_cast("long")
+    gated = F.when(~s.isin(*NULL_SENTINELS), _numeric_text(s))
+    # Integer-literal strings parse DIRECTLY to long: the double
+    # round-trip loses exactness above 2^53 (e.g. snowflake-style IDs
+    # — '9007199254740993' would round to ...992, silently merging two
+    # distinct PKs). Only decimal/exponent forms take the double path,
+    # where the floor gate nulls non-integral values.
+    direct = gated.rlike(r"^[+-]?\d+$")
+    d = gated.try_cast("double")
+    as_long = F.when(direct, gated.try_cast("long")).otherwise(
+        F.when(d == F.floor(d), d).try_cast("long")
+    )
     return F.coalesce(as_long, F.lit(0)) if pk else as_long
 
 
@@ -207,7 +216,10 @@ def clean_floats(c: Column | str, from_text: bool = False) -> Column:
 
 
 def bool_to_int(c: Column | str) -> Column:
-    return _col(c).cast("int")
+    """try_cast, not cast: under ANSI mode a plain CAST('yes' AS INT)
+    throws and fails the whole job — this module's contract is
+    null-on-error everywhere (see header)."""
+    return _col(c).try_cast("boolean").try_cast("int")
 
 
 # --- C12: mojibake repair ----------------------------------------------------
@@ -286,13 +298,27 @@ def clean_table(df, specs: dict[str, dict]):
                 name,
                 from_text=isinstance(df.schema[name].dataType, StringType),
             )
+            if not nullable:
+                col = fill_not_null_default(col, "double", name, pk=pk)
         elif kind == "bool":
             col = bool_to_int(name)
+            if not nullable:
+                col = fill_not_null_default(col, "int", name, pk=pk)
         elif kind == "time":
             col = format_time(name)
+            if not nullable:
+                # time renders as "HH:MM:SS" text — string default
+                col = fill_not_null_default(col, "string", name, pk=pk)
         else:
             col = normalize_strings(fix_mojibake(name))
             if not nullable:
                 col = fill_not_null_default(col, "string", name, pk=pk)
         projections.append(col.alias(name))
+        # C15 covers every kind (ingest_runner.py:629-694): the fill
+        # was previously applied only on the string branch, so a
+        # NOT-NULL float/bool/time column kept NULLs and failed
+        # downstream constraints. temporal/integer need no branch here
+        # — integer handles NOT NULL via pk-fill inside clean_integers,
+        # and a NOT-NULL temporal has no sane sentinel (reference nulls
+        # too).
     return df.select(*projections)

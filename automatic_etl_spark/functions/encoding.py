@@ -19,7 +19,13 @@ try:  # optional dependency — not in the container; detection degrades
 except ImportError:  # pragma: no cover
     chardet = None
 
-_FALLBACK_ENCODINGS = ("utf-8", "latin-1", "cp1252", "iso-8859-1", "ascii")
+# Order matters AND determines reachability: latin-1 decodes EVERY
+# byte string, so anything after it is dead code. cp1252 therefore
+# goes first among the 8-bit encodings — it is the common real-world
+# superset (Windows smart quotes at 0x93/0x94 decode to punctuation,
+# where latin-1 would yield C1 control chars) and FAILS on its five
+# unmapped bytes, falling through to latin-1 as the total catch-all.
+_FALLBACK_ENCODINGS = ("utf-8", "cp1252", "latin-1")
 _CONFIDENCE_THRESHOLD = 0.7
 
 

@@ -59,7 +59,17 @@ def bpe_token_count(c: Column | str) -> Column:
     return F.regexp_count(_col(c), F.lit(BPE_ISH_PATTERN))
 
 
+def _is_cjk_marker(word: str) -> bool:
+    return any(ord(ch) >= 0x2E80 for ch in word)
+
+
 def _marker_hit(c: Column, word: str) -> Column:
+    # CJK markers match as SUBSTRINGS: Chinese is unsegmented, so a
+    # space-padded whole-word probe can never hit (the zh markers were
+    # dead code until r7). Space-delimited scripts keep the padded
+    # whole-word match so 'the' does not fire inside 'theme'.
+    if _is_cjk_marker(word):
+        return (F.instr(F.lower(c), word) > 0).cast("int")
     padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
     return (F.instr(padded, f" {word} ") > 0).cast("int")
 

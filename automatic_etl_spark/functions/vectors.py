@@ -28,8 +28,16 @@ def to_double_array(c: Column | str) -> Column:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
-    """Left-fold dot product (matches list_dot_product exactly)."""
-    products = F.zip_with(_col(a), _col(b), lambda x, y: x * y)
+    """Left-fold dot product (matches list_dot_product exactly).
+
+    Inputs are cast to double HERE, not by caller discipline: a raw
+    ``array<float>`` column would multiply in float32 before the
+    double fold, drifting from the DuckDB double oracle in the last
+    rounded decimal. The cast is a no-op on already-double arrays.
+    """
+    products = F.zip_with(
+        to_double_array(a), to_double_array(b), lambda x, y: x * y
+    )
     return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)
 
 

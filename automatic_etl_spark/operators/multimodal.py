@@ -71,6 +71,14 @@ def extract_features(blobs: DataFrame) -> DataFrame:
         for batch in batches:
             digests, widths, heights, sizes = [], [], [], []
             for payload in batch["payload"]:
+                # NULL payloads pass through as NULL features —
+                # bytes(None) raises and would kill the whole task
+                if payload is None:
+                    digests.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    sizes.append(None)
+                    continue
                 raw = bytes(payload)
                 digest, width, height = _fake_dims(raw)
                 digests.append(digest)
@@ -110,9 +118,15 @@ def extract_features_arrow(blobs: DataFrame) -> DataFrame:
             payloads = batch.column("payload")
             digests, widths, heights = [], [], []
             for p in payloads:
+                raw = p.as_py()
+                if raw is None:  # NULL payload -> NULL features
+                    digests.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    continue
                 # real decoders take the buffer without a bytes copy;
                 # md5 here stands in for the codec
-                digest, width, height = _fake_dims(p.as_py())
+                digest, width, height = _fake_dims(raw)
                 digests.append(digest)
                 widths.append(width)
                 heights.append(height)
@@ -151,6 +165,13 @@ def resize_media(blobs: DataFrame, max_side: int = 64) -> DataFrame:
         for batch in batches:
             widths, heights, rws, rhs, payloads = [], [], [], [], []
             for payload in batch["payload"]:
+                if payload is None:  # NULL payload -> NULL row fields
+                    widths.append(None)
+                    heights.append(None)
+                    rws.append(None)
+                    rhs.append(None)
+                    payloads.append(None)
+                    continue
                 raw = bytes(payload)
                 _, w, h = _fake_dims(raw)
                 scale_num, scale_den = max_side, max(w, h)
@@ -190,6 +211,8 @@ def sample_frames(blobs: DataFrame, num_frames: int = 4) -> DataFrame:
         for batch in batches:
             ids, idxs, offsets, hashes = [], [], [], []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                if payload is None:  # no payload -> no frames
+                    continue
                 raw = bytes(payload)
                 n = max(len(raw), 1)
                 for i in range(num_frames):

@@ -20,14 +20,21 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
     strings for heterogeneity). Single aggregate pass over the data;
     at scale swap countDistinct for approx_count_distinct."""
     cols = columns or df.columns
+
+    def q(name: str) -> str:
+        # backtick-quote: a source column named "user.name" would
+        # otherwise parse as struct-field access in F.col and fail
+        # with UNRESOLVED_COLUMN on the derived "__nulls" aliases
+        return f"`{name.replace('`', '``')}`"
+
     aggs = []
     for c in cols:
         aggs.extend(
             [
-                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-                F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
-                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+                F.sum(F.col(q(c)).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.countDistinct(F.col(q(c))).alias(f"{c}__distinct"),
+                F.min(F.col(q(c))).cast("string").alias(f"{c}__min"),
+                F.max(F.col(q(c))).cast("string").alias(f"{c}__max"),
             ]
         )
     wide = df.agg(*aggs)
@@ -36,10 +43,10 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
         stacked.append(
             F.struct(
                 F.lit(c).alias("column"),
-                F.col(f"{c}__nulls").alias("null_cnt"),
-                F.col(f"{c}__distinct").alias("distinct_cnt"),
-                F.col(f"{c}__min").alias("min_value"),
-                F.col(f"{c}__max").alias("max_value"),
+                F.col(q(f"{c}__nulls")).alias("null_cnt"),
+                F.col(q(f"{c}__distinct")).alias("distinct_cnt"),
+                F.col(q(f"{c}__min")).alias("min_value"),
+                F.col(q(f"{c}__max")).alias("max_value"),
             )
         )
     return wide.select(F.explode(F.array(*stacked)).alias("p")).select("p.*")
@@ -59,9 +66,17 @@ def usefulness_report(tables: dict[str, DataFrame], min_rows: int = 1) -> list[d
     """Q4: classify tables by emptiness/size (reference
     tools/identify_useful_tables.py:40-90). Driver-side over catalog
     metadata; row counts use parquet statistics (cheap)."""
+    # counts overlap on driver threads — Spark schedules the jobs
+    # side by side, so 10 tables cost ~the slowest one, not the sum
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(tables)))) as pool:
+        counts = dict(
+            zip(tables, pool.map(lambda d: d.count(), tables.values()))
+        )
     report = []
     for name, df in tables.items():
-        cnt = df.count()
+        cnt = counts[name]
         report.append(
             {
                 "table": name,

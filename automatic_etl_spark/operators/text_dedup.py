@@ -35,7 +35,16 @@ from automatic_etl_spark.functions import text as tx
 def shingle_rows(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(doc_id, shingle) rows, shingles distinct within a doc."""
+    """(doc_id, shingle) rows, shingles distinct within a doc.
+
+    BOUNDARY: a doc with fewer than ``n`` tokens yields ZERO shingles
+    and is therefore invisible to every shingle-based strategy
+    (MinHash/LSH/Jaccard) — short duplicated boilerplate must be
+    caught by the exact-fingerprint path (fingerprint_stats /
+    exact_dedup), which has no length floor. Callers that need
+    short-doc coverage should union both strategies, not lower n
+    globally (n<3 explodes the candidate space on normal-length
+    docs)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tx.shingles(text_col, n)).alias("shingle"),

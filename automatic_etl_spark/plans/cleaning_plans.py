@@ -100,15 +100,23 @@ _CLEAN_INT_SENTINELS = ", ".join(f"'{s}'" for s in cl.NULL_SENTINELS)
                      ELSE CAST(c_custkey AS VARCHAR)
                    END AS s
             FROM customer
-        ), parsed AS (
+        ), gated AS (
             SELECT c_nationkey,
-                   TRY_CAST(CASE WHEN trim(s) IN ({_CLEAN_INT_SENTINELS})
-                                 THEN NULL ELSE trim(s) END AS DOUBLE) AS d
+                   CASE WHEN trim(s) IN ({_CLEAN_INT_SENTINELS})
+                        THEN NULL ELSE trim(s) END AS g
             FROM dirty
         ), cleaned AS (
+            -- integer-literal strings parse DIRECTLY to BIGINT (the
+            -- double round-trip corrupts > 2^53); only decimal forms
+            -- take the double path with the floor gate
             SELECT c_nationkey,
-                   CASE WHEN d = floor(d) THEN TRY_CAST(d AS BIGINT) END AS v
-            FROM parsed
+                   CASE WHEN regexp_matches(g, '^[+-]?[0-9]+$')
+                        THEN TRY_CAST(g AS BIGINT)
+                        WHEN TRY_CAST(g AS DOUBLE)
+                             = floor(TRY_CAST(g AS DOUBLE))
+                        THEN TRY_CAST(TRY_CAST(g AS DOUBLE) AS BIGINT)
+                   END AS v
+            FROM gated
         )
         SELECT c_nationkey,
                CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
@@ -377,6 +385,8 @@ def fill_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders
         ), cleaned AS (
             SELECT COALESCE(CASE WHEN trim(id) IN ({_CLEAN_INT_SENTINELS}) THEN NULL
+                                 WHEN regexp_matches(trim(id), '^[+-]?[0-9]+$')
+                                 THEN TRY_CAST(trim(id) AS BIGINT)
                                  WHEN TRY_CAST(id AS DOUBLE) = floor(TRY_CAST(id AS DOUBLE))
                                  THEN TRY_CAST(TRY_CAST(id AS DOUBLE) AS BIGINT) END,
                             0) AS id,

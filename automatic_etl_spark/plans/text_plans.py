@@ -27,6 +27,13 @@ def _sql_token_count(col: str) -> str:
 
 
 def _sql_marker_hit(col: str, word: str) -> str:
+    # mirror functions/text._marker_hit: CJK markers are substrings
+    # (unsegmented script), others whole-word via space padding
+    if tx._is_cjk_marker(word):
+        return (
+            f"CASE WHEN instr(lower({col}), '{word}') > 0 "
+            f"THEN 1 ELSE 0 END"
+        )
     return (
         f"CASE WHEN instr(' ' || lower({col}) || ' ', ' {word} ') > 0 "
         f"THEN 1 ELSE 0 END"

@@ -162,3 +162,74 @@ def test_clean_table_single_projection(spark):
     assert out[0].nombre == "name" and out[1].nombre == "N/A"
     assert out[1].precio is None
     assert out[0].activo == 1
+
+
+def test_clean_integers_exact_above_2_53(spark):
+    """Integer-literal strings must parse DIRECTLY to long — the
+    double round-trip rounds 2^53+1 to 2^53, silently merging two
+    distinct snowflake-style PKs (r7 review)."""
+    from automatic_etl_spark.functions import cleaning as cl
+
+    df = spark.createDataFrame(
+        [("9007199254740993",), ("9007199254740992",), ("123.0",),
+         ("12.7",), ("99999999999999999999999",)],
+        "s string",
+    )
+    got = [
+        r["v"] for r in df.select(cl.clean_integers("s").alias("v")).collect()
+    ]
+    assert got == [9007199254740993, 9007199254740992, 123, None, None]
+
+
+def test_bool_to_int_ansi_safe(spark):
+    """bool_to_int must null-on-error under ANSI like every other
+    cleaner — a plain CAST('yes' AS INT) throws (r7 review)."""
+    from automatic_etl_spark.functions import cleaning as cl
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [("yes",), ("true",), ("false",), ("garbage!",)], "s string"
+        )
+        got = [
+            r["b"]
+            for r in df.select(cl.bool_to_int("s").alias("b")).collect()
+        ]
+        assert got == [1, 1, 0, None]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_clean_table_not_null_fill_covers_all_kinds(spark):
+    """C15 NOT-NULL defaults apply to float/bool/time, not just string
+    (r7 review: only the string branch filled)."""
+    from automatic_etl_spark.functions import cleaning as cl
+
+    df = spark.createDataFrame(
+        [("NaN", None, None, None)],
+        "f string, b boolean, t string, s string",
+    )
+    out = cl.clean_table(
+        df,
+        {
+            "f": {"kind": "float", "nullable": False},
+            "b": {"kind": "bool", "nullable": False},
+            "t": {"kind": "time", "nullable": False},
+            "s": {"kind": "string", "nullable": False},
+        },
+    ).collect()[0]
+    assert out["f"] == 0.0 and out["b"] == 0
+    assert out["t"] == "N/A" and out["s"] == "N/A"
+
+
+def test_encoding_fallback_decodes_cp1252(spark):
+    """cp1252 must be reachable in the fallback chain — latin-1
+    decodes every byte string, so it has to come LAST (r7 review:
+    smart quotes decoded to C1 control chars)."""
+    from automatic_etl_spark.functions.encoding import _decode_bytes
+
+    assert _decode_bytes(b"\x93hi\x94", detect=False) == "“hi”"
+    assert _decode_bytes("ñ".encode("utf-8"), detect=False) == "ñ"
+    # bytes cp1252 cannot decode still fall through to latin-1
+    assert _decode_bytes(b"\x81", detect=False) == "\x81"
