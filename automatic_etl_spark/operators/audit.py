@@ -31,15 +31,22 @@ def reconcile_counts(
     src = source.groupBy(F.col(key).alias(key_alias)).agg(
         F.count("*").alias("src_cnt")
     )
-    snk = sink.groupBy(F.col(key).alias(key_alias)).agg(
+    snk = sink.groupBy(F.col(key).alias("__snk_key")).agg(
         F.count("*").alias("snk_cnt")
     )
     src_cnt = F.coalesce(F.col("src_cnt"), F.lit(0))
     snk_cnt = F.coalesce(F.col("snk_cnt"), F.lit(0))
+    # NULL-SAFE key pairing: a plain equi-join never matches NULL=NULL,
+    # so a NULL audit key that reconciles perfectly would surface as
+    # TWO MISMATCH rows (src-only and snk-only) and flip grand_total.
     return (
-        src.join(snk, key_alias, "full_outer")
+        src.join(
+            snk,
+            F.col(key_alias).eqNullSafe(F.col("__snk_key")),
+            "full_outer",
+        )
         .select(
-            key_alias,
+            F.coalesce(F.col(key_alias), F.col("__snk_key")).alias(key_alias),
             src_cnt.alias("src_cnt"),
             snk_cnt.alias("snk_cnt"),
             (src_cnt - snk_cnt).alias("diff"),

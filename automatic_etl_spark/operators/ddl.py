@@ -101,9 +101,11 @@ def write_with_layout(df: DataFrame, path: str, layout: TableLayout) -> None:
     out = df
     writer_cols: list[str] = []
     if layout.partition_column:
+        # derived via month_column so the write path and the DDL
+        # synthesis can never drift on the partition-value format
         out = out.withColumn(
             f"{layout.partition_column}_month",
-            F.date_format(F.col(layout.partition_column), "yyyyMM"),
+            month_column(layout.partition_column),
         )
         writer_cols = [f"{layout.partition_column}_month"]
     if layout.sort_columns:
@@ -148,10 +150,18 @@ def write_bucketed(
 def create_table_sql(
     name: str, schema: StructType, layout: TableLayout, location: str | None = None
 ) -> str:
-    """D1 DDL synthesis for the Spark catalog (USING parquet)."""
-    cols = ", ".join(
+    """D1 DDL synthesis for the Spark catalog (USING parquet).
+
+    Partitioned layouts DEFINE the derived month column in the table
+    schema: Spark rejects PARTITIONED BY over a column absent from
+    the column list (this path previously emitted un-executable DDL —
+    the old test string-asserted the clause without running it)."""
+    col_defs = [
         f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-    )
+    ]
+    if layout.partition_column:
+        col_defs.append(f"`{layout.partition_column}_month` string")
+    cols = ", ".join(col_defs)
     parts = [f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING parquet"]
     if layout.partition_column:
         parts.append(f"PARTITIONED BY (`{layout.partition_column}_month`)")

@@ -115,7 +115,10 @@ def fk_containment(
     |distinct child| rounded to 6; is_fk iff containment == 1.0.
     Both sides are DISTINCT-projected before the join, so the join
     operates on key cardinalities; a dimension-sized parent set is
-    broadcast by AQE/size estimation.
+    broadcast by AQE/size estimation — deliberately NOT a forced
+    broadcast hint, which would override size estimation and OOM the
+    driver when the parent key set is fact-sized (a billion-key
+    fact-to-fact FK probe at 100 TB must fall back to a shuffle join).
     """
     c = child.select(F.col(child_col).alias("k")).where(
         F.col(child_col).isNotNull()
@@ -123,7 +126,7 @@ def fk_containment(
     p = parent.select(F.col(parent_col).alias("k")).where(
         F.col(parent_col).isNotNull()
     ).distinct()
-    joined = c.join(F.broadcast(p.withColumn("_hit", F.lit(1))), "k", "left")
+    joined = c.join(p.withColumn("_hit", F.lit(1)), "k", "left")
     return joined.agg(
         F.lit(pair_name).alias("pair"),
         F.count(F.lit(1)).alias("child_distinct"),

@@ -83,10 +83,18 @@ def merge_on_read(
     parts = [os.path.join(path, d) for d in _part_dirs(path)]
     if not parts:
         raise ValueError(f"no parts under {path}")
-    df = spark.read.parquet(*parts)
-    merged = latest_version(
-        df, keys, [_COMMIT, *version_cols], tiebreaker=keys
-    )
+    # mergeSchema: the tombstone column typically exists ONLY in delta
+    # parts — a default read takes one part's schema (base sorts
+    # first), __deleted vanishes from df.columns, the tombstone filter
+    # below is silently skipped, and deleted keys RESURFACE.
+    df = spark.read.option("mergeSchema", "true").parquet(*parts)
+    # tiebreaker=keys is deliberately NOT passed: keys are constant
+    # within each window partition, so they can never break a tie.
+    # Ties on identical (_commit, *version_cols) within one delta are
+    # resolved arbitrarily — callers that need exact determinism must
+    # provide a distinguishing version/sequence column, same contract
+    # as ReplacingMergeTree's unspecified tie behavior.
+    merged = latest_version(df, keys, [_COMMIT, *version_cols])
     if DELETED in df.columns:
         merged = merged.filter(
             ~F.coalesce(F.col(DELETED), F.lit(False))
@@ -102,9 +110,15 @@ def compact(
 ) -> dict:
     """Rewrite merged state as the new base part and retire deltas.
 
-    Write-new-then-swap: merged state lands in ``base.compacting``
-    first, then replaces ``base`` and the delta parts are removed —
-    a crash before the swap leaves every old part intact and readable.
+    Write-new-then-swap, in crash-safe order: merged state lands in
+    ``base.compacting``, the OLD base is renamed aside, the new base
+    renames in (the install point), and only then are old parts
+    removed. A crash before the install leaves every old part intact
+    and readable; a crash after it leaves the new base authoritative
+    with at worst stale-but-superseded deltas alongside (idempotent to
+    re-compact). Deleting old parts BEFORE installing would leave a
+    window where readers see delta-only state — every base-only key
+    silently gone.
     Returns observable stats (parts/rows before and after), mirroring
     the reference's audit-first posture.
     """
@@ -115,9 +129,16 @@ def compact(
         "overwrite"
     ).parquet(tmp)
     rows = spark.read.parquet(tmp).count()
+    base = os.path.join(path, "base")
+    retired = os.path.join(path, "base.retired")
+    shutil.rmtree(retired, ignore_errors=True)  # residue of a crash
+    if os.path.isdir(base):
+        os.rename(base, retired)
+    os.rename(tmp, base)  # the install point
+    shutil.rmtree(retired, ignore_errors=True)
     for d in before_parts:
-        shutil.rmtree(os.path.join(path, d))
-    os.rename(tmp, os.path.join(path, "base"))
+        if d != "base":
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return {
         "parts_before": len(before_parts),
         "parts_after": 1,

@@ -53,8 +53,14 @@ def analytics_projection(df: DataFrame) -> DataFrame:
     - String column named like a date → best-effort parse  (P4+P5)
     """
     cols: list[Column] = [F.col(name) for name in df.columns]
+    existing = set(df.columns)
     for field in df.schema.fields:
         alias = f"{field.name}_date"
+        if alias in existing:
+            # a previously-materialized view already carries the
+            # helper column — emitting a second one would make every
+            # reference to it AMBIGUOUS and writers reject the schema
+            continue
         if isinstance(field.dataType, (TimestampType, TimestampNTZType)):
             cols.append(F.to_date(F.col(field.name)).alias(alias))
         elif isinstance(field.dataType, DateType):

@@ -314,7 +314,11 @@ def left_join_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(src_cnt, 0) - COALESCE(snk_cnt, 0) AS diff,
                CASE WHEN COALESCE(src_cnt, 0) = COALESCE(snk_cnt, 0)
                     THEN 'OK' ELSE 'MISMATCH' END AS verdict
-        FROM src FULL OUTER JOIN snk ON src.status = snk.status
+        -- IS NOT DISTINCT FROM mirrors the operator's null-safe key
+        -- pairing (a NULL key that reconciles must not split into two
+        -- MISMATCH rows)
+        FROM src FULL OUTER JOIN snk
+          ON src.status IS NOT DISTINCT FROM snk.status
     """,
 )
 def reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,10 +48,26 @@ _NANOS_TS_CACHE: dict[str, list[str]] = {}
 
 def _nanos_ts_columns(path: str) -> list[str]:
     if path not in _NANOS_TS_CACHE:
+        import os
+
         import pyarrow.parquet as pq
         import pyarrow.types as pat
 
-        schema = pq.read_schema(path)
+        if not os.path.isfile(path):
+            # directory-backed table: probe one part file (all parts
+            # share the writer's encoding); empty dir -> no nanos
+            parts = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ) if os.path.isdir(path) else []
+            if not parts:
+                _NANOS_TS_CACHE[path] = []
+                return _NANOS_TS_CACHE[path]
+            path_to_probe = parts[0]
+        else:
+            path_to_probe = path
+        schema = pq.read_schema(path_to_probe)
         _NANOS_TS_CACHE[path] = [
             field.name
             for field in schema

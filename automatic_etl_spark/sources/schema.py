@@ -36,7 +36,9 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-_DECIMAL_RE = re.compile(r"decimal\s*\((\d+)\s*,\s*(\d+)\)")
+# NUMERIC / DEC / FIXED are exact-DECIMAL synonyms in MySQL — mapping
+# them through double would silently lose exactness on money columns.
+_DECIMAL_RE = re.compile(r"(?:decimal|numeric|dec|fixed)\s*\((\d+)\s*,\s*(\d+)\)")
 
 # Authoritative MySQL→Spark map (§1.3 table).
 _BASE_MAP: tuple[tuple[re.Pattern, DataType], ...] = tuple(
@@ -48,8 +50,9 @@ _BASE_MAP: tuple[tuple[re.Pattern, DataType], ...] = tuple(
         (r"^mediumint", IntegerType()),
         (r"^bigint", LongType()),
         (r"^int", IntegerType()),
-        (r"^(float|real)", FloatType()),
-        (r"^(double|numeric)", DoubleType()),
+        (r"^float", FloatType()),
+        # MySQL REAL is DOUBLE PRECISION by default (REAL_AS_FLOAT off)
+        (r"^(double|real)", DoubleType()),
         (r"^date$", DateType()),
         (r"^(datetime|timestamp)", TimestampType()),
         (r"^time$", StringType()),  # "HH:MM:SS" strings (C4)
@@ -67,7 +70,7 @@ def mysql_type_to_spark(mysql_type: str) -> DataType:
     if m:
         precision, scale = int(m.group(1)), int(m.group(2))
         return DecimalType(min(precision, 38), scale)
-    if t.startswith("decimal"):
+    if t.startswith(("decimal", "numeric", "dec", "fixed")):
         return DecimalType(18, 6)  # reference default (ingest_runner.py:1198)
     for pattern, dtype in _BASE_MAP:
         if pattern.match(t):

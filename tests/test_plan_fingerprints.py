@@ -489,8 +489,9 @@ PINNED: dict[str, dict[str, int]] = {
 # PLANS.md row shows >=4 shuffle exchanges is now pinned — those
 # are the plans where a silent regression (lost broadcast, lost
 # pruning, extra repartition) costs the most at 100 TB. With this
-# block, all 49 >=4-exchange queries carry pins (the r7 self-review
-# caught scalar_subquery_filter missing from the original "48"); the
+# block, every >=4-exchange query carries a pin (programmatically
+# re-verified against PLANS.md whenever plans change — the r7 review
+# caught scalar_subquery_filter missing from the original count); the
 # remaining unpinned queries are all <=3-exchange shapes whose
 # oracles plus PLANS.md regeneration give adequate drift signal.
 PINNED.update({
@@ -557,9 +558,23 @@ PINNED.update({
         "bhj": 4, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 5,
     },
+    # r7: the three-way audit (raw + expected + sink counts, null-safe
+    # joined) crossed the >=4-exchange bar — pinned per the coverage
+    # rule; every exchange is over a per-key count frame
+    "ingest_e2e": {
+        "bhj": 0, "smj": 2, "shj": 0, "bnlj": 0,
+        "wgl": 2, "topN": 0, "partialAgg": 3, "exch": 5,
+    },
+    "pipeline_e2e": {
+        "bhj": 0, "smj": 2, "shj": 0, "bnlj": 0,
+        "wgl": 2, "topN": 0, "partialAgg": 3, "exch": 5,
+    },
+    # r7: null-safe key pairing (eqNullSafe) re-partitions the two
+    # tiny post-aggregate count frames — +2 exchanges over frames
+    # bounded by |distinct keys|, the price of NULL keys reconciling
     "reconciliation": {
         "bhj": 0, "smj": 1, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 4,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 6,
     },
     # r7: EXCEPT is subtract() (left-anti + distinct in one operator)
     # instead of exceptAll().distinct() — three fewer exchanges
@@ -609,4 +624,27 @@ def test_plan_fingerprint_pinned(spark, name):
         f"  got:    {got}\n"
         "If the plan change is DELIBERATE, update PINNED in this file "
         "(and regenerate PLANS.md) in the same commit."
+    )
+
+
+def test_every_heavy_query_is_pinned():
+    """Self-enforcing coverage rule: every PLANS.md row with >=4
+    shuffle exchanges must carry a pin. The r7 review found one query
+    silently missing from a hand-maintained '48' count — this check
+    replaces counting by hand, and catches queries that CROSS the
+    threshold when their plan legitimately changes (ingest_e2e did
+    exactly that in r7)."""
+    import re
+
+    with open("/root/repo/PLANS.md") as fh:
+        plans = fh.read()
+    heavy = {
+        m.group(1)
+        for m in re.finditer(r"^\| (\w+) \| (\d+) \|", plans, re.M)
+        if int(m.group(2)) >= 4
+    }
+    missing = sorted(heavy - set(PINNED))
+    assert not missing, (
+        f"unpinned >=4-exchange queries: {missing} — add PINNED rows "
+        "(and keep PLANS.md regenerated) in the same commit"
     )
