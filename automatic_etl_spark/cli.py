@@ -1,8 +1,11 @@
-"""Command-line interface — flag-level parity with the reference's
-CLI tools so an ``automatic_etl`` user can run the same workflows here
-(reference tools/ingest_runner.py:2029-2074: --include/--exclude,
---limit, --truncate-before-load, --dedup none|replacing|staging,
---unique-key, --version-col, --audit-only).
+"""Command-line interface — the reference's per-table ingest flags
+re-expressed for Spark (reference tools/ingest_runner.py:2029-2074):
+--limit, --dedup none|replacing|staging, --unique-key, --version-col,
+and audit output. Flags that only exist for the reference's
+table-DISCOVERY loop (--include/--exclude) live on the library API
+instead (sources/jdbc.filter_tables) — this CLI ingests one named
+table; --truncate-before-load is implicit (every write is an atomic
+overwrite, the W2 swap).
 
 Subcommands:
 - ``ingest``  one table: scan → clean → dedup → write → audit report
@@ -41,6 +44,14 @@ def cmd_ingest(args) -> int:
     source = table(spark, args.sf_dir, args.table)
     if args.limit:
         source = source.limit(args.limit)
+    if args.dedup != "none" and not args.unique_key:
+        # silently running NO dedup while the output JSON reports a
+        # dedup mode would let duplicates land with a passing audit
+        print(
+            f"error: --dedup {args.dedup} requires --unique-key",
+            file=sys.stderr,
+        )
+        return 2
     dedup_keys = tuple(args.unique_key) if args.dedup != "none" else ()
     spec = IngestSpec(
         dedup_keys=dedup_keys,

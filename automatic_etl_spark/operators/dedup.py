@@ -50,11 +50,16 @@ def latest_version(
 ) -> DataFrame:
     """Keep exactly one row per key: the highest version.
 
-    ``tiebreaker`` columns (ascending) make the result deterministic
-    when versions collide — the reference leaves this to engine
-    internals; we pin it for reproducibility.
+    ``tiebreaker`` columns (ascending, NULLS LAST) make the result
+    deterministic when versions collide — the reference leaves this to
+    engine internals; we pin it for reproducibility. NULLS LAST, not
+    Spark's asc() default of NULLS FIRST: every oracle spells plain
+    ``ASC``, which DuckDB sorts NULLS LAST, so a NULL tiebreaker value
+    would win the tie on one engine and lose it on the other.
     """
-    order = _version_ordering(version_cols) + [F.col(c).asc() for c in tiebreaker]
+    order = _version_ordering(version_cols) + [
+        F.col(c).asc_nulls_last() for c in tiebreaker
+    ]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn(_RN, F.row_number().over(w))

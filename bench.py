@@ -144,6 +144,18 @@ GROUPS: tuple[tuple[str, ...], ...] = (
 HEADLINE: tuple[str, ...] = tuple(n for g in GROUPS for n in g)
 
 
+def _validate_groups() -> None:
+    """Loud import-time guard: a renamed registry query would
+    otherwise KeyError inside the child mid-group and discard the
+    whole group's measurements (the per-query try exists precisely to
+    isolate failures)."""
+    from automatic_etl_spark.plans.all_plans import REGISTRY
+
+    missing = [n for n in HEADLINE if n not in REGISTRY]
+    assert not missing, f"bench GROUPS name(s) not in REGISTRY: {missing}"
+    assert len(set(HEADLINE)) == len(HEADLINE), "duplicate bench names"
+
+
 def run_group(names: tuple[str, ...], sf_dir: str) -> None:
     """Child process: measure one group in a fresh JVM; print one JSON
     line with timings, per-query session age, and contained errors."""
@@ -176,6 +188,7 @@ def run_group(names: tuple[str, ...], sf_dir: str) -> None:
     runs: dict[str, list[float]] = {}
     ages: dict[str, float] = {}
     errors: dict[str, str] = {}
+    _validate_groups()
     for name in names:
         fn, _oracle = REGISTRY[name]
         try:
@@ -222,12 +235,21 @@ def main() -> None:
     ages: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, names in enumerate(GROUPS):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(i)],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", str(i)],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # a wedged group JVM must cost ONE group's signal, not the
+            # round's: uncaught, TimeoutExpired aborted main() before
+            # bench_detail.json or the driver-contract line was emitted
+            for name in names:
+                errors[name] = f"group {i} timed out after 1800s"
+            print(f"bench: group {i} TIMED OUT", file=sys.stderr)
+            continue
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         try:
             child = json.loads(line)

@@ -38,11 +38,11 @@ SF = "/root/testdata/sf0.01"
 PINNED: dict[str, dict[str, int]] = {
     "ann_ivf_topk": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 2,
-        "wgl": 4, "topN": 0, "partialAgg": 1, "exch": 4,
+        "wgl": 4, "topN": 0, "partialAgg": 1, "exch": 3,
     },
     "ann_recall_report": {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 3,
-        "wgl": 6, "topN": 0, "partialAgg": 6, "exch": 8,
+        "wgl": 6, "topN": 0, "partialAgg": 6, "exch": 7,
     },
     "bm25_topk": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 1,
@@ -100,7 +100,7 @@ PINNED: dict[str, dict[str, int]] = {
     # stats, so the extra SMJ is noise at any scale)
     "checksum_repair_plan": {
         "bhj": 2, "smj": 2, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 7,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 6,
     },
     "dedup_connected_components": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
@@ -191,7 +191,7 @@ PINNED: dict[str, dict[str, int]] = {
     # on anything but the final 3-key agg
     "watermark_lateness_audit": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 3,
-        "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 5,
+        "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 4,
     },
     "python_udtf_chunker": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
@@ -233,15 +233,15 @@ PINNED: dict[str, dict[str, int]] = {
     # with a singleton — the cheap kind); keyed joins must stay absent
     "minmax_skipping_audit": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 2,
-        "wgl": 0, "topN": 0, "partialAgg": 9, "exch": 4,
+        "wgl": 0, "topN": 0, "partialAgg": 9, "exch": 3,
     },
     "minhash_jaccard_calibration": {
         "bhj": 9, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 13, "exch": 14,
+        "wgl": 0, "topN": 0, "partialAgg": 13, "exch": 5,
     },
     "minhash_lsh_dedup": {
         "bhj": 6, "smj": 0, "shj": 0, "bnlj": 1,
-        "wgl": 0, "topN": 0, "partialAgg": 14, "exch": 10,
+        "wgl": 0, "topN": 0, "partialAgg": 14, "exch": 4,
     },
     "multimodal_features_arrow": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
@@ -261,7 +261,7 @@ PINNED: dict[str, dict[str, int]] = {
     },
     "pagerank_two_iter": {
         "bhj": 6, "smj": 0, "shj": 0, "bnlj": 6,
-        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 13,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 8,
     },
     "pricing_summary": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
@@ -288,7 +288,7 @@ PINNED: dict[str, dict[str, int]] = {
     },
     "semdedup_prune": {
         "bhj": 1, "smj": 1, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 4,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 2,
     },
     "sequence_packing": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
@@ -328,7 +328,7 @@ PINNED: dict[str, dict[str, int]] = {
     },
     "mad_robust_scale": {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 6,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 4,
     },
     "parameterized_sql_surface": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
@@ -402,7 +402,7 @@ PINNED: dict[str, dict[str, int]] = {
     # TakeOrderedAndProject (topN)
     "cooccurrence_lift": {
         "bhj": 3, "smj": 0, "shj": 0, "bnlj": 1,
-        "wgl": 0, "topN": 1, "partialAgg": 3, "exch": 8,
+        "wgl": 0, "topN": 1, "partialAgg": 3, "exch": 5,
     },
     # second aggregate is a rollup of the first's keys: two exchanges
     # total, no third
@@ -452,7 +452,7 @@ PINNED: dict[str, dict[str, int]] = {
     # PartitionFilter itself is asserted in test_integrity_properties
     "dynamic_partition_pruning_agg": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 1,
     },
     "string_agg_surface": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
@@ -505,7 +505,7 @@ PINNED.update({
     },
     "countmin_heavy_hitters": {
         "bhj": 5, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 2, "partialAgg": 5, "exch": 7,
+        "wgl": 0, "topN": 2, "partialAgg": 5, "exch": 5,
     },
     "dq_constraint_report": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
@@ -513,7 +513,7 @@ PINNED.update({
     },
     "dq_metric_drift": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 2,
-        "wgl": 0, "topN": 0, "partialAgg": 10, "exch": 7,
+        "wgl": 0, "topN": 0, "partialAgg": 10, "exch": 6,
     },
     "dup_graph_triangles": {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 1,
@@ -524,11 +524,11 @@ PINNED.update({
     # more exchanges, all parallel and bounded
     "embedding_drift_epochs": {
         "bhj": 3, "smj": 0, "shj": 0, "bnlj": 2,
-        "wgl": 0, "topN": 0, "partialAgg": 12, "exch": 10,
+        "wgl": 0, "topN": 0, "partialAgg": 12, "exch": 7,
     },
     "funnel_conversion": {
         "bhj": 3, "smj": 0, "shj": 0, "bnlj": 2,
-        "wgl": 0, "topN": 0, "partialAgg": 7, "exch": 8,
+        "wgl": 0, "topN": 0, "partialAgg": 7, "exch": 7,
     },
     "kmeans_two_iter": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 2,
@@ -540,7 +540,7 @@ PINNED.update({
     },
     "minhash_lsh_capped": {
         "bhj": 9, "smj": 0, "shj": 0, "bnlj": 2,
-        "wgl": 0, "topN": 0, "partialAgg": 23, "exch": 17,
+        "wgl": 0, "topN": 0, "partialAgg": 23, "exch": 7,
     },
     "nation_profit": {
         "bhj": 4, "smj": 0, "shj": 0, "bnlj": 0,
@@ -548,7 +548,7 @@ PINNED.update({
     },
     "ngram_jaccard_pairs": {
         "bhj": 3, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 4,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 3,
     },
     "parts_supplier_counts": {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 0,
@@ -584,7 +584,7 @@ PINNED.update({
     },
     "small_quantity_revenue": {
         "bhj": 3, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 5,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 4,
     },
     "snapshot_diff": {
         "bhj": 0, "smj": 1, "shj": 0, "bnlj": 0,
@@ -602,7 +602,7 @@ PINNED.update({
     },
     "unigram_logprob_quality": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 1,
-        "wgl": 0, "topN": 0, "partialAgg": 8, "exch": 6,
+        "wgl": 0, "topN": 0, "partialAgg": 8, "exch": 4,
     },
     "union_all_labels": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,

@@ -52,6 +52,12 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = wanted - set(qs)
+    if unknown:
+        # a typo'd subset name silently checking NOTHING would print
+        # "0 mismatches" and exit 0 — fail loudly instead
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
     names = [n for n in qs if not wanted or n in wanted]
     bad: list[tuple[str, str]] = []
     t0 = time.time()
