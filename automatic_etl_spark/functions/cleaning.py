@@ -218,8 +218,19 @@ def clean_floats(c: Column | str, from_text: bool = False) -> Column:
 def bool_to_int(c: Column | str) -> Column:
     """try_cast, not cast: under ANSI mode a plain CAST('yes' AS INT)
     throws and fails the whole job — this module's contract is
-    null-on-error everywhere (see header)."""
-    return _col(c).try_cast("boolean").try_cast("int")
+    null-on-error everywhere (see header).
+
+    The numeric path comes FIRST: tinyint(1) sources can carry values
+    other than 0/1, and routing them through a boolean cast would
+    truthiness-coerce (2 → 1, -5 → 1) instead of value-preserving the
+    way the reference's int() conversion does. Only inputs that are
+    not directly int-castable (booleans, 'yes'/'true'/'false' strings)
+    fall back to the boolean path."""
+    col = _col(c)
+    return F.coalesce(
+        col.try_cast("int"),
+        col.try_cast("boolean").try_cast("int"),
+    )
 
 
 # --- C12: mojibake repair ----------------------------------------------------

@@ -81,31 +81,40 @@ def ingest_table(
     # MISMATCH on every intended dedup shrink and could never separate
     # designed shrinkage from real loss. src_cnt stays in the report
     # so the shrinkage itself remains observable (diff = src - snk).
-    raw = source.groupBy(F.col(key).alias(key)).agg(
-        F.count("*").alias("src_cnt")
-    )
-    exp = expected.groupBy(F.col(key).alias(key)).agg(
-        F.count("*").alias("expected_cnt")
-    )
-    snk = sink.groupBy(F.col(key).alias(key)).agg(
-        F.count("*").alias("snk_cnt")
-    )
-    src_c = F.coalesce(F.col("src_cnt"), F.lit(0))
-    exp_c = F.coalesce(F.col("expected_cnt"), F.lit(0))
-    snk_c = F.coalesce(F.col("snk_cnt"), F.lit(0))
-    return (
-        raw.join(exp, key, "full_outer")
-        .join(snk, key, "full_outer")
-        .select(
-            key,
-            src_c.alias("src_cnt"),
-            exp_c.alias("expected_cnt"),
-            snk_c.alias("snk_cnt"),
-            (src_c - snk_c).alias("diff"),
-            F.when(exp_c == snk_c, F.lit("OK"))
-            .otherwise(F.lit("MISMATCH"))
-            .alias("verdict"),
+    # NULL-SAFE three-way pairing as union-then-aggregate, not three
+    # full-outer equi-joins: a plain equi-join never matches NULL=NULL,
+    # so a NULL audit key that reconciles perfectly would split into
+    # exp-only/snk-only rows with spurious MISMATCH verdicts, while
+    # groupBy treats NULL as an ordinary group. It is also the cheaper
+    # plan — ONE shuffle on the key (map-side partial counts per
+    # branch) instead of three groupBy exchanges plus join exchanges.
+    def _tagged(df: DataFrame, s: int, e: int, k: int) -> DataFrame:
+        return df.select(
+            F.col(key).alias(key),
+            F.lit(s).alias("__src"),
+            F.lit(e).alias("__exp"),
+            F.lit(k).alias("__snk"),
         )
+
+    unioned = (
+        _tagged(source, 1, 0, 0)
+        .unionAll(_tagged(expected, 0, 1, 0))
+        .unionAll(_tagged(sink, 0, 0, 1))
+    )
+    counted = unioned.groupBy(key).agg(
+        F.sum("__src").alias("src_cnt"),
+        F.sum("__exp").alias("expected_cnt"),
+        F.sum("__snk").alias("snk_cnt"),
+    )
+    return counted.select(
+        key,
+        "src_cnt",
+        "expected_cnt",
+        "snk_cnt",
+        (F.col("src_cnt") - F.col("snk_cnt")).alias("diff"),
+        F.when(F.col("expected_cnt") == F.col("snk_cnt"), F.lit("OK"))
+        .otherwise(F.lit("MISMATCH"))
+        .alias("verdict"),
     )
 
 

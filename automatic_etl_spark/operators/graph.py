@@ -59,21 +59,27 @@ def connected_components(
     dst_col: str = "b_id",
     max_iter: int = 20,
     compress: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node with its component's MINIMUM node id.
 
     ``nodes``: one row per node (singletons included — unpaired docs
     become their own component). ``edges``: undirected pairs.
-    Returns (node, component).
+    Returns (node, component). When ``stats`` is a dict, it receives
+    ``{"rounds": n}`` on return — the number of hook rounds executed
+    including the final no-change probe round (the observable the
+    round-count pin and the compress-crossover analysis rest on).
 
     ``compress=True`` adds a pointer-jumping step per round
     (Shiloach-Vishkin hook+compress): after the neighbor-min hook,
     every label is replaced by its label's label (p(u) := p(p(u)) via
     one self-join). Information reach then grows ~2^t instead of t, so
     rounds drop from O(diameter) to O(log diameter) at the cost of a
-    second shuffle join per round. Use it when cluster diameters are
-    pathological (long chains); plain label propagation wins on the
-    tight near-dup cliques where diameter ≈ 2-3. Both variants
+    second shuffle join per round. Measured crossover (COVERAGE.md r8
+    attribution): a compress round costs ~1.6× a plain round, so
+    compress wins when diameter+1 > 1.6·(⌈log₂ d⌉+1) — **d ≥ 4**. Use
+    it for long chains; plain label propagation stays the default on
+    the tight near-dup cliques where diameter ≈ 1-3. Both variants
     converge to the identical min-label fixpoint (compress is a no-op
     at the fixpoint, where every label is already the component min,
     so the hook-only convergence probe remains exact).
@@ -94,7 +100,9 @@ def connected_components(
     ).localCheckpoint(eager=True)
     prev_ckpt = labels
 
-    for _ in range(max_iter):
+    for round_no in range(1, max_iter + 1):
+        if stats is not None:
+            stats["rounds"] = round_no
         nbr_min = (
             labels.join(sym, labels["node"] == sym["src"])
             .groupBy(F.col("dst").alias("node"))

@@ -235,21 +235,20 @@ def ddl_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply it TWICE (IF NOT EXISTS must no-op), load via INSERT INTO
     ... SELECT, and aggregate through the catalog table. Proves the
     generated DDL round-trips data exactly."""
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from automatic_etl_spark.operators.ddl import TableLayout, create_table_sql
+    from automatic_etl_spark.scratch import scratch_dir
 
     cust = table(spark, sf_dir, "customer")
     name = f"ddl_rt_{uuid.uuid4().hex[:8]}"
-    # Fixed per-process LOCATION, cleared at call start: DROP TABLE on
-    # an external-LOCATION table removes only catalog metadata, so a
-    # fresh mkdtemp per call stranded the inserted parquet on disk
-    # (the storage_plans dpo_audit precedent).
-    loc = os.path.join(tempfile.gettempdir(), "spark_graft_ddl_rt")
-    shutil.rmtree(loc, ignore_errors=True)
+    # Fixed per-(process, site) LOCATION, cleared at call start: DROP
+    # TABLE on an external-LOCATION table removes only catalog
+    # metadata, so a fresh mkdtemp per call stranded the inserted
+    # parquet on disk (the storage_plans dpo_audit precedent). The pid
+    # component in scratch_dir keeps concurrent processes from
+    # deleting each other's live table data.
+    loc = scratch_dir("ddl_rt")
     ddl = create_table_sql(
         name,
         cust.schema,
@@ -651,22 +650,20 @@ def self_repair_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     which succeeds. The aggregate over the repaired table must equal
     the aggregate over the source — repair loses no data — and the
     status row pins attempts=2 / repaired=true."""
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from automatic_etl_spark.orchestrator import Orchestrator, Phase
+    from automatic_etl_spark.scratch import scratch_dir
 
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
     )
     name = f"repair_rt_{uuid.uuid4().hex[:8]}"
     view = f"src_{name}"
-    # fixed per-process LOCATION, cleared at call start (DROP TABLE on
-    # an external table leaves its parquet behind — see ddl_apply)
-    loc = os.path.join(tempfile.gettempdir(), "spark_graft_repair_rt")
-    shutil.rmtree(loc, ignore_errors=True)
+    # fixed per-(process, site) LOCATION, cleared at call start (DROP
+    # TABLE on an external table leaves its parquet behind — see
+    # ddl_apply; pid component isolates concurrent processes)
+    loc = scratch_dir("repair_rt")
 
     def ingest(_ctx):
         spark.sql(f"INSERT INTO {name} SELECT * FROM {view}")

@@ -842,23 +842,25 @@ def disjunctive_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def value_share_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: groups whose share of the GLOBAL sum exceeds a
-    fraction. ONE scan and ONE shuffle: the global total is a window
-    sum over the already-tiny per-user DECIMAL rollup (decimal
-    addition is exact and associative, so it equals the oracle's
-    whole-table decimal sum bit-for-bit), the same idiom
-    top_supplier_revenue uses — a separate events.agg() branch would
-    scan and partially aggregate the fact table twice."""
-    from pyspark.sql import Window
-
+    fraction. The global total is a 1-row aggregate OF the per-user
+    DECIMAL rollup (decimal addition is exact and associative, so it
+    equals the oracle's whole-table decimal sum bit-for-bit),
+    broadcast-crossJoined back onto the rollup. NOT a
+    Window.partitionBy() over the rollup: user cardinality scales with
+    the data, and an unpartitioned window funnels every distinct user
+    through one task — the single-partition anti-pattern this module's
+    scale notes reject. The fact table is still scanned and shuffled
+    once: both branches consume the same per-user aggregate exchange,
+    which Spark's ReuseExchange collapses."""
     events = table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("user_total_dec")
     )
-    w = Window.partitionBy()  # global window over the per-user rollup
+    total = per_user.agg(
+        F.sum("user_total_dec").cast("double").alias("__total")
+    )
     return (
-        per_user.withColumn(
-            "__total", F.sum("user_total_dec").over(w).cast("double")
-        )
+        per_user.crossJoin(F.broadcast(total))
         .select(
             "user_id",
             F.col("user_total_dec").cast("double").alias("user_total"),
@@ -890,14 +892,18 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the max-over-AGGREGATE filter — suppliers
     whose quarterly revenue equals the maximum quarterly revenue. The
     heavy reduction (per-supplier revenue) happens once; the scalar
-    max is a window over that already-tiny aggregate, so the fact
+    max is a broadcast 1-row aggregate of that rollup, so the fact
     table is scanned and shuffled exactly once. Exact decimal sums
     make the equality comparison engine-stable."""
-    from pyspark.sql import Window
-
+    # The explicit isnotnull(l_suppkey) matches the constraint the
+    # downstream supplier join infers on its branch — without it the
+    # two consumers of `rev` canonicalize differently and AQE cannot
+    # reuse the per-supplier aggregate's shuffle (the fact table would
+    # be scanned and shuffled twice).
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        & F.col("l_suppkey").isNotNull()
     )
     rev = (
         li.groupBy("l_suppkey").agg(
@@ -911,9 +917,13 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     supplier = table(spark, sf_dir, "supplier")
-    w = Window.partitionBy()  # global window over the per-supplier rollup
+    # Scalar max as a broadcast 1-row aggregate of the rollup, not an
+    # unpartitioned window: supplier cardinality scales with the data,
+    # and Window.partitionBy() would funnel the whole rollup through
+    # one task. ReuseExchange keeps the fact scan/shuffle single.
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
     return (
-        rev.withColumn("__mx", F.max("total_rev").over(w))
+        rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("__mx"))
         .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")

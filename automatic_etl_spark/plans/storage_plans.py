@@ -716,20 +716,18 @@ def dynamic_partition_overwrite_agg(
     in flight (true for the single-threaded driver/bench harnesses;
     a multi-tenant session would need the DataFrameWriterV2
     ``overwritePartitions()`` API instead of the conf)."""
-    import os
-    import shutil
-    import tempfile
+    from automatic_etl_spark.scratch import scratch_dir
 
     ev = table(spark, sf_dir, "events")
-    # ONE fixed per-process target, cleared at call start: a fresh
-    # mkdtemp per call leaked one tree per bench/test invocation, and
-    # deleting it before returning forced a localCheckpoint that made
-    # the returned plan a bare checkpoint scan — vacuous under the
-    # fingerprint gate. The upfront rmtree also evicts stale partitions
-    # a previous call at a different SF would otherwise leave for the
-    # dynamic overwrite to miss.
-    target = os.path.join(tempfile.gettempdir(), "spark_graft_dpo_audit")
-    shutil.rmtree(target, ignore_errors=True)
+    # ONE fixed per-(process, site) target, cleared at call start: a
+    # fresh mkdtemp per call leaked one tree per bench/test invocation,
+    # and deleting it before returning forced a localCheckpoint that
+    # made the returned plan a bare checkpoint scan — vacuous under the
+    # fingerprint gate. scratch_dir's clear-at-start also evicts stale
+    # partitions a previous call at a different SF would otherwise
+    # leave for the dynamic overwrite to miss, and its pid component
+    # keeps concurrent processes off each other's live partitions.
+    target = scratch_dir("dpo_audit")
     ev.repartition(5, "event_type").write.partitionBy(
         "event_type"
     ).mode("overwrite").parquet(target)

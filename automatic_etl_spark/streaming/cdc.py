@@ -192,17 +192,28 @@ def foreach_batch_upsert_partitioned(
         # key), so the distinct is a plain aggregate; deriving it from
         # `deduped` would execute the row_number window twice per
         # batch.
-        touched = [
+        values = [
             r[0]
             for r in batch_df.select(partition_col).distinct().collect()
-            if r[0] is not None
         ]
-        if not touched:
-            return
+        touched = [v for v in values if v is not None]
+        has_null = len(touched) != len(values)
+        if not values:
+            return  # empty micro-batch
         if _path_exists(spark, target_path):
-            existing = spark.read.parquet(target_path).filter(
+            # NULL partition values land in Spark's default partition
+            # directory; isin() never matches NULL, so they need an
+            # explicit isNull() branch or the dynamic overwrite would
+            # clobber the default partition without merging — silent
+            # data loss for NULL partition keys.
+            cond = (
                 F.col(partition_col).isin(touched)
+                if touched
+                else F.lit(False)
             )
+            if has_null:
+                cond = cond | F.col(partition_col).isNull()
+            existing = spark.read.parquet(target_path).filter(cond)
             merged = cdc_microbatch_dedup(
                 existing.unionByName(deduped), keys, version_cols
             )

@@ -1,0 +1,79 @@
+"""Cross-round bench drift gate (VERDICT r7 #5).
+
+BENCH_r05/r06 lost their per-query maps to stdout truncation; since
+r7, every `bench.py` run writes the full map to
+``logs/bench_detail.json`` (untracked). The previous round's detail is
+now COMMITTED under ``bench_baselines/``, and this gate compares the
+most recent local run against it: any query slower by more than 2×
+the recorded sample-pair noise band is flagged.
+
+Methodology (matches COVERAGE.md "Bench drift check"): bench measures
+best-of-2 per query and records both samples in ``runs``. On this VM,
+identical idle-machine runs scatter multi-x on multi-job iterative
+queries (near_dup_canonical 10-30 s documented), so the band is the
+LARGER of the two runs' own sample spreads — a query is only flagged
+when its slowdown exceeds twice what its own samples say is noise,
+AND the absolute delta is > 0.75 s (sub-second queries scatter ±2×
+in both directions; that floor is the documented noise regime, not
+drift).
+
+The gate SKIPS when there is no fresh local detail file — it guards
+rounds where bench actually ran, it does not run bench itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASELINE = os.path.join(
+    REPO, "bench_baselines", "bench_detail_r07.json"
+)
+CURRENT = os.path.join(REPO, "logs", "bench_detail.json")
+
+ABS_FLOOR_SEC = 0.75
+
+
+def _spread(pair: list[float]) -> float:
+    lo, hi = min(pair), max(pair)
+    return hi / lo if lo > 0 else 1.0
+
+
+def test_bench_drift_vs_committed_baseline():
+    if not os.path.exists(CURRENT):
+        pytest.skip("no local bench run (logs/bench_detail.json absent)")
+    with open(BASELINE) as fh:
+        base = json.load(fh)
+    with open(CURRENT) as fh:
+        cur = json.load(fh)
+
+    flagged = []
+    common = set(base["queries"]) & set(cur["queries"])
+    assert len(common) >= 100, (
+        f"only {len(common)} common queries vs baseline — the headliner "
+        "set shrank; regenerate the baseline deliberately"
+    )
+    for q in sorted(common):
+        b, c = base["queries"][q], cur["queries"][q]
+        if c <= b or (c - b) < ABS_FLOOR_SEC:
+            continue
+        band = max(
+            _spread(base["runs"].get(q, [b])),
+            _spread(cur["runs"].get(q, [c])),
+            1.0,
+        )
+        if c / b > 2.0 * band:
+            flagged.append(
+                f"{q}: {b:.2f}s -> {c:.2f}s ({c / b:.1f}x, "
+                f"noise band {band:.1f}x)"
+            )
+    assert not flagged, (
+        "bench drift beyond 2x the sample-pair noise band vs "
+        "bench_baselines/bench_detail_r07.json:\n  "
+        + "\n  ".join(flagged)
+        + "\nIf the slowdown is a deliberate plan change, regenerate "
+        "the baseline in the same commit."
+    )

@@ -197,6 +197,23 @@ def test_bool_to_int_ansi_safe(spark):
             for r in df.select(cl.bool_to_int("s").alias("b")).collect()
         ]
         assert got == [1, 1, 0, None]
+        # numeric inputs are VALUE-PRESERVED, not truthiness-coerced:
+        # tinyint(1) sources can carry 2 / -5, which must survive as-is
+        # (r7 advice — the boolean path would map both to 1)
+        nums = spark.createDataFrame(
+            [(0,), (1,), (2,), (-5,)], "n int"
+        )
+        got_n = [
+            r["b"]
+            for r in nums.select(cl.bool_to_int("n").alias("b")).collect()
+        ]
+        assert got_n == [0, 1, 2, -5]
+        strs = spark.createDataFrame([("2",), ("0",)], "s string")
+        got_s = [
+            r["b"]
+            for r in strs.select(cl.bool_to_int("s").alias("b")).collect()
+        ]
+        assert got_s == [2, 0]
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
 

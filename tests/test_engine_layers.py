@@ -404,6 +404,60 @@ def test_jdbc_e2e_derby_roundtrip(spark, tmp_path):
     assert spark.read.parquet(target).count() == 200
 
 
+def test_ingest_audit_null_key_reconciles(spark, tmp_path):
+    """A NULL audit key that reconciles perfectly must produce ONE OK
+    row, not exp-only/snk-only MISMATCH splits (r7 advice — the
+    union-then-aggregate audit groups NULL like any other key)."""
+    from automatic_etl_spark.ingest import IngestSpec, ingest_table
+
+    src = spark.createDataFrame(
+        [(None, "x"), (None, "y"), (1, "a"), (2, "b")],
+        "k int, v string",
+    )
+    audit = ingest_table(
+        spark, src, str(tmp_path / "null_key_tgt"),
+        IngestSpec(audit_key="k"),
+    ).collect()
+    rows = {r["k"]: r for r in audit}
+    assert len(audit) == 3  # NULL is ONE group
+    assert rows[None]["src_cnt"] == 2
+    assert rows[None]["snk_cnt"] == 2
+    assert {r["verdict"] for r in audit} == {"OK"}
+
+
+def test_scratch_dir_is_process_isolated():
+    """scratch_dir roots embed the pid (r7 advice): two concurrent
+    processes invoking the same call site must not rmtree each other's
+    live staged inputs. The clear-at-call-start behavior stays within
+    a process."""
+    import os
+    import subprocess
+    import sys
+
+    from automatic_etl_spark.scratch import scratch_dir
+
+    d = scratch_dir("t_pid_iso")
+    assert f"pid{os.getpid()}" in d
+    marker = os.path.join(d, "live.txt")
+    with open(marker, "w") as fh:
+        fh.write("mine")
+    # another process hitting the SAME site gets its own tree and
+    # leaves ours alone; its tree is removed at its interpreter exit
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from automatic_etl_spark.scratch import scratch_dir;"
+         "print(scratch_dir('t_pid_iso'))"],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    ).stdout.strip()
+    assert out != d
+    assert os.path.exists(marker)  # our live file survived
+    assert not os.path.exists(out)  # their root cleaned at exit
+    # same process, same site: cleared at call start (the residue
+    # guarantee that motivated scratch_dir in the first place)
+    d2 = scratch_dir("t_pid_iso")
+    assert d2 == d and not os.path.exists(marker)
+
+
 def test_jdbc_write_options():
     src = jdbc.JdbcSource(url="jdbc:mysql://h:3306/db", user="u", password="p")
     opts = jdbc.write_options(src, "db.t", truncate=True)

@@ -134,6 +134,40 @@ def test_pointer_doubling_log_rounds_on_chain(spark):
     )
 
 
+def test_near_dup_cc_round_count_pinned(spark, sf_dir):
+    """Round-count pin for the fixture chain corpus (VERDICT r7 #3):
+    the planted clusters are {d, d+1M, d+2M}. At sf0.001/sf0.01 every
+    triangle edge clears Jaccard (diameter 1 → 2 plain rounds: 1
+    effective + the no-change probe); at sf0.1 the long-suffix edge
+    d↔d+2M fails verification on some docs, leaving 3-node paths
+    (diameter 2 → 3 plain rounds — the number in COVERAGE.md's
+    attribution). Pointer doubling stays at 2 in both regimes. Any count above these means the verified edge set — and
+    near_dup_canonical's cost — changed shape; re-run
+    tools/attr_near_dup.py and update COVERAGE.md in the same commit.
+    """
+    from automatic_etl_spark.operators.graph import connected_components
+    from automatic_etl_spark.plans.curation_plans import _near_dup_edges
+
+    expected_plain = {
+        "/root/testdata/sf0.001": 2,
+        "/root/testdata/sf0.01": 2,
+        "/root/testdata/sf0.1": 3,
+    }
+    corpus, edges = _near_dup_edges(spark, sf_dir)
+    nodes = corpus.select("doc_id")
+    plain_stats: dict = {}
+    plain = connected_components(nodes, edges, stats=plain_stats)
+    fast_stats: dict = {}
+    fast = connected_components(
+        nodes, edges, compress=True, stats=fast_stats
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, fast.collect())
+    )
+    assert plain_stats["rounds"] == expected_plain.get(sf_dir, 3)
+    assert fast_stats["rounds"] == 2
+
+
 def test_connected_components_explicit_graph(spark):
     """Chain a-b-c, triangle d-e-f, singleton g → 3 components labeled
     by their minimum node id."""

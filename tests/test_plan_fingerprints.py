@@ -558,16 +558,18 @@ PINNED.update({
         "bhj": 4, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 5,
     },
-    # r7: the three-way audit (raw + expected + sink counts, null-safe
-    # joined) crossed the >=4-exchange bar — pinned per the coverage
-    # rule; every exchange is over a per-key count frame
+    # r8: the three-way audit is union-then-aggregate — NULL keys
+    # group naturally (no eqNullSafe joins needed) and the whole audit
+    # costs ONE shuffle on the key; with the dedup window's exchange
+    # that's 2 total, down from r7's 5 (dropped below the >=4 bar but
+    # the pins stay — the e2e plan shape is load-bearing)
     "ingest_e2e": {
-        "bhj": 0, "smj": 2, "shj": 0, "bnlj": 0,
-        "wgl": 2, "topN": 0, "partialAgg": 3, "exch": 5,
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 2, "topN": 0, "partialAgg": 3, "exch": 2,
     },
     "pipeline_e2e": {
-        "bhj": 0, "smj": 2, "shj": 0, "bnlj": 0,
-        "wgl": 2, "topN": 0, "partialAgg": 3, "exch": 5,
+        "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 2, "topN": 0, "partialAgg": 3, "exch": 2,
     },
     # r7: null-safe key pairing (eqNullSafe) re-partitions the two
     # tiny post-aggregate count frames — +2 exchanges over frames

@@ -166,6 +166,39 @@ def test_foreach_batch_upsert_partitioned_prunes(spark):
     assert feb_after != set(feb_files)
 
 
+def test_foreach_batch_upsert_partitioned_null_partition_merges(spark):
+    """NULL partition keys are MERGED, not dropped or clobbered (r7
+    advice): rows land in the default partition directory, and a later
+    batch touching the NULL partition must last-writer-wins against the
+    existing NULL-partition state instead of overwriting it blind. An
+    all-NULL batch must not be silently skipped either."""
+    target = scratch_dir("t_part_upsert_null") + "/silver"
+    apply_fn = cdc.foreach_batch_upsert_partitioned(
+        target, keys=["id"], version_cols=["_ts_ms"], partition_col="month"
+    )
+    # batch 0: one normal row, one NULL-partition row
+    b0 = spark.createDataFrame(
+        [(1, "a1", 100, "2024-01"), (9, "n1", 100, None)],
+        "id long, nombre string, _ts_ms long, month string",
+    )
+    apply_fn(b0, 0)
+    # batch 1: ALL rows NULL-partition — update id=9, insert id=10
+    b1 = spark.createDataFrame(
+        [(9, "n2", 200, None), (10, "m1", 150, None)],
+        "id long, nombre string, _ts_ms long, month string",
+    )
+    apply_fn(b1, 1)
+    state = {
+        r["id"]: (r["nombre"], r["month"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert state == {
+        1: ("a1", "2024-01"),  # untouched partition survives
+        9: ("n2", None),       # merged LWW inside the NULL partition
+        10: ("m1", None),      # inserted alongside, not clobbering 9
+    }
+
+
 def test_stateful_queries_match_under_rocksdb_state_store(spark, sf_dir):
     """The RocksDB state store (what large-state production streams
     run — state spills to disk instead of living on the JVM heap) must

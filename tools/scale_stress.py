@@ -162,6 +162,21 @@ QUERIES = (
                                 # alphabet rotation keeps replica
                                 # vocabularies disjoint -> pair work
                                 # scales linearly with replicas
+    # round-8: the remaining bench top-10 headliners (VERDICT r7 #7a —
+    # the sf1-scale bench rows; shipping_priority is excluded, its
+    # lineitem input is not replicated by this harness)
+    "near_dup_canonical",       # the LSH front + CC + survivor agg;
+                                # planted chain classes recur per
+                                # replica (SHIFT % 20 == 0)
+    "stream_stream_join",       # two watermarked streams; user_id
+                                # shift keeps join-key density constant
+    "kmeans_two_iter",          # two exact unrolled iterations over a
+                                # 10x vector set, centroid frame fixed
+    "cdc_unwrap_dedup",         # Debezium unwrap + LWW dedup over a
+                                # 10x event envelope stream
+    "simhash_buckets",          # per-doc signature + bucket agg; the
+                                # alphabet rotation keeps replica
+                                # vocabularies (and buckets) disjoint
     # round-7: orders/customer replication (VERDICT r6 #4) brings the
     # three previously fingerprint-pinned pipelines into the harness
     "merge_three_way",          # one full-outer SMJ on the merge key;
