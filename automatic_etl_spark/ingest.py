@@ -88,9 +88,21 @@ def ingest_table(
     # groupBy treats NULL as an ordinary group. It is also the cheaper
     # plan — ONE shuffle on the key (map-side partial counts per
     # branch) instead of three groupBy exchanges plus join exchanges.
+    # The union compares keys in the EXPECTED frame's type: when
+    # clean_specs retypes the audit key (string source → int cleaned),
+    # a positional union would widen back to string and '007' vs 7
+    # would land in different groups, corrupting per-key diffs. The
+    # explicit try_cast mirrors the numeric coercion the previous
+    # equi-join audit applied; raw values that don't parse group under
+    # NULL (they could never have matched a cleaned key anyway).
+    exp_key_type = expected.schema[key].dataType
+
     def _tagged(df: DataFrame, s: int, e: int, k: int) -> DataFrame:
+        kcol = F.col(key)
+        if df.schema[key].dataType != exp_key_type:
+            kcol = kcol.try_cast(exp_key_type)
         return df.select(
-            F.col(key).alias(key),
+            kcol.alias(key),
             F.lit(s).alias("__src"),
             F.lit(e).alias("__exp"),
             F.lit(k).alias("__snk"),

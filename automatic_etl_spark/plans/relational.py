@@ -881,6 +881,9 @@ def value_share_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+              -- mirrors the engine's explicit filter: a NULL-suppkey
+              -- group must not hold the scalar MAX on either engine
+              AND l_suppkey IS NOT NULL
             GROUP BY l_suppkey
         )
         SELECT s_suppkey, s_name, total_rev

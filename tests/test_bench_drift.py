@@ -45,6 +45,11 @@ def _spread(pair: list[float]) -> float:
 def test_bench_drift_vs_committed_baseline():
     if not os.path.exists(CURRENT):
         pytest.skip("no local bench run (logs/bench_detail.json absent)")
+    if os.path.getmtime(CURRENT) < os.path.getmtime(BASELINE):
+        # the local detail predates the committed baseline (e.g. a
+        # stale file from a previous round after the baseline was
+        # deliberately regenerated) — it vouches for nothing
+        pytest.skip("local bench detail is older than the baseline")
     with open(BASELINE) as fh:
         base = json.load(fh)
     with open(CURRENT) as fh:

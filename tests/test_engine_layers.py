@@ -425,6 +425,29 @@ def test_ingest_audit_null_key_reconciles(spark, tmp_path):
     assert {r["verdict"] for r in audit} == {"OK"}
 
 
+def test_ingest_audit_retyped_key_reconciles(spark, tmp_path):
+    """When clean_specs retypes the audit key (string '007' → int 7),
+    the audit must compare keys in the CLEANED type: raw and cleaned
+    forms of one key are the same group, so diffs stay zero instead of
+    phantom +1/-1 splits (r8 review)."""
+    from automatic_etl_spark.ingest import IngestSpec, ingest_table
+
+    src = spark.createDataFrame(
+        [("007", "a"), ("7", "b"), ("12", "c")], "k string, v string"
+    )
+    audit = ingest_table(
+        spark, src, str(tmp_path / "retyped_tgt"),
+        IngestSpec(
+            clean_specs={"k": {"kind": "integer"}}, audit_key="k"
+        ),
+    ).collect()
+    rows = {r["k"]: r for r in audit}
+    assert set(rows) == {7, 12}  # '007' and '7' are ONE group
+    assert rows[7]["src_cnt"] == 2 and rows[7]["snk_cnt"] == 2
+    assert all(r["diff"] == 0 for r in audit)
+    assert {r["verdict"] for r in audit} == {"OK"}
+
+
 def test_scratch_dir_is_process_isolated():
     """scratch_dir roots embed the pid (r7 advice): two concurrent
     processes invoking the same call site must not rmtree each other's
@@ -443,11 +466,12 @@ def test_scratch_dir_is_process_isolated():
         fh.write("mine")
     # another process hitting the SAME site gets its own tree and
     # leaves ours alone; its tree is removed at its interpreter exit
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [sys.executable, "-c",
          "from automatic_etl_spark.scratch import scratch_dir;"
          "print(scratch_dir('t_pid_iso'))"],
-        capture_output=True, text=True, cwd="/root/repo", check=True,
+        capture_output=True, text=True, cwd=repo, check=True,
     ).stdout.strip()
     assert out != d
     assert os.path.exists(marker)  # our live file survived

@@ -3,6 +3,8 @@ the local mirror of the driver's CORRECTNESS gate."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from automatic_etl_spark.plans.all_plans import REGISTRY
@@ -148,11 +150,15 @@ def test_near_dup_cc_round_count_pinned(spark, sf_dir):
     from automatic_etl_spark.operators.graph import connected_components
     from automatic_etl_spark.plans.curation_plans import _near_dup_edges
 
-    expected_plain = {
-        "/root/testdata/sf0.001": 2,
-        "/root/testdata/sf0.01": 2,
-        "/root/testdata/sf0.1": 3,
-    }
+    # keyed on the fixture NAME (env overrides / symlinks / trailing
+    # slashes must not silently select the wrong pin), and unknown
+    # fixtures fail loudly instead of defaulting
+    expected_plain = {"sf0.001": 2, "sf0.01": 2, "sf0.1": 3}
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    assert sf_name in expected_plain, (
+        f"no round-count pin recorded for fixture {sf_name!r} — "
+        "measure it (tools/attr_near_dup.py) and add it here"
+    )
     corpus, edges = _near_dup_edges(spark, sf_dir)
     nodes = corpus.select("doc_id")
     plain_stats: dict = {}
@@ -164,7 +170,7 @@ def test_near_dup_cc_round_count_pinned(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, fast.collect())
     )
-    assert plain_stats["rounds"] == expected_plain.get(sf_dir, 3)
+    assert plain_stats["rounds"] == expected_plain[sf_name]
     assert fast_stats["rounds"] == 2
 
 
