@@ -64,13 +64,53 @@ def minhash_signatures(shingles_df: DataFrame, num_hashes: int = 8) -> DataFrame
     """One row per doc with columns h0..h{K-1} — the MinHash signature.
 
     Single groupBy (one shuffle) computing all K mins with map-side
-    partial aggregation; no per-hash passes.
+    partial aggregation; no per-hash passes. Prefer
+    :func:`minhash_signatures_wide` when starting from the documents
+    table — it needs NO shuffle at all; this row-form exists for
+    callers whose shingles are already exploded rows.
     """
     aggs = [
         F.min(hex_hash("shingle", salt=str(k))).alias(f"h{k}")
         for k in range(num_hashes)
     ]
     return shingles_df.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_wide(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signatures computed entirely MAP-SIDE: ``array_min``
+    over per-row transforms of the shingle array, no explode and no
+    groupBy. Value-identical to :func:`minhash_signatures` over
+    :func:`shingle_rows` (min is duplicate-insensitive and
+    lexicographic min over fixed-width hex equals numeric min), but
+    the doc×shingle shuffle — the single largest exchange in the LSH
+    front at corpus scale — disappears. Docs with fewer than ``n``
+    tokens yield no signature row (same visibility contract as the
+    row form: shingle-based strategies never see them)."""
+
+    def _minhash(sh: Column, k: int) -> Column:
+        return F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.substring(
+                    tx.md5_hex(F.concat(F.lit(f"{k}|"), s)), 1, 8
+                ),
+            )
+        )
+
+    sh = tx.shingles(text_col, n)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        sh.alias("__sh"),
+    ).filter(F.size("__sh") > 0).select(
+        "doc_id",
+        *[_minhash(F.col("__sh"), k).alias(f"h{k}") for k in range(num_hashes)],
+    )
 
 
 def lsh_band_keys(

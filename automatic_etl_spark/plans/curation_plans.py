@@ -126,7 +126,9 @@ def _near_dup_edges(
     every near-dup graph query (Spark mirror of _SQL_EDGE_CHAIN)."""
     corpus = _chain_corpus(spark, sf_dir)
     sh = td.shingle_rows(corpus)
-    signatures = td.minhash_signatures(sh, NUM_HASHES)
+    # signatures map-side (r8): no doc-shingle shuffle; sh rows feed
+    # only the Jaccard verification below
+    signatures = td.minhash_signatures_wide(corpus, NUM_HASHES)
     candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)
     edges = (
         td.jaccard_pairs(sh, candidates=candidates)

@@ -228,7 +228,9 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # InMemoryRelation); at 100 TB the LSH pipeline would instead
     # WRITE the shingle/signature tables once and verify from disk.
     sh = td.shingle_rows(corpus)
-    signatures = td.minhash_signatures(sh, NUM_HASHES)
+    # signatures map-side (r8): the doc×shingle shuffle the groupBy
+    # form paid is gone; sh rows feed only the Jaccard verification
+    signatures = td.minhash_signatures_wide(corpus, NUM_HASHES)
     candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)
     verified = td.jaccard_pairs(sh, candidates=candidates).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
@@ -325,8 +327,8 @@ def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    sh = td.shingle_rows(corpus)
-    signatures = td.minhash_signatures(sh, NUM_HASHES)
+    sh = td.shingle_rows(corpus)  # feeds the Jaccard verification only
+    signatures = td.minhash_signatures_wide(corpus, NUM_HASHES)
     keys = td.lsh_band_keys(signatures, BANDS, ROWS_PER_BAND)
     # ONE census frame feeds both the dropped-bucket report and the
     # cap filter: identical subtrees let ReusedExchange compute the
@@ -513,7 +515,7 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts over the same hashes, so buckets are engine-exact."""
     corpus = _corpus(spark, sf_dir, near_dups=True)
     sh = td.shingle_rows(corpus)
-    signatures = td.minhash_signatures(sh, NUM_HASHES)
+    signatures = td.minhash_signatures_wide(corpus, NUM_HASHES)
     candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)
 
     agree = sum(

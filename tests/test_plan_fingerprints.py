@@ -235,13 +235,17 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 2,
         "wgl": 0, "topN": 0, "partialAgg": 9, "exch": 3,
     },
+    # r8: map-side minhash signatures (minhash_signatures_wide) — the
+    # doc-shingle groupBy exchange disappears from every occurrence of
+    # the signature subtree (partialAgg/exch drops are the win, the
+    # smj->bhj flips follow from the now-tiny signature frame)
     "minhash_jaccard_calibration": {
-        "bhj": 9, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 13, "exch": 5,
+        "bhj": 7, "smj": 1, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 3,
     },
     "minhash_lsh_dedup": {
-        "bhj": 6, "smj": 0, "shj": 0, "bnlj": 1,
-        "wgl": 0, "topN": 0, "partialAgg": 14, "exch": 4,
+        "bhj": 5, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 4,
     },
     "multimodal_features_arrow": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
@@ -538,9 +542,10 @@ PINNED.update({
         "bhj": 7, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 4,
     },
+    # r8: wide signatures — see minhash_lsh_dedup note
     "minhash_lsh_capped": {
-        "bhj": 9, "smj": 0, "shj": 0, "bnlj": 2,
-        "wgl": 0, "topN": 0, "partialAgg": 23, "exch": 7,
+        "bhj": 7, "smj": 0, "shj": 0, "bnlj": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 7, "exch": 6,
     },
     "nation_profit": {
         "bhj": 4, "smj": 0, "shj": 0, "bnlj": 0,

@@ -55,8 +55,10 @@ def main() -> None:
 
     t0 = time.monotonic()
     corpus = _chain_corpus(spark, sf_dir).localCheckpoint(eager=True)
-    sh = td.shingle_rows(corpus).localCheckpoint(eager=True)
-    signatures = td.minhash_signatures(sh, NUM_HASHES)
+    # mirrors the r8 production front: map-side wide signatures (no
+    # doc-shingle shuffle); shingle rows are built only for the
+    # Jaccard-verify stage below
+    signatures = td.minhash_signatures_wide(corpus, NUM_HASHES)
     candidates = td.lsh_candidate_pairs(
         signatures, BANDS, ROWS_PER_BAND
     ).localCheckpoint(eager=True)
@@ -64,6 +66,7 @@ def main() -> None:
     out["lsh_front_sec"] = round(time.monotonic() - t0, 2)
 
     t0 = time.monotonic()
+    sh = td.shingle_rows(corpus)
     edges = (
         td.jaccard_pairs(sh, candidates=candidates)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
