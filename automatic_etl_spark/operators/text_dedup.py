@@ -91,7 +91,17 @@ def minhash_signatures_wide(
     the doc×shingle shuffle — the single largest exchange in the LSH
     front at corpus scale — disappears. Docs with fewer than ``n``
     tokens yield no signature row (same visibility contract as the
-    row form: shingle-based strategies never see them)."""
+    row form: shingle-based strategies never see them).
+
+    CHOOSE BY CONSUMER COUNT: the map-side build is recomputed at
+    every plan occurrence (there is no exchange for ReuseExchange to
+    collapse), so it wins when the signature frame feeds ONE consumer
+    chain (the band-key self-join reuses its own downstream exchange)
+    and loses when several distinct consumers each re-pay the md5×K
+    hashing — minhash_jaccard_calibration measured 2× slower wide
+    than row-form. Multi-consumer shapes should use the row form or
+    materialize this frame (at scale: write the signature table once
+    and join from it)."""
 
     def _minhash(sh: Column, k: int) -> Column:
         return F.array_min(

@@ -515,7 +515,14 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts over the same hashes, so buckets are engine-exact."""
     corpus = _corpus(spark, sf_dir, near_dups=True)
     sh = td.shingle_rows(corpus)
-    signatures = td.minhash_signatures_wide(corpus, NUM_HASHES)
+    # ROW-form signatures here, deliberately: this query consumes the
+    # signature frame THREE times (candidate build + both est-join
+    # sides), and the groupBy's shuffle is a ReusedExchange that
+    # amortizes the md5×K hashing across all three. The map-side wide
+    # form re-pays the hashing per consumer (bench A/B at sf0.1:
+    # row 1.2-1.7 s vs wide 4.2 s / wide+checkpoint 3.0 s), so the
+    # shuffle it saves costs more than it buys in this shape.
+    signatures = td.minhash_signatures(sh, NUM_HASHES)
     candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)
 
     agree = sum(

@@ -235,14 +235,17 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 2,
         "wgl": 0, "topN": 0, "partialAgg": 9, "exch": 3,
     },
+    # calibration stays on ROW-form signatures (3 consumers amortized
+    # by the groupBy's ReusedExchange — see the plan's comment; the
+    # wide form measured ~2x slower here)
+    "minhash_jaccard_calibration": {
+        "bhj": 9, "smj": 0, "shj": 0, "bnlj": 0,
+        "wgl": 0, "topN": 0, "partialAgg": 13, "exch": 5,
+    },
     # r8: map-side minhash signatures (minhash_signatures_wide) — the
     # doc-shingle groupBy exchange disappears from every occurrence of
     # the signature subtree (partialAgg/exch drops are the win, the
     # smj->bhj flips follow from the now-tiny signature frame)
-    "minhash_jaccard_calibration": {
-        "bhj": 7, "smj": 1, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 3,
-    },
     "minhash_lsh_dedup": {
         "bhj": 5, "smj": 0, "shj": 0, "bnlj": 1,
         "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 4,
