@@ -23,15 +23,20 @@ rounds where bench actually ran, it does not run bench itself.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BASELINE = os.path.join(
-    REPO, "bench_baselines", "bench_detail_r07.json"
-)
+# newest committed baseline wins (bench_detail_r07.json,
+# bench_detail_r08_local.json, ... sort lexicographically by round)
+BASELINE = sorted(
+    glob.glob(
+        os.path.join(REPO, "bench_baselines", "bench_detail_*.json")
+    )
+)[-1]
 CURRENT = os.path.join(REPO, "logs", "bench_detail.json")
 
 ABS_FLOOR_SEC = 0.75
@@ -77,7 +82,7 @@ def test_bench_drift_vs_committed_baseline():
             )
     assert not flagged, (
         "bench drift beyond 2x the sample-pair noise band vs "
-        "bench_baselines/bench_detail_r07.json:\n  "
+        f"{os.path.basename(BASELINE)}:\n  "
         + "\n  ".join(flagged)
         + "\nIf the slowdown is a deliberate plan change, regenerate "
         "the baseline in the same commit."
