@@ -279,6 +279,11 @@ def main() -> None:
         # both raw samples per query (timings = min of the two)
         "runs": runs,
         "errors": errors,
+        # ambient machine load at run end (1/5/15-min loadavg): the r8
+        # mid-round run showed a uniform ~2x cluster on untouched
+        # queries that normalized on an idle machine — recording load
+        # makes that forensics one field-read instead of a re-run
+        "loadavg_end": list(os.getloadavg()),
     }
     log_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "logs")
     os.makedirs(log_dir, exist_ok=True)
