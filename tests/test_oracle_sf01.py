@@ -4,9 +4,10 @@ The round-4 escape (`decimal_fidelity_agg`): every oracle passed the
 local gate at sf0.001 and one failed at the driver's sf0.01, because
 scale-dependent drift (more rows → more boundary values, different
 canonical representations) never ran in-repo. This tier runs the
-exact driver-check window (`__spark_entry__._CHECK_PRIORITY` — the 50
-queries the driver will compare this round) at sf0.01 with the same
-comparator, so that class of drift fails here first.
+whole `__spark_entry__._CHECK_PRIORITY` list — the 50-query window
+the driver will compare this round PLUS the cohort pre-staged for the
+next round — at sf0.01 with the same comparator, so that class of
+drift fails here first.
 """
 
 from __future__ import annotations

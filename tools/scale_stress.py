@@ -177,6 +177,12 @@ QUERIES = (
     "simhash_buckets",          # per-doc signature + bucket agg; the
                                 # alphabet rotation keeps replica
                                 # vocabularies (and buckets) disjoint
+    # round-8: the two event-table pipelines whose plans changed this
+    # round (union-then-aggregate audit; broadcast scalar share)
+    "ingest_e2e",               # clean->window-dedup->write->1-shuffle
+                                # NULL-safe audit; users x10 -> linear
+    "value_share_groups",       # per-user rollup + broadcast 1-row
+                                # total (was an unpartitioned window)
     # round-7: orders/customer replication (VERDICT r6 #4) brings the
     # three previously fingerprint-pinned pipelines into the harness
     "merge_three_way",          # one full-outer SMJ on the merge key;
