@@ -18,7 +18,7 @@ cannot pick survivors; connected components can.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from automatic_etl_spark.functions import text as tx
@@ -681,17 +681,20 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total
         ),
         per_doc AS (
+            -- exact integer micro-units: round-half-up of the EXACT
+            -- rational mean via (2p+q) // (2q). round() on the double
+            -- quotient diverges between engines at representation
+            -- boundaries (caught by the r8 sf0.1 oracle sweep).
             SELECT doc_id, lang,
-                   round(CAST(SUM(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
-                         / COUNT(*), 6) AS avg_surprisal
+                   (2 * SUM(CAST(floor(surprisal * 1e6 + 0.5) AS BIGINT))
+                      + COUNT(*)) // (2 * COUNT(*)) AS avg_micros
             FROM scored GROUP BY doc_id, lang
         )
         SELECT lang,
                COUNT(*) AS doc_cnt,
-               CAST(SUM(CAST(avg_surprisal AS DECIMAL(18,6))) AS DOUBLE)
-                   AS surprisal_total,
-               MAX(avg_surprisal) AS surprisal_max,
-               MIN(avg_surprisal) AS surprisal_min
+               CAST(SUM(avg_micros) AS DOUBLE) / 1e6 AS surprisal_total,
+               CAST(MAX(avg_micros) AS DOUBLE) / 1e6 AS surprisal_max,
+               CAST(MIN(avg_micros) AS DOUBLE) / 1e6 AS surprisal_min
         FROM per_doc GROUP BY lang
     """,
 )
@@ -720,21 +723,45 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("surprisal"),
         )
     )
-    per_doc = scored.groupBy("doc_id", "lang").agg(
-        F.round(
-            F.sum(F.col("surprisal").cast("decimal(18,6)")).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("avg_surprisal")
-    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(_avg_micros())
     return per_doc.groupBy("lang").agg(
         F.count("*").alias("doc_cnt"),
-        F.sum(F.col("avg_surprisal").cast("decimal(18,6)"))
-        .cast("double")
-        .alias("surprisal_total"),
-        F.max("avg_surprisal").alias("surprisal_max"),
-        F.min("avg_surprisal").alias("surprisal_min"),
+        (F.sum("avg_micros").cast("double") / F.lit(1e6)).alias(
+            "surprisal_total"
+        ),
+        (F.max("avg_micros").cast("double") / F.lit(1e6)).alias(
+            "surprisal_max"
+        ),
+        (F.min("avg_micros").cast("double") / F.lit(1e6)).alias(
+            "surprisal_min"
+        ),
     )
+
+
+def _avg_micros() -> Column:
+    """Per-doc mean surprisal in exact integer MICRO-units.
+
+    round-half-up of the exact rational mean p/q is the integer
+    (2p + q) div (2q) — integer arithmetic both engines compute
+    bit-identically. The previous ``round(double_quotient, 6)``
+    diverged between engines when the quotient's binary representation
+    straddles the half-microunit boundary: Spark rounds the exact
+    binary value (BigDecimal HALF_UP) while DuckDB rounds the
+    1e6-scaled double, and at sf0.1 two documents landed on such
+    boundaries (caught by this round's sf0.1 oracle sweep — the same
+    scale-dependent class as the r4 decimal escape). ``surprisal`` is
+    already rounded to 6dp, so floor(x*1e6 + 0.5) recovers its
+    micro-unit integer exactly (error ~1e-9 « 0.5); surprisals are
+    non-negative, so half-up and floor-division agree across engines.
+    """
+    micros = F.floor(F.col("surprisal") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    return F.call_function(
+        "div",
+        F.lit(2).cast("long") * F.sum(micros) + F.count(F.lit(1)),
+        F.lit(2).cast("long") * F.count(F.lit(1)),
+    ).alias("avg_micros")
 
 
 # --- Deterministic source-weighted sampling ----------------------------------
@@ -1298,17 +1325,17 @@ _BIGRAM_LM_ORACLE = f"""
         CROSS JOIN vocab
     ),
     per_doc AS (
+        -- exact micro-unit mean, same contract as the unigram sibling
         SELECT doc_id, lang,
-               round(CAST(SUM(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
-                     / COUNT(*), 6) AS avg_surprisal
+               (2 * SUM(CAST(floor(surprisal * 1e6 + 0.5) AS BIGINT))
+                  + COUNT(*)) // (2 * COUNT(*)) AS avg_micros
         FROM scored GROUP BY doc_id, lang
     )
     SELECT lang,
            COUNT(*) AS doc_cnt,
-           CAST(SUM(CAST(avg_surprisal AS DECIMAL(18,6))) AS DOUBLE)
-               AS surprisal_total,
-           MAX(avg_surprisal) AS surprisal_max,
-           MIN(avg_surprisal) AS surprisal_min
+           CAST(SUM(avg_micros) AS DOUBLE) / 1e6 AS surprisal_total,
+           CAST(MAX(avg_micros) AS DOUBLE) / 1e6 AS surprisal_max,
+           CAST(MIN(avg_micros) AS DOUBLE) / 1e6 AS surprisal_min
     FROM per_doc GROUP BY lang
 """
 
@@ -1359,18 +1386,16 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("surprisal"),
         )
     )
-    per_doc = scored.groupBy("doc_id", "lang").agg(
-        F.round(
-            F.sum(F.col("surprisal").cast("decimal(18,6)")).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("avg_surprisal")
-    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(_avg_micros())
     return per_doc.groupBy("lang").agg(
         F.count("*").alias("doc_cnt"),
-        F.sum(F.col("avg_surprisal").cast("decimal(18,6)"))
-        .cast("double")
-        .alias("surprisal_total"),
-        F.max("avg_surprisal").alias("surprisal_max"),
-        F.min("avg_surprisal").alias("surprisal_min"),
+        (F.sum("avg_micros").cast("double") / F.lit(1e6)).alias(
+            "surprisal_total"
+        ),
+        (F.max("avg_micros").cast("double") / F.lit(1e6)).alias(
+            "surprisal_max"
+        ),
+        (F.min("avg_micros").cast("double") / F.lit(1e6)).alias(
+            "surprisal_min"
+        ),
     )
