@@ -420,9 +420,10 @@ def fuzzy_match_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dangling mass is NOT redistributed (the Spark-examples PageRank
 # variant, pinned); isolated vectors keep the teleport term. Each
 # iteration is one join (ranks onto edges) + one (dst)-keyed groupBy
-# with map-side partial agg; per-edge contributions are rounded at
-# 1e-9 and summed as DECIMAL so the sum is independent of partitioning
-# and engine (round-then-cast at the same scale).
+# with map-side partial agg; per-edge contributions are quantized to
+# integer nano-units via the pinned IEEE floor(x*1e9+0.5) expression
+# and summed as BIGINT, so the sum is exact under any partitioning
+# and identical across engines (native round(x,9) is not — r8).
 
 _PR_DAMP = 0.85
 
@@ -430,24 +431,36 @@ _PR_DAMP = 0.85
 def _pr_iterate(ranks: DataFrame, sym: DataFrame, deg: DataFrame) -> DataFrame:
     """One PageRank round without the teleport term:
     (node, r) -> (node, r') where r' = 0.85 * sum of in-contributions;
-    the caller adds 0.15/N (it owns the broadcast N singleton)."""
+    the caller adds 0.15/N (it owns the broadcast N singleton).
+
+    Per-edge contributions are quantized to integer NANO-units with
+    the pinned IEEE expression floor(x*1e9 + 0.5) — NOT round(x, 9):
+    native round on a double diverges between engines when the scaled
+    value straddles a half-unit representation boundary (Spark rounds
+    the exact binary value, DuckDB the 1e9-scaled double; the r8 10×
+    sweep caught exactly that, the LM-score class). floor of the same
+    IEEE expression is bit-identical by construction, and the BIGINT
+    nano sums are exact under any merge order or partitioning."""
     contribs = (
         sym.join(ranks, sym.src == ranks.node)
         .join(deg, "src")
         .select(
             F.col("dst").alias("node"),
-            F.round(F.col("r") / F.col("d"), 9)
-            .cast("decimal(28,9)")
-            .alias("contrib"),
+            F.floor(
+                F.col("r") / F.col("d") * F.lit(1e9) + F.lit(0.5)
+            ).cast("long").alias("contrib_nanos"),
         )
         .groupBy("node")
-        .agg(F.sum("contrib").alias("s"))
+        .agg(F.sum("contrib_nanos").alias("s_nanos"))
     )
     return ranks.select("node").join(contribs, "node", "left").select(
         "node",
         (
             F.lit(_PR_DAMP)
-            * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            * (
+                F.coalesce(F.col("s_nanos"), F.lit(0)).cast("double")
+                / F.lit(1e9)
+            )
         ).alias("r"),
     )
 
@@ -480,27 +493,34 @@ def _pr_iterate(ranks: DataFrame, sym: DataFrame, deg: DataFrame) -> DataFrame:
             FROM embeddings CROSS JOIN nn
         ),
         c1 AS (
+            -- nano-unit contributions via the pinned IEEE expression
+            -- (floor(x*1e9+0.5), not round(x,9) — see _pr_iterate)
             SELECT s.dst AS node,
-                   SUM(CAST(round(r0.r / deg.d, 9) AS DECIMAL(28,9))) AS s
+                   SUM(CAST(floor(r0.r / deg.d * 1e9 + 0.5) AS BIGINT))
+                       AS s_nanos
             FROM sym s JOIN r0 ON s.src = r0.node JOIN deg ON s.src = deg.src
             GROUP BY s.dst
         ),
         r1 AS (
             SELECT r0.node,
                    0.15 / nn.n
-                   + {_PR_DAMP} * COALESCE(CAST(c1.s AS DOUBLE), 0.0) AS r
+                   + {_PR_DAMP}
+                     * (COALESCE(CAST(c1.s_nanos AS DOUBLE), 0.0) / 1e9) AS r
             FROM r0 CROSS JOIN nn LEFT JOIN c1 ON r0.node = c1.node
         ),
         c2 AS (
             SELECT s.dst AS node,
-                   SUM(CAST(round(r1.r / deg.d, 9) AS DECIMAL(28,9))) AS s
+                   SUM(CAST(floor(r1.r / deg.d * 1e9 + 0.5) AS BIGINT))
+                       AS s_nanos
             FROM sym s JOIN r1 ON s.src = r1.node JOIN deg ON s.src = deg.src
             GROUP BY s.dst
         )
         SELECT r1.node,
-               round(0.15 / nn.n
-                     + {_PR_DAMP} * COALESCE(CAST(c2.s AS DOUBLE), 0.0),
-                     9) AS pr
+               CAST(floor((0.15 / nn.n
+                           + {_PR_DAMP}
+                             * (COALESCE(CAST(c2.s_nanos AS DOUBLE), 0.0)
+                                / 1e9)) * 1e9 + 0.5) AS BIGINT)
+                   / 1e9 AS pr
         FROM r1 CROSS JOIN nn LEFT JOIN c2 ON r1.node = c2.node
     """,
 )
@@ -548,7 +568,15 @@ def pagerank_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pr_iterate(r1, sym, deg)
         .withColumnRenamed("r", "raw")
         .crossJoin(F.broadcast(n_df))
-        .select("node", F.round(base + F.col("raw"), 9).alias("pr"))
+        .select(
+            "node",
+            (
+                F.floor(
+                    (base + F.col("raw")) * F.lit(1e9) + F.lit(0.5)
+                ).cast("long").cast("double")
+                / F.lit(1e9)
+            ).alias("pr"),
+        )
     )
     return r2
 
