@@ -223,13 +223,19 @@ def bool_to_int(c: Column | str) -> Column:
     The numeric path comes FIRST: tinyint(1) sources can carry values
     other than 0/1, and routing them through a boolean cast would
     truthiness-coerce (2 → 1, -5 → 1) instead of value-preserving the
-    way the reference's int() conversion does. Only inputs that are
-    not directly int-castable (booleans, 'yes'/'true'/'false' strings)
-    fall back to the boolean path."""
+    way the reference's int() conversion does. The boolean fallback is
+    additionally gated to NON-numeric inputs: a numeric that merely
+    overflows INT32 (bigint 5e9, double 1e20, NaN) fails
+    try_cast('int') but would truthiness-collapse to 1 through a
+    boolean cast — silent corruption (r8 advice); under this module's
+    null-on-error contract it must become NULL instead. Only inputs
+    with no numeric reading at all (booleans, 'yes'/'true'/'false'
+    strings) reach the boolean path."""
     col = _col(c)
+    non_numeric = col.try_cast("double").isNull()
     return F.coalesce(
         col.try_cast("int"),
-        col.try_cast("boolean").try_cast("int"),
+        F.when(non_numeric, col.try_cast("boolean").try_cast("int")),
     )
 
 

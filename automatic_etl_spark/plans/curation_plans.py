@@ -676,8 +676,13 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
         total AS (SELECT SUM(cnt) AS n FROM vocab),
         scored AS (
+            -- per-token surprisal quantized STRAIGHT to integer
+            -- micro-units via the pinned IEEE floor(x*1e6+0.5) idiom
+            -- (r8 advice): native round(ln(...),6) was the same
+            -- half-boundary class one level below the mean.
             SELECT t.doc_id, t.lang,
-                   round(ln(CAST(total.n AS DOUBLE) / v.cnt), 6) AS surprisal
+                   CAST(floor(ln(CAST(total.n AS DOUBLE) / v.cnt)
+                              * 1e6 + 0.5) AS BIGINT) AS surprisal_micros
             FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN total
         ),
         per_doc AS (
@@ -686,7 +691,7 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- quotient diverges between engines at representation
             -- boundaries (caught by the r8 sf0.1 oracle sweep).
             SELECT doc_id, lang,
-                   (2 * SUM(CAST(floor(surprisal * 1e6 + 0.5) AS BIGINT))
+                   (2 * SUM(surprisal_micros)
                       + COUNT(*)) // (2 * COUNT(*)) AS avg_micros
             FROM scored GROUP BY doc_id, lang
         )
@@ -704,8 +709,9 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap statistical stand-in for model-based quality filtering.
     Two shuffles at scale: token-keyed vocab aggregate (zipfian-skewed;
     AQE skew handling applies) and doc-keyed mean; the 1-row total is
-    a broadcast. Per-token surprisals are rounded then summed as
-    DECIMAL so both engines aggregate identical values."""
+    a broadcast. Per-token surprisals quantize straight to integer
+    micro-units (see :func:`_surprisal_micros`) so both engines
+    aggregate identical BIGINTs."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(tx.tokens("text")).alias("tok")
@@ -718,9 +724,9 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.round(
-                F.log(F.col("n").cast("double") / F.col("cnt")), 6
-            ).alias("surprisal"),
+            _surprisal_micros(
+                F.log(F.col("n").cast("double") / F.col("cnt"))
+            ),
         )
     )
     per_doc = scored.groupBy("doc_id", "lang").agg(_avg_micros())
@@ -738,6 +744,30 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _surprisal_micros(ln_expr: Column) -> Column:
+    """Quantize a per-token ln-surprisal straight to integer
+    MICRO-units with the pinned IEEE idiom floor(x*1e6 + 0.5).
+
+    Through round 8 the per-token value was ``round(ln(...), 6)`` —
+    the same native-round half-boundary class that `_avg_micros`
+    removed one level up (Spark rounds the exact binary double via
+    BigDecimal HALF_UP, DuckDB rounds the 1e6-scaled double). The
+    single floor expression is one IEEE multiply+add+floor both
+    engines evaluate identically over the same input double.
+    Surprisals here are non-negative by construction (the log argument
+    is ≥ 1 in both LM queries), so floor(x+0.5) IS half-up. Residual
+    (accepted, documented): the ``ln`` itself is computed by each
+    engine's libm — an input whose ln lands within 1 ulp of an exact
+    half-microunit could still diverge; unlike rational means there is
+    no exact-arithmetic form for ln, and the class is measure-zero
+    (none observed across the sf0.001→pseudo-sf1 sweeps)."""
+    return (
+        F.floor(ln_expr * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("surprisal_micros")
+    )
+
+
 def _avg_micros() -> Column:
     """Per-doc mean surprisal in exact integer MICRO-units.
 
@@ -748,15 +778,14 @@ def _avg_micros() -> Column:
     straddles the half-microunit boundary: Spark rounds the exact
     binary value (BigDecimal HALF_UP) while DuckDB rounds the
     1e6-scaled double, and at sf0.1 two documents landed on such
-    boundaries (caught by this round's sf0.1 oracle sweep — the same
-    scale-dependent class as the r4 decimal escape). ``surprisal`` is
-    already rounded to 6dp, so floor(x*1e6 + 0.5) recovers its
-    micro-unit integer exactly (error ~1e-9 « 0.5); surprisals are
+    boundaries (caught by the r8 sf0.1 oracle sweep — the same
+    scale-dependent class as the r4 decimal escape). Inputs are the
+    already-integer ``surprisal_micros`` (see :func:`_surprisal_micros`
+    — since r9 the per-token value never exists as a rounded double),
+    so the whole mean is integer arithmetic; surprisals are
     non-negative, so half-up and floor-division agree across engines.
     """
-    micros = F.floor(F.col("surprisal") * F.lit(1e6) + F.lit(0.5)).cast(
-        "long"
-    )
+    micros = F.col("surprisal_micros")
     return F.call_function(
         "div",
         F.lit(2).cast("long") * F.sum(micros) + F.count(F.lit(1)),
@@ -1316,9 +1345,12 @@ _BIGRAM_LM_ORACLE = f"""
         )
     ),
     scored AS (
+        -- per-token micro-unit quantization, same pinned floor idiom
+        -- as the unigram sibling (r9: native round(ln,6) removed)
         SELECT b.doc_id, b.lang,
-               round(ln((CAST(ctx.c1 AS DOUBLE) + vocab.v)
-                        / (bcnt.c12 + 1)), 6) AS surprisal
+               CAST(floor(ln((CAST(ctx.c1 AS DOUBLE) + vocab.v)
+                             / (bcnt.c12 + 1)) * 1e6 + 0.5) AS BIGINT)
+                   AS surprisal_micros
         FROM bg b
         JOIN bcnt ON b.bigram = bcnt.bigram
         JOIN ctx ON split_part(b.bigram, ' ', 1) = ctx.w1
@@ -1327,7 +1359,7 @@ _BIGRAM_LM_ORACLE = f"""
     per_doc AS (
         -- exact micro-unit mean, same contract as the unigram sibling
         SELECT doc_id, lang,
-               (2 * SUM(CAST(floor(surprisal * 1e6 + 0.5) AS BIGINT))
+               (2 * SUM(surprisal_micros)
                   + COUNT(*)) // (2 * COUNT(*)) AS avg_micros
         FROM scored GROUP BY doc_id, lang
     )
@@ -1351,10 +1383,11 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the bigram stream shuffles TWICE on zipfian keys
     (bigram counts, then context counts) — both are AQE-skew-split
     candidates and both aggregate with map-side combine; the vocab
-    size is a broadcast singleton. Per-bigram surprisals round at one
-    site then sum as DECIMAL (the unigram precedent), so both engines
-    aggregate identical doubles. Docs under 2 tokens have no bigrams
-    and drop from scoring (fixture min is 10 tokens)."""
+    size is a broadcast singleton. Per-bigram surprisals quantize
+    straight to integer micro-units (the unigram precedent, see
+    :func:`_surprisal_micros`), so both engines aggregate identical
+    BIGINTs. Docs under 2 tokens have no bigrams and drop from
+    scoring (fixture min is 10 tokens)."""
     docs = table(spark, sf_dir, "documents")
     bg = docs.select(
         "doc_id", "lang", F.explode(tx.word_ngrams("text", 2)).alias("bigram")
@@ -1377,13 +1410,12 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.round(
+            _surprisal_micros(
                 F.log(
                     (F.col("c1").cast("double") + F.col("v"))
                     / (F.col("c12") + 1)
-                ),
-                6,
-            ).alias("surprisal"),
+                )
+            ),
         )
     )
     per_doc = scored.groupBy("doc_id", "lang").agg(_avg_micros())

@@ -26,17 +26,11 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# newest committed baseline wins (bench_detail_r07.json,
-# bench_detail_r08_local.json, ... sort lexicographically by round)
-BASELINE = sorted(
-    glob.glob(
-        os.path.join(REPO, "bench_baselines", "bench_detail_*.json")
-    )
-)[-1]
 CURRENT = os.path.join(REPO, "logs", "bench_detail.json")
 
 ABS_FLOOR_SEC = 0.75
@@ -47,7 +41,30 @@ def _spread(pair: list[float]) -> float:
     return hi / lo if lo > 0 else 1.0
 
 
+def _latest_baseline() -> str:
+    """Newest committed baseline by PARSED round number, resolved at
+    test time (r8 advice: module-import glob()[-1] turned an empty
+    bench_baselines/ into a collection-time IndexError, and relied on
+    lexicographic filename order instead of the round number)."""
+    paths = glob.glob(
+        os.path.join(REPO, "bench_baselines", "bench_detail_*.json")
+    )
+    if not paths:
+        pytest.fail(
+            "bench_baselines/ has no bench_detail_*.json — the drift "
+            "gate has nothing to compare against; commit the previous "
+            "round's detail file"
+        )
+
+    def _round_no(p: str) -> int:
+        m = re.search(r"bench_detail_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    return max(paths, key=_round_no)
+
+
 def test_bench_drift_vs_committed_baseline():
+    BASELINE = _latest_baseline()
     if not os.path.exists(CURRENT):
         pytest.skip("no local bench run (logs/bench_detail.json absent)")
     if os.path.getmtime(CURRENT) < os.path.getmtime(BASELINE):

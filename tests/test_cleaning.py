@@ -214,6 +214,30 @@ def test_bool_to_int_ansi_safe(spark):
             for r in strs.select(cl.bool_to_int("s").alias("b")).collect()
         ]
         assert got_s == [2, 0]
+        # numerics OUTSIDE int32 range must null out, never
+        # truthiness-collapse to 1 through the boolean fallback
+        # (r8 advice): the fallback is gated to non-numeric input.
+        big = spark.createDataFrame(
+            [(5_000_000_000,), (-5_000_000_000,), (7,)], "n bigint"
+        )
+        got_b = [
+            r["b"]
+            for r in big.select(cl.bool_to_int("n").alias("b")).collect()
+        ]
+        assert got_b == [None, None, 7]
+        dbl = spark.createDataFrame(
+            [(1e20,), (float("nan"),), (2.0,)], "n double"
+        )
+        got_d = [
+            r["b"]
+            for r in dbl.select(cl.bool_to_int("n").alias("b")).collect()
+        ]
+        assert got_d == [None, None, 2]
+        bigs = spark.createDataFrame([("99999999999",)], "s string")
+        assert [
+            r["b"]
+            for r in bigs.select(cl.bool_to_int("s").alias("b")).collect()
+        ] == [None]
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
 
