@@ -246,6 +246,90 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand_cnt.crossJoin(stats)
 
 
+# --- MinHash + LSH from a MATERIALIZED signature table -----------------------
+
+
+@register(
+    "minhash_lsh_matview",
+    oracle=f"""
+        WITH {_sql_corpus(near_dups=True)},
+        {_SQL_SHINGLES},
+        {_SQL_SIGNATURES},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM sig a JOIN sig b
+              ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+        ),
+        {_SQL_JACCARD},
+        verified AS (
+            SELECT jac.* FROM jac
+            JOIN cand ON jac.a_id = cand.a_id AND jac.b_id = cand.b_id
+            WHERE jac.jaccard >= {JACCARD_THRESHOLD}
+        )
+        SELECT (SELECT COUNT(*) FROM sig) AS sig_cnt,
+               (SELECT COUNT(*) FROM cand) AS candidate_cnt,
+               COUNT(*) AS verified_cnt,
+               CAST(SUM(a_id) AS BIGINT) AS a_id_total,
+               CAST(SUM(CAST(round(jaccard, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS jaccard_total
+        FROM verified
+    """,
+)
+def minhash_lsh_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-consumer LSH shape done the at-scale way: WRITE the
+    signature table once, then every consumer scans the materialized
+    frame instead of re-paying the md5×K signature build.
+
+    This is the documented guidance of minhash_signatures_wide
+    (operators/text_dedup.py) exercised as tested code (VERDICT r8
+    #8): the map-side wide build is the right WRITER (one scan, zero
+    exchanges — the cheapest possible single pass over the corpus),
+    but is recomputed at every plan occurrence, so multi-consumer
+    shapes must either take the row-form's shuffle or materialize.
+    Here the materialized table feeds TWO consumers — the band-key
+    candidate join and the signature census (``sig_cnt`` output
+    column) — each scanning K+1 narrow parquet columns, never the
+    documents table. At 100 TB the signature table is ~1% the corpus
+    size, so re-derivation cost dominates any realistic storage cost
+    the moment a second consumer exists.
+
+    Values are identical to ``minhash_lsh_dedup`` by construction
+    (materialization changes where bytes live, not what they are);
+    the oracle reuses the same fragments with the added census column.
+    The write path follows the fixed-dir precedent (catalog_plans:
+    a fresh mkdtemp per call would leak one signature tree per run).
+    """
+    import os
+    import tempfile
+
+    corpus = _corpus(spark, sf_dir, near_dups=True)
+    sig_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_minhash_sig",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    td.minhash_signatures_wide(corpus, NUM_HASHES).write.mode(
+        "overwrite"
+    ).parquet(sig_dir)
+    sig = spark.read.parquet(sig_dir)
+
+    candidates = td.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND)
+    verified = td.jaccard_pairs(
+        td.shingle_rows(corpus), candidates=candidates
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+    sig_cnt = sig.agg(F.count("*").alias("sig_cnt"))
+    cand_cnt = candidates.agg(F.count("*").alias("candidate_cnt"))
+    stats = verified.agg(
+        F.count("*").alias("verified_cnt"),
+        F.sum("a_id").alias("a_id_total"),
+        F.sum(F.round("jaccard", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("jaccard_total"),
+    )
+    return sig_cnt.crossJoin(cand_cnt).crossJoin(stats)
+
+
 # --- MinHash + LSH with bucket-size cap (the 100 TB skew guard) --------------
 
 BUCKET_CAP = 10

@@ -250,6 +250,15 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 5, "smj": 0, "shj": 0, "bnlj": 1,
         "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 4,
     },
+    # r9: signatures MATERIALIZED to parquet before the LSH back half —
+    # all consumers (band keys, census) scan the signature table, so
+    # no signature-build expression appears downstream at all; the
+    # extra bnlj/exch vs minhash_lsh_dedup is the 1-row sig_cnt census
+    # broadcast-joined onto the output
+    "minhash_lsh_matview": {
+        "bhj": 5, "smj": 0, "shj": 0, "bnlj": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 7, "exch": 5,
+    },
     "multimodal_features_arrow": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 2,
