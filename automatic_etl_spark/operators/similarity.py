@@ -32,6 +32,34 @@ DEFAULT_PLANES: tuple[tuple[int, ...], ...] = (
 )
 
 
+def make_planes(
+    n_planes: int, dim: int = 64, stride: int = 8
+) -> tuple[tuple[int, ...], ...]:
+    """Generalize DEFAULT_PLANES to ``n_planes`` disjoint index
+    subsets: plane j sums positions (j+1, j+1+stride, ...) ≤ dim.
+
+    This is the production knob for every sign-projection blocker:
+    bucket count is 2^n_planes, so at corpus scale pick
+    ``n_planes ≈ log2(N / target_bucket_size)`` — buckets ∝ N keeps
+    per-bucket membership (and therefore the quadratic in-bucket pair
+    term) CONSTANT as the corpus grows, which is what turns the
+    blocked pair join linear (VERDICT r8 #5: pagerank's fixed 8
+    buckets modeled ~quadratic pair growth under replication).
+    Disjoint subsets need n_planes ≤ stride; more planes than that
+    would require overlapping subsets, which correlate the sign bits
+    (recall degrades silently) — fail loudly instead.
+    ``make_planes(3)`` == DEFAULT_PLANES.
+    """
+    if not 1 <= n_planes <= stride:
+        raise ValueError(
+            f"n_planes must be in [1, {stride}] for disjoint "
+            f"stride-{stride} subsets, got {n_planes}"
+        )
+    return tuple(
+        tuple(range(j + 1, dim + 1, stride)) for j in range(n_planes)
+    )
+
+
 def projection_bucket(
     v: Column, planes: tuple[tuple[int, ...], ...] = DEFAULT_PLANES
 ) -> Column:

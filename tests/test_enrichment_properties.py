@@ -72,6 +72,37 @@ def test_pagerank_mass_bounded_and_teleport_floor(spark):
     assert all(r.pr >= floor - 1e-9 for r in rows)
 
 
+def test_pagerank_scaled_buckets_path(spark):
+    """The buckets-∝-N production knob (VERDICT r8 #5): make_planes
+    generalizes DEFAULT_PLANES (3 == the default, bounds fail loudly),
+    and pagerank under more planes keeps the PageRank invariants —
+    more buckets can only DROP edges (cross-bucket pairs are never
+    scored), so mass stays bounded and the teleport floor holds."""
+    from automatic_etl_spark.operators import similarity as sim
+    from automatic_etl_spark.plans.enrichment_plans import (
+        pagerank_two_iter,
+    )
+
+    assert sim.make_planes(3) == sim.DEFAULT_PLANES
+    assert len(sim.make_planes(6)) == 6
+    assert all(len(p) == 8 for p in sim.make_planes(6))
+    # disjointness: overlapping subsets would correlate sign bits
+    seen = set()
+    for p in sim.make_planes(8):
+        assert not (set(p) & seen)
+        seen |= set(p)
+    with pytest.raises(ValueError):
+        sim.make_planes(9)
+    with pytest.raises(ValueError):
+        sim.make_planes(0)
+
+    rows = pagerank_two_iter(spark, SF, planes=sim.make_planes(6)).collect()
+    n = len(rows)
+    assert n > 0
+    assert sum(r.pr for r in rows) <= 1.0 + 1e-6
+    assert all(r.pr >= 0.15 / n - 1e-9 for r in rows)
+
+
 def test_fuzzy_match_twin_rule(spark):
     """is_correct == 0 exactly when the dirty key's digits contain a 7
     (the corrupted glyph makes the 7s→1s twin strictly closer)."""

@@ -27,6 +27,13 @@ construction, and any superlinear wall-time is a plan defect:
   divisible by 11*13=143, so the late (%11) and never-arriving (%13)
   dimension classes recur identically per replica and the orders FK
   stays consistent.
+- lineitem (round 9): replica r shifts l_orderkey by r*12M in
+  LOCKSTEP with orders, closing the l_orderkey -> o_orderkey FK per
+  replica; l_partkey / l_suppkey stay unshifted because part /
+  supplier remain plain 1x copies (dimension tables — broadcast-sized
+  at any corpus scale), so those FKs stay closed too. This brings the
+  lineitem-driven BI headliners (shipping_priority, pricing_summary,
+  revenue_by_nation) into the 10x record (VERDICT r8 #4).
 
 Each measurement runs in a FRESH JVM (same methodology as bench.py),
 warmed on sf0.001 immediately before timing.
@@ -80,7 +87,9 @@ QUERIES = (
                               # caveat class as ann_ivf_topk above
     "pagerank_two_iter",      # edge build shares semdedup's caveat
                               # (fixed 8 sign buckets → ~100x pairs);
-                              # the PR iterations themselves are O(E)
+                              # the PR iterations themselves are O(E);
+                              # the buckets-∝-N production path is the
+                              # @scaled_buckets row at the end
     "bpe_merge_mining",       # corpus → word-freq table → pair counts
     "embedding_decontaminate",  # corpus x broadcast eval (both ~10x:
                                 # the vec_id shift rotates %97 classes)
@@ -197,7 +206,45 @@ QUERIES = (
                                 # dim key-sets scale 10x but stay
                                 # broadcast-sized (143-preserving shift
                                 # keeps late/never classes identical)
+    # round-9: lineitem replication (VERDICT r8 #4) brings the
+    # lineitem-driven BI headliners into the record
+    "shipping_priority",        # customer x orders x lineitem join +
+                                # top-N; order-key shuffle x10, output
+                                # shape constant
+    "pricing_summary",          # one lineitem scan + 6-group agg
+                                # (map-side combine; linear floor)
+    "revenue_by_nation",        # star join over replicated facts and
+                                # 1x broadcast dims
+    # round-9: the pagerank scale-model row (VERDICT r8 #5) — buckets
+    # scaled WITH the corpus (8 at sf0.1 -> 64 at 10x, buckets ∝ N),
+    # the production path that keeps in-bucket pair work linear; the
+    # plain pagerank_two_iter row above keeps the fixed-bucket default
+    # for comparison
+    "pagerank_two_iter@scaled_buckets",
 )
+
+# Rows that are a registry query under a NON-default configuration:
+# name -> callable(spark, sf_dir). The registry keeps (spark, sf_dir)
+# signatures and pinned oracles; these rows exist to measure a scale
+# knob the oracle deliberately does not vary.
+
+
+def _pagerank_scaled_buckets(spark, sf_dir):
+    from automatic_etl_spark.operators import similarity as sim
+    from automatic_etl_spark.plans.enrichment_plans import (
+        pagerank_two_iter,
+    )
+
+    # buckets ∝ N: 3 planes (8 buckets) at base scale, 6 planes (64)
+    # on the 10x corpus — per-bucket membership stays ~constant, so
+    # the blocked pair join scales linearly instead of quadratically
+    planes = (
+        sim.make_planes(6) if sf_dir == STRESS_DIR else sim.DEFAULT_PLANES
+    )
+    return pagerank_two_iter(spark, sf_dir, planes=planes)
+
+
+SPECIAL = {"pagerank_two_iter@scaled_buckets": _pagerank_scaled_buckets}
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
@@ -216,7 +263,7 @@ def build_stress_dir() -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(STRESS_DIR, exist_ok=True)
-    for name in ("region", "nation", "supplier", "part", "lineitem"):
+    for name in ("region", "nation", "supplier", "part"):
         dst = os.path.join(STRESS_DIR, f"{name}.parquet")
         if not os.path.exists(dst):
             shutil.copy(os.path.join(BASE_DIR, f"{name}.parquet"), dst)
@@ -264,11 +311,20 @@ def build_stress_dir() -> None:
     def mut_customer(df, r):
         df["c_custkey"] = df["c_custkey"] + r * 1_430_000
 
+    # l_orderkey shifts in lockstep with o_orderkey so the fact->order
+    # FK closes per replica; part/supplier keys stay unshifted against
+    # the plain 1x dimension copies. (r9 migration: lineitem was a
+    # plain copy through r8 — replicate()'s row-count check rebuilds
+    # a stale staged file automatically.)
+    def mut_lineitem(df, r):
+        df["l_orderkey"] = df["l_orderkey"] + r * 12_000_000
+
     replicate("documents", mut_docs)
     replicate("embeddings", mut_emb)
     replicate("events", mut_events)
     replicate("orders", mut_orders)
     replicate("customer", mut_customer)
+    replicate("lineitem", mut_lineitem)
 
 
 def measure_child(name: str, sf_dir: str) -> None:
@@ -277,7 +333,7 @@ def measure_child(name: str, sf_dir: str) -> None:
 
     spark = get_spark(app_name=f"scale-stress-{name}")
     spark.sparkContext.setLogLevel("ERROR")
-    fn, _ = REGISTRY[name]
+    fn = SPECIAL[name] if name in SPECIAL else REGISTRY[name][0]
     fn(spark, "/root/testdata/sf0.001").collect()  # warm: codegen + workers
     start = time.perf_counter()
     fn(spark, sf_dir).collect()
