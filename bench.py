@@ -54,6 +54,9 @@ GROUPS: tuple[tuple[str, ...], ...] = (
         "simhash_buckets", "ann_bruteforce_topk", "ann_ivf_topk",
         "embedding_cosine_dedup", "pii_scan_stats", "tfidf_top_terms",
         "stratified_split",
+        # r9 registry addition (appended LAST so the group's existing
+        # session-age ordering is untouched)
+        "minhash_lsh_matview",
     ),
     # round-5 training-data ops (packing, boilerplate, retrieval,
     # incremental dedup, snapshot CDC, DQ suite)
