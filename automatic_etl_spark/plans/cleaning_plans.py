@@ -286,8 +286,9 @@ def time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     "numeric_clamp",
     oracle="""
         SELECT c_mktsegment,
-               CAST(SUM(CAST(greatest(least(c_acctbal, 127), -128)
-                             AS DECIMAL(18,2))) AS DOUBLE) AS clamped_total,
+               (CAST(SUM(CAST(floor(greatest(least(c_acctbal, 127), -128)
+                                    * 1e2 + 0.5) AS BIGINT))
+                     AS DOUBLE) / 1e2) AS clamped_total,
                CAST(SUM(CASE WHEN c_acctbal > 127 OR c_acctbal < -128
                         THEN 1 ELSE 0 END) AS BIGINT) AS clamped_cnt
         FROM customer GROUP BY c_mktsegment
@@ -416,7 +417,7 @@ def fill_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pk_filled_cnt,
                CAST(SUM(id) AS BIGINT) AS id_total,
                CAST(SUM(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS date_nulls,
-               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS price_total
+               (CAST(SUM(CAST(floor((price) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2) AS price_total
         FROM cleaned GROUP BY prio
     """,
 )
@@ -610,8 +611,9 @@ def encoding_fallback_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT COUNT(*) AS cnt,
                CAST(SUM(TRY_CAST(n_str AS BIGINT)) AS BIGINT) AS n_total,
-               CAST(SUM(CAST(TRY_CAST(price_str AS DOUBLE) AS DECIMAL(18,2)))
-                    AS DOUBLE) AS price_total,
+               (CAST(SUM(CAST(floor(TRY_CAST(price_str AS DOUBLE)
+                                    * 1e2 + 0.5) AS BIGINT))
+                     AS DOUBLE) / 1e2) AS price_total,
                COUNT(DISTINCT flag_str) AS flag_distinct
         FROM dirty
     """,
@@ -639,8 +641,7 @@ def infer_and_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.agg(
         F.count("*").alias("cnt"),
         F.sum("n_str").alias("n_total"),
-        F.sum(F.col("price_str").cast("decimal(18,2)"))
-        .cast("double")
+        (F.sum(F.floor((F.col("price_str")) * F.lit(1e2) + F.lit(0.5)).cast("long")).cast("double") / F.lit(1e2))
         .alias("price_total"),
         F.countDistinct("flag_str").alias("flag_distinct"),
     )

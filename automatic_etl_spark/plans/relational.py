@@ -5,9 +5,15 @@ ClickHouse SQL (Metabase/Superset cards, audits, catalog probes) as an
 idiomatic DataFrame plan, paired with a DuckDB oracle.
 
 Determinism rules shared by every pair:
-- Aggregates over doubles are cast to DECIMAL before SUM in BOTH
-  engines: decimal addition is exact and order-independent, so the
-  value-hash cannot drift with partitioning/merge order.
+- Aggregates over doubles are summed as exact scaled-integer BIGINTs
+  (floor(x*10^k + 0.5)) in BOTH engines and rendered through ONE
+  int64→double conversion + one division: integer addition is exact
+  and order-independent, so the value-hash cannot drift with
+  partitioning/merge order, and — unlike the pre-r9 DECIMAL-sum form —
+  the final conversion stays correctly rounded even when the scaled
+  sum exceeds 2^53 (the r9 pseudo-sf1 sweep caught pricing_summary's
+  decimal→double conversion double-rounding differently per engine
+  once sum_charge's unscaled value crossed 9e15).
 - Every top-N is ordered by a unique total order (tiebreakers pinned).
 - Computed columns share the same alias on both sides (driver compares
   by column name).
@@ -29,9 +35,24 @@ from automatic_etl_spark.sources.parquet import table
 
 
 def dsum(expr: Column | str, alias: str, scale: int = 2) -> Column:
-    """Order-independent sum of a double expression (see module doc)."""
+    """Order-independent sum of a double expression (see module doc):
+    exact BIGINT sum of floor(x·10^scale + 0.5) rendered as
+    CAST(sum AS DOUBLE) / 10^scale. SQL mirror per site:
+    ``CAST(SUM(CAST(floor(x * 1eK + 0.5) AS BIGINT)) AS DOUBLE) / 1eK``."""
     col = F.col(expr) if isinstance(expr, str) else expr
-    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+    s = F.lit(float(10**scale))
+    return (
+        (F.sum(F.floor(col * s + F.lit(0.5)).cast("long")).cast("double") / s)
+        .alias(alias)
+    )
+
+
+def micro_long(expr: Column | str, scale: float) -> Column:
+    """floor(x·scale + 0.5) as BIGINT — the per-row half of :func:`dsum`,
+    for callers that aggregate the scaled integers themselves (window
+    frames, HAVING thresholds, share numerators)."""
+    col = F.col(expr) if isinstance(expr, str) else expr
+    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
 
 
 # --- A1: full-table COUNT (reference tools/ingest_runner.py:1880) -----------
@@ -89,7 +110,7 @@ def grouped_count_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum_agg",
     oracle="""
         SELECT o_orderstatus,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               (CAST(SUM(CAST(floor((o_totalprice) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2) AS total,
                COUNT(*) AS cnt
         FROM orders GROUP BY o_orderstatus
     """,
@@ -387,7 +408,7 @@ _DEDUP_LATEST_ORACLE = """
     ), latest AS (SELECT * FROM ranked WHERE rn = 1)
     SELECT CAST(ts AS DATE) AS event_date, event_type,
            COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           (CAST(SUM(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2) AS total_value
     FROM latest GROUP BY 1, 2
 """
 
@@ -445,7 +466,7 @@ def dedup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_agg",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               (CAST(SUM(CAST(floor((l_quantity) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2) AS sum_qty,
                COUNT(*) AS cnt
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -467,8 +488,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
         SELECT n_name, r_name,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               (CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) AS revenue,
                COUNT(*) AS line_cnt
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -485,9 +505,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
-    revenue = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    ).cast("decimal(18,4)")
+    revenue = micro_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 1e4
+    )
     return (
         # broadcast() pinned ONLY for fixed-cardinality dims (nation=25,
         # region=5 rows at ANY scale factor). customer/orders scale with
@@ -499,16 +519,17 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            (F.sum(revenue).cast("double") / F.lit(1e4)).alias("revenue"),
             F.count("*").alias("line_cnt"),
         )
     )
 
 
 # --- Extension: window frame (moving average) -------------------------------
-# Frame-spec windows are in Spark's extension space (§2.5 note). Sum is
-# decimal (exact under any frame-evaluation algorithm); the average is
-# derived as double division of identical operands on both sides.
+# Frame-spec windows are in Spark's extension space (§2.5 note). Sums
+# are exact BIGINT cent-units (order-independent under any
+# frame-evaluation algorithm); the average is derived as double
+# division of identical operands on both sides.
 
 
 @register(
@@ -516,12 +537,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS d,
-                   SUM(CAST(value AS DECIMAL(18,2))) AS rev
+                   SUM(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS rev
             FROM events GROUP BY 1
         )
         SELECT d,
-               CAST(rev AS DOUBLE) AS day_value,
-               CAST(SUM(rev) OVER w AS DOUBLE)
+               CAST(rev AS DOUBLE) / 1e2 AS day_value,
+               CAST(SUM(rev) OVER w AS DOUBLE) / 1e2
                    / COUNT(*) OVER w AS moving_avg_7d
         FROM daily
         WINDOW w AS (ORDER BY d ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -533,7 +554,7 @@ def daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         table(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("d"))
-        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+        .agg(F.sum(micro_long("value", 1e2)).alias("rev"))
     )
     # Unpartitioned window is intentional and bounded: its input is the
     # DAILY rollup (one row per distinct day — thousands of rows even at
@@ -543,10 +564,11 @@ def daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.asc("d")).rowsBetween(-6, 0)
     return daily.select(
         "d",
-        F.col("rev").cast("double").alias("day_value"),
-        (F.sum("rev").over(w).cast("double") / F.count("*").over(w)).alias(
-            "moving_avg_7d"
-        ),
+        (F.col("rev").cast("double") / F.lit(1e2)).alias("day_value"),
+        (
+            F.sum("rev").over(w).cast("double") / F.lit(1e2)
+            / F.count("*").over(w)
+        ).alias("moving_avg_7d"),
     )
 
 
@@ -561,7 +583,7 @@ def daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS segment_nulls,
                COUNT(DISTINCT c_nationkey) AS nation_nunique,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((c_acctbal) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
                    AS acctbal_total
         FROM customer
     """,
@@ -588,17 +610,20 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                   AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                             AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                   / COUNT(*) AS avg_qty,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
-                   / COUNT(*) AS avg_disc,
+               CAST(SUM(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e2 AS sum_qty,
+               CAST(SUM(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e2 AS sum_base_price,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1e4 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e4 AS sum_disc_price,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 1e6 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e6 AS sum_charge,
+               CAST(SUM(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e2 / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(floor(l_discount * 1e4 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e4 / COUNT(*) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
@@ -608,26 +633,39 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: one wide multi-aggregate pass over the filtered
     fact scan — partial aggregation collapses everything map-side, the
-    single exchange carries only (flag, status) groups. Averages are
-    derived as double division of exact decimal sums so both engines
-    agree bit-for-bit."""
+    single exchange carries only (flag, status) groups.
+
+    Money sums are exact scaled-integer BIGINT sums rendered through
+    ONE int64→double conversion (IEEE round-to-nearest, identical in
+    both engines) and one division — never `CAST(SUM(DECIMAL) AS
+    DOUBLE)`. The decimal form diverged at pseudo-sf1 (r9 10× sweep,
+    first round with replicated lineitem): once the decimal's unscaled
+    value exceeds 2^53 (sum_charge at scale 6 crosses at ~9e9 total),
+    the decimal→double conversion is DOUBLE-ROUNDED differently per
+    engine (JVM BigDecimal.doubleValue vs DuckDB int/10^scale) — a
+    last-ulp divergence invisible below ~6M rows. At true 100 TB the
+    BIGINT micro-unit sums would themselves need DECIMAL(38,0)
+    accumulators past ~9e18 micros; the render-as-canonical-string
+    path (decimal_fidelity_agg) is the convention there."""
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    qty_sum = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-    disc_sum = F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+
+    def micro_sum(expr, scale: float):
+        return F.sum(
+            F.floor(expr * F.lit(scale) + F.lit(0.5)).cast("long")
+        ).cast("double") / F.lit(scale)
+
+    qty_sum = micro_sum(F.col("l_quantity"), 1e2)
+    disc_sum = micro_sum(F.col("l_discount"), 1e4)
     cnt = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         qty_sum.alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_base_price"),
-        F.sum(disc_price.cast("decimal(18,4)"))
-        .cast("double")
-        .alias("sum_disc_price"),
-        F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+        micro_sum(F.col("l_extendedprice"), 1e2).alias("sum_base_price"),
+        micro_sum(disc_price, 1e4).alias("sum_disc_price"),
+        micro_sum(charge, 1e6).alias("sum_charge"),
         (qty_sum / cnt).alias("avg_qty"),
         (disc_sum / cnt).alias("avg_disc"),
         cnt.alias("count_order"),
@@ -638,8 +676,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     oracle="""
         SELECT l_orderkey,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               (CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) AS revenue,
                o_orderdate, o_orderpriority
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -673,13 +710,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=4,
             )
-            .cast("double")
-            .alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -693,17 +728,16 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promo_revenue_share",
     oracle="""
-        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
-                   THEN CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
-                   AS promo_revenue,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
-               CAST(SUM(CASE WHEN p_type = 'PROMO'
-                   THEN CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
-                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DOUBLE) AS promo_share
+        SELECT (CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1e4 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS DOUBLE) / 1e4) AS promo_revenue,
+               (CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) AS total_revenue,
+               (CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 1e4 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS DOUBLE) / 1e4)
+                   / (CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) AS promo_share
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
@@ -712,20 +746,21 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: the conditional-revenue-share report — one
     month of the fact scan joined to part (AQE broadcasts part when it
-    fits), two conditional decimal sums, the share derived as one
-    double division of exact sums so both engines agree bit-for-bit."""
+    fits), two conditional exact cent-unit sums, the share derived as
+    one double division of exact sums so both engines agree
+    bit-for-bit."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
     )
     part = table(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
+    rev = micro_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 1e4
     )
     promo = F.sum(
         F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
-    ).cast("double")
-    total = F.sum(rev).cast("double")
+    ).cast("double") / F.lit(1e4)
+    total = F.sum(rev).cast("double") / F.lit(1e4)
     return li.join(part, li.l_partkey == part.p_partkey).agg(
         promo.alias("promo_revenue"),
         total.alias("total_revenue"),
@@ -777,8 +812,7 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "disjunctive_predicate_scan",
     oracle="""
         SELECT COUNT(*) AS line_cnt,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               (CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
                AND l_quantity >= 1 AND l_quantity <= 25)
@@ -812,15 +846,15 @@ def disjunctive_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").between(20, 50)
         & F.col("l_quantity").between(20, 50)
     )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
+    rev = micro_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 1e4
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(g1 | g2 | g3)
         .agg(
             F.count("*").alias("line_cnt"),
-            F.sum(rev).cast("double").alias("revenue"),
+            (F.sum(rev).cast("double") / F.lit(1e4)).alias("revenue"),
         )
     )
 
@@ -828,11 +862,11 @@ def disjunctive_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "value_share_groups",
     oracle="""
-        WITH g AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        WITH g AS (SELECT (CAST(SUM(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
                        AS total FROM events),
         per_user AS (
             SELECT user_id,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total
+                   (CAST(SUM(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2) AS user_total
             FROM events GROUP BY user_id
         )
         SELECT user_id, user_total
@@ -853,17 +887,22 @@ def value_share_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     once: both branches consume the same per-user aggregate exchange,
     which Spark's ReuseExchange collapses."""
     events = table(spark, sf_dir, "events")
+    # integer cent-units: the global total is a sum OF the per-user
+    # BIGINT sums — integer addition is exact and associative, so it
+    # equals the oracle's whole-table sum bit-for-bit
     per_user = events.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("user_total_dec")
+        F.sum(micro_long("value", 1e2)).alias("user_cents")
     )
     total = per_user.agg(
-        F.sum("user_total_dec").cast("double").alias("__total")
+        (F.sum("user_cents").cast("double") / F.lit(1e2)).alias("__total")
     )
     return (
         per_user.crossJoin(F.broadcast(total))
         .select(
             "user_id",
-            F.col("user_total_dec").cast("double").alias("user_total"),
+            (F.col("user_cents").cast("double") / F.lit(1e2)).alias(
+                "user_total"
+            ),
             "__total",
         )
         .filter(F.col("user_total") > 0.002 * F.col("__total"))
@@ -876,8 +915,7 @@ def value_share_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT l_suppkey,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(18,4))) AS DOUBLE) AS total_rev
+                   (CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) AS total_rev
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -910,13 +948,11 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         li.groupBy("l_suppkey").agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_rev",
+                scale=4,
             )
-            .cast("double")
-            .alias("total_rev")
         )
     )
     supplier = table(spark, sf_dir, "supplier")
@@ -937,8 +973,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_item_customers",
     oracle="""
         SELECT c_custkey, c_name, n_name,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               (CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -964,15 +999,13 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(dsum(rev, "revenue", scale=4))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -982,8 +1015,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_trade_trend",
     oracle="""
         SELECT n_name, CAST(year(l_shipdate) AS INT) AS ship_year,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               (CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) AS revenue,
                COUNT(*) AS line_cnt
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -1006,9 +1038,7 @@ def nation_trade_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_2")
     )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
@@ -1017,7 +1047,7 @@ def nation_trade_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name", F.year("l_shipdate").cast("int").alias("ship_year")
         )
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            dsum(rev, "revenue", scale=4),
             F.count("*").alias("line_cnt"),
         )
     )
@@ -1142,7 +1172,7 @@ def asof_join_forward_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COUNT(*) AS match_cnt,
                COUNT(DISTINCT event_id) AS matched_events,
                COUNT(DISTINCT window_id) AS matched_intervals,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
+               (CAST(SUM(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2) AS value_total
         FROM j
     """,
 )
@@ -1169,8 +1199,7 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("match_cnt"),
         F.countDistinct("event_id").alias("matched_events"),
         F.countDistinct("window_id").alias("matched_intervals"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("double")
+        (F.sum(F.floor((F.col("value")) * F.lit(1e2) + F.lit(0.5)).cast("long")).cast("double") / F.lit(1e2))
         .alias("value_total"),
     )
 
@@ -1189,7 +1218,7 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_b,
                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_b,
                COUNT(*) AS cnt,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_total
+               (CAST(SUM(CAST(floor((value) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2) AS value_total
         FROM events
         GROUP BY ROLLUP (date_trunc('month', ts),
                          date_trunc('day', ts),
@@ -1206,8 +1235,7 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
+            (F.sum(F.floor((F.col("value")) * F.lit(1e2) + F.lit(0.5)).cast("long")).cast("double") / F.lit(1e2))
             .alias("value_total"),
         )
     )
@@ -1223,11 +1251,11 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_subquery_filter",
     oracle="""
         SELECT o_orderstatus, COUNT(*) AS cnt,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((o_totalprice) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
                    AS total
         FROM orders
         WHERE o_totalprice > (
-            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            SELECT (CAST(SUM(CAST(floor((o_totalprice) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
                    / COUNT(o_totalprice)
             FROM orders
         )
@@ -1244,7 +1272,7 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     avg_price = orders.agg(
         (
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            (F.sum(F.floor((F.col("o_totalprice")) * F.lit(1e2) + F.lit(0.5)).cast("long")).cast("double") / F.lit(1e2))
             / F.count("o_totalprice")
         ).alias("__avg")
     )
@@ -1340,7 +1368,7 @@ def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.event_type,
                COUNT(*) AS cnt,
                COUNT(DISTINCT e.user_id) AS users,
-               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((e.value) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
                    AS value_total
         FROM events e
         WHERE e.value IS NOT NULL
@@ -1356,7 +1384,7 @@ def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.event_type,
                COUNT(*) AS cnt,
                COUNT(DISTINCT e.user_id) AS users,
-               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((e.value) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
                    AS value_total
         FROM events e
         WHERE e.value IS NOT NULL
@@ -1600,15 +1628,15 @@ def pivot_monthly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH m AS (
             SELECT 'quantity' AS measure,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+                   (CAST(SUM(CAST(floor((l_quantity) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2) AS total
             FROM lineitem
             UNION ALL
             SELECT 'extendedprice',
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   (CAST(SUM(CAST(floor((l_extendedprice) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
             FROM lineitem
             UNION ALL
             SELECT 'tax',
-                   CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE)
+                   (CAST(SUM(CAST(floor((l_tax) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4)
             FROM lineitem
         )
         SELECT measure, total FROM m
@@ -1620,13 +1648,11 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpivot (never melt the raw fact table)."""
     li = table(spark, sf_dir, "lineitem")
     wide = li.agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("double")
+        (F.sum(F.floor((F.col("l_quantity")) * F.lit(1e2) + F.lit(0.5)).cast("long")).cast("double") / F.lit(1e2))
         .alias("quantity"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("double")
+        (F.sum(F.floor((F.col("l_extendedprice")) * F.lit(1e2) + F.lit(0.5)).cast("long")).cast("double") / F.lit(1e2))
         .alias("extendedprice"),
-        F.sum(F.col("l_tax").cast("decimal(18,4)")).cast("double").alias("tax"),
+        (F.sum(F.floor((F.col("l_tax")) * F.lit(1e4) + F.lit(0.5)).cast("long")).cast("double") / F.lit(1e4)).alias("tax"),
     )
     return wide.unpivot(
         [], ["quantity", "extendedprice", "tax"], "measure", "total"
@@ -1713,7 +1739,7 @@ def priority_semi_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inactive_customers_anti",
     oracle="""
         SELECT c_mktsegment, COUNT(*) AS cust_cnt,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((c_acctbal) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
                    AS acctbal_total
         FROM customer c
         WHERE NOT EXISTS (
@@ -1796,10 +1822,10 @@ def groupwise_max_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH big AS (
             SELECT l_orderkey,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   (CAST(SUM(CAST(floor((l_quantity) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
                        AS total_qty
             FROM lineitem GROUP BY l_orderkey
-            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+            HAVING SUM(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT)) > 30000
         )
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
                CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
@@ -1821,12 +1847,11 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty")
-        )
-        .filter(F.col("__qty") > 300)
+        .agg(F.sum(micro_long("l_quantity", 1e2)).alias("__qty"))
+        .filter(F.col("__qty") > 30000)
         .select(
-            "l_orderkey", F.col("__qty").cast("double").alias("total_qty")
+            "l_orderkey",
+            (F.col("__qty").cast("double") / F.lit(1e2)).alias("total_qty"),
         )
     )
     orders = table(spark, sf_dir, "orders")
@@ -1858,8 +1883,7 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "forecast_revenue_delta",
     oracle="""
-        SELECT CAST(SUM(CAST(l_extendedprice * l_discount
-                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue_delta,
+        SELECT (CAST(SUM(CAST(floor((l_extendedprice * l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) AS revenue_delta,
                COUNT(*) AS line_cnt
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1883,13 +1907,11 @@ def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.sum(
-            (F.col("l_extendedprice") * F.col("l_discount")).cast(
-                "decimal(18,4)"
-            )
-        )
-        .cast("double")
-        .alias("revenue_delta"),
+        dsum(
+            F.col("l_extendedprice") * F.col("l_discount"),
+            "revenue_delta",
+            scale=4,
+        ),
         F.count("*").alias("line_cnt"),
     )
 
@@ -1899,8 +1921,8 @@ def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH base AS (
             SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-                   CAST(l_extendedprice * (1 - l_discount)
-                        AS DECIMAL(18,4)) AS volume,
+                   CAST(floor(l_extendedprice * (1 - l_discount)
+                              * 1e4 + 0.5) AS BIGINT) AS volume,
                    sn.n_name AS supp_nation
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -1928,7 +1950,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffles are lineitem↔orders and the final 2-row year
     aggregate. The region/part filters cut the fact early via the
     broadcast hash-join probes. The share is one double division of
-    two exact decimal sums — bit-identical across engines and
+    two exact integer-unit sums — bit-identical across engines and
     partitionings."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
@@ -1939,8 +1961,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     cn = nation.alias("cn")
     sn = nation.alias("sn")
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
+    vol = micro_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 1e4
     )
     nat = F.sum(
         F.when(F.col("sn.n_name") == "NATION_3", F.col("volume")).otherwise(
@@ -1973,8 +1995,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT sn.n_name AS nation,
                CAST(year(o_orderdate) AS INT) AS o_year,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DOUBLE) AS profit
+               (CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) AS profit
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation sn ON s_nationkey = sn.n_nationkey
@@ -2000,9 +2021,7 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").like("%widget%")
     )
     orders = table(spark, sf_dir, "orders")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(sn), supplier.s_nationkey == F.col("sn.n_nationkey"))
@@ -2012,7 +2031,7 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sn.n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.sum(rev).cast("double").alias("profit"))
+        .agg(dsum(rev, "profit", scale=4))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 
@@ -2022,15 +2041,16 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH thresh AS (
             SELECT l_partkey,
-                   0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                               AS DOUBLE) / COUNT(*)) AS qty_cut
+                   0.2 * ((CAST(SUM(CAST(floor(l_quantity * 1e2 + 0.5)
+                                        AS BIGINT)) AS DOUBLE) / 1e2)
+                          / COUNT(*)) AS qty_cut
             FROM lineitem
             WHERE l_partkey IN (
                 SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
             )
             GROUP BY l_partkey
         )
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        SELECT (CAST(SUM(CAST(floor((l_extendedprice) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
                    / 7.0 AS avg_yearly,
                COUNT(*) AS line_cnt
         FROM lineitem
@@ -2047,7 +2067,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     small slice once, and the threshold (thousands of rows at most —
     one row per brand part) broadcasts back onto the same slice. The
     fact table is never shuffled by partkey. The average is built from
-    an exact decimal sum divided by the count, so the 0.2× cut
+    an exact cent-unit sum divided by the count, so the 0.2× cut
     compares the same double in both engines."""
     li = table(spark, sf_dir, "lineitem")
     brand_parts = table(spark, sf_dir, "part").filter(
@@ -2062,8 +2082,9 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.lit(0.2)
                 * (
-                    F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(
-                        "double"
+                    (
+                        F.sum(micro_long("l_quantity", 1e2)).cast("double")
+                        / F.lit(1e2)
                     )
                     / F.count("*")
                 )
@@ -2077,8 +2098,9 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             (
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
-                    "double"
+                (
+                    F.sum(micro_long("l_extendedprice", 1e2)).cast("double")
+                    / F.lit(1e2)
                 )
                 / F.lit(7.0)
             ).alias("avg_yearly"),
@@ -2316,11 +2338,12 @@ def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH ps AS (
             SELECT l_partkey, l_suppkey,
-                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS avail_qty,
+                   SUM(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT))
+                       AS avail_qty,
                    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
                              AND l_shipdate <  TIMESTAMP '1997-01-01'
-                            THEN CAST(l_quantity AS DECIMAL(18,2))
-                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_96
+                            THEN CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS qty_96
             FROM lineitem GROUP BY l_partkey, l_suppkey
         ),
         excess AS (
@@ -2348,19 +2371,17 @@ def promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), the promo part filter broadcasts, and the surviving
     supplier keys collapse through DISTINCT before the final broadcast
     joins against supplier/nation/region. Quantities route through
-    DECIMAL so the half-comparison (expressed as qty*2 > total —
-    exact integer-decimal arithmetic, no 0.5 double literal) is
-    order-independent. s_name is unique → total order."""
+    exact BIGINT cent-units so the half-comparison (expressed as
+    qty*2 > total — exact integer arithmetic, no 0.5 double literal)
+    is order-independent. s_name is unique → total order."""
     li = table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("decimal(18,2)")
+    q = micro_long("l_quantity", 1e2)
     in96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
         F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
     )
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(q).alias("avail_qty"),
-        F.sum(
-            F.when(in96, q).otherwise(F.lit(0).cast("decimal(18,2)"))
-        ).alias("qty_96"),
+        F.sum(F.when(in96, q).otherwise(F.lit(0))).alias("qty_96"),
     )
     promo = table(spark, sf_dir, "part").filter(
         F.col("p_name").like("small%")

@@ -31,26 +31,29 @@ _SQL_WEIGHTS = ", ".join(f"('{t}', {w})" for t, w in EVENT_WEIGHTS)
     oracle="""
         SELECT event_type,
                COUNT(*) AS cnt,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+               (CAST(SUM(CAST(floor((value) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) AS total_value,
                MAX(value) AS max_value
         FROM events GROUP BY event_type
     """,
 )
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events").withColumn(
-        "value_dec", F.col("value").cast("decimal(18,4)")
+        "value_units",
+        F.floor(F.col("value") * F.lit(1e4) + F.lit(0.5)).cast("long"),
     )
     out = skew.salted_agg(
         events,
         keys=["event_type"],
         aggs={
             "cnt": ("count", "*"),
-            "total_value": ("sum", "value_dec"),
+            "total_value": ("sum", "value_units"),
             "max_value": ("max", "value"),
         },
         buckets=16,
     )
-    return out.withColumn("total_value", F.col("total_value").cast("double"))
+    return out.withColumn(
+        "total_value", F.col("total_value").cast("double") / F.lit(1e4)
+    )
 
 
 @register(
@@ -58,7 +61,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT e.event_type,
                COUNT(*) AS cnt,
-               CAST(SUM(CAST(e.value * w.weight AS DECIMAL(18,4))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((e.value * w.weight) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4)
                    AS weighted_value
         FROM events e
         JOIN (VALUES {_SQL_WEIGHTS}) AS w(event_type, weight)
@@ -74,9 +77,10 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(EVENT_WEIGHTS), "event_type string, weight int"
     ).hint("shuffle_hash")
     joined = skew.salted_join(events, dim, "event_type", buckets=8)
+    units = F.floor(
+        (F.col("value") * F.col("weight")) * F.lit(1e4) + F.lit(0.5)
+    ).cast("long")
     return joined.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
-        F.sum((F.col("value") * F.col("weight")).cast("decimal(18,4)"))
-        .cast("double")
-        .alias("weighted_value"),
+        (F.sum(units).cast("double") / F.lit(1e4)).alias("weighted_value"),
     )

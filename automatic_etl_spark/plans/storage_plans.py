@@ -52,15 +52,13 @@ def build_bucketed_join(
         spark.table(ot).hint("merge"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
+    rev_units = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        * F.lit(1e4) + F.lit(0.5)
+    ).cast("long")
     agg = joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("line_cnt"),
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(18,4)"
-            )
-        )
-        .cast("double")
-        .alias("revenue"),
+        (F.sum(rev_units).cast("double") / F.lit(1e4)).alias("revenue"),
     )
     return joined, agg
 
@@ -70,8 +68,7 @@ def build_bucketed_join(
     oracle="""
         SELECT o_orderpriority,
                COUNT(*) AS line_cnt,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               (CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
@@ -175,7 +172,7 @@ def text_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                COUNT(*) AS cnt,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((o_totalprice) * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
                    AS price_total
         FROM orders GROUP BY o_orderpriority
     """,
@@ -192,8 +189,7 @@ def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = files.read_orc(spark, path)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("cnt"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
+        (F.sum(F.floor((F.col("o_totalprice")) * F.lit(1e2) + F.lit(0.5)).cast("long")).cast("double") / F.lit(1e2))
         .alias("price_total"),
     )
 
@@ -209,10 +205,10 @@ def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MOR_ORACLE = """
     SELECT event_type,
            COUNT(*) AS cnt,
-           CAST(SUM(CAST(CASE WHEN event_id % 5 = 0
-                              THEN value + 1000
-                              ELSE value END AS DECIMAL(18,4)))
-                AS DOUBLE) AS value_sum
+           (CAST(SUM(CAST(floor((CASE WHEN event_id % 5 = 0
+                                      THEN value + 1000
+                                      ELSE value END) * 1e4 + 0.5)
+                          AS BIGINT)) AS DOUBLE) / 1e4) AS value_sum
     FROM events
     WHERE event_id % 10 <> 0
     GROUP BY event_type
@@ -244,8 +240,7 @@ def _build_mor_table(spark: SparkSession, sf_dir: str) -> str:
 def _mor_rollup(df: DataFrame) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
-        F.sum(F.col("value").cast("decimal(18,4)"))
-        .cast("double")
+        (F.sum(F.floor((F.col("value")) * F.lit(1e4) + F.lit(0.5)).cast("long")).cast("double") / F.lit(1e4))
         .alias("value_sum"),
     )
 
