@@ -468,7 +468,7 @@ _SQL_BIGRAMS = """
                COUNT(*) AS doc_cnt,
                CAST(SUM(CASE WHEN rep_ratio > 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS repeated_docs,
-               CAST(SUM(CAST(rep_ratio AS DECIMAL(18,6))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((rep_ratio) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS rep_ratio_total,
                MAX(rep_ratio) AS rep_ratio_max
         FROM scored GROUP BY lang
@@ -493,7 +493,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("lang").agg(
         F.count("*").alias("doc_cnt"),
         F.sum((F.col("rep_ratio") > 0).cast("int")).alias("repeated_docs"),
-        F.sum(F.col("rep_ratio").cast("decimal(18,6)"))
+        (F.sum(F.floor((F.col("rep_ratio")) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("rep_ratio_total"),
         F.max("rep_ratio").alias("rep_ratio_max"),
@@ -516,7 +516,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang,
                COUNT(*) AS doc_cnt,
-               CAST(SUM(CAST(frac AS DECIMAL(18,6))) AS DOUBLE) AS frac_total,
+               (CAST(SUM(CAST(floor((frac) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS frac_total,
                MAX(frac) AS frac_max
         FROM per_doc GROUP BY lang
     """,
@@ -542,7 +542,7 @@ def top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.groupBy("lang").agg(
         F.count("*").alias("doc_cnt"),
-        F.sum(F.col("frac").cast("decimal(18,6)"))
+        (F.sum(F.floor((F.col("frac")) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("frac_total"),
         F.max("frac").alias("frac_max"),

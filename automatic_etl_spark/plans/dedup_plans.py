@@ -171,7 +171,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COUNT(*) AS pair_cnt,
                CAST(SUM(a_id) AS BIGINT) AS a_id_total,
                CAST(SUM(b_id) AS BIGINT) AS b_id_total,
-               CAST(SUM(CAST(round(jaccard, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((round(jaccard, 6)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS jaccard_total
         FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
@@ -185,7 +185,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("pair_cnt"),
         F.sum("a_id").alias("a_id_total"),
         F.sum("b_id").alias("b_id_total"),
-        F.sum(F.round("jaccard", 6).cast("decimal(18,6)"))
+        (F.sum(F.floor((F.round("jaccard", 6)) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("jaccard_total"),
     )
@@ -214,7 +214,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT (SELECT COUNT(*) FROM cand) AS candidate_cnt,
                COUNT(*) AS verified_cnt,
                CAST(SUM(a_id) AS BIGINT) AS a_id_total,
-               CAST(SUM(CAST(round(jaccard, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((round(jaccard, 6)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS jaccard_total
         FROM verified
     """,
@@ -239,7 +239,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = verified.agg(
         F.count("*").alias("verified_cnt"),
         F.sum("a_id").alias("a_id_total"),
-        F.sum(F.round("jaccard", 6).cast("decimal(18,6)"))
+        (F.sum(F.floor((F.round("jaccard", 6)) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("jaccard_total"),
     )
@@ -270,7 +270,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT COUNT(*) FROM cand) AS candidate_cnt,
                COUNT(*) AS verified_cnt,
                CAST(SUM(a_id) AS BIGINT) AS a_id_total,
-               CAST(SUM(CAST(round(jaccard, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((round(jaccard, 6)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS jaccard_total
         FROM verified
     """,
@@ -323,7 +323,7 @@ def minhash_lsh_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = verified.agg(
         F.count("*").alias("verified_cnt"),
         F.sum("a_id").alias("a_id_total"),
-        F.sum(F.round("jaccard", 6).cast("decimal(18,6)"))
+        (F.sum(F.floor((F.round("jaccard", 6)) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("jaccard_total"),
     )
@@ -584,9 +584,9 @@ ERR_BUCKETS = 10
         SELECT LEAST(CAST(floor(abs(est_j - exact_j) * {ERR_BUCKETS})
                           AS INT), {ERR_BUCKETS - 1}) AS err_bucket,
                COUNT(*) AS cnt,
-               CAST(SUM(CAST(round(est_j, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((round(est_j, 6)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS est_total,
-               CAST(SUM(CAST(round(exact_j, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((round(exact_j, 6)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS exact_total
         FROM joined GROUP BY 1
     """,
@@ -637,10 +637,10 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(bucket.alias("err_bucket")).agg(
         F.count("*").alias("cnt"),
-        F.sum(F.round("est_j", 6).cast("decimal(18,6)"))
+        (F.sum(F.floor((F.round("est_j", 6)) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("est_total"),
-        F.sum(F.round("exact_j", 6).cast("decimal(18,6)"))
+        (F.sum(F.floor((F.round("exact_j", 6)) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("exact_total"),
     )

@@ -256,7 +256,7 @@ _CENTROID_ORACLE = f"""
     stats AS (
         SELECT label,
                COUNT(*) AS cnt,
-               round(CAST(SUM(CAST(dist AS DECIMAL(18,6))) AS DOUBLE)
+               round((CAST(SUM(CAST(floor((dist) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                      / COUNT(*), 6) AS mean_dist,
                MAX(dist) AS max_dist
         FROM dists GROUP BY label
@@ -318,7 +318,7 @@ def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dists.groupBy("label").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(
-            F.sum(F.col("dist").cast("decimal(18,6)")).cast("double")
+            (F.sum(F.floor((F.col("dist")) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6)).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("mean_dist"),

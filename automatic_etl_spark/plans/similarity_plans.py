@@ -228,8 +228,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         )
         SELECT label, COUNT(*) AS cnt,
-               CAST(SUM(CAST(round(sqrt(list_dot_product(v, v)), 6)
-                             AS DECIMAL(18,6))) AS DOUBLE) AS norm_total
+               (CAST(SUM(CAST(floor(round(sqrt(list_dot_product(v, v)), 6)
+                                    * 1e6 + 0.5) AS BIGINT))
+                     AS DOUBLE) / 1e6) AS norm_total
         FROM e GROUP BY label
     """,
 )
@@ -243,7 +244,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("nrm").cast("decimal(18,6)"))
+            (F.sum(F.floor((F.col("nrm")) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
             .cast("double")
             .alias("norm_total"),
         )
@@ -388,9 +389,9 @@ HEAD_DIMS = 8
         SELECT label, COUNT(*) AS cnt,
                CAST(SUM(pos_cnt) AS BIGINT) AS pos_total,
                MAX(max_c) AS max_component,
-               CAST(SUM(CAST(revdot AS DECIMAL(18,6))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((revdot) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS revdot_total,
-               CAST(SUM(CAST(head_norm2 AS DECIMAL(18,6))) AS DOUBLE)
+               (CAST(SUM(CAST(floor((head_norm2) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS head_norm2_total
         FROM per GROUP BY label
     """,
@@ -419,10 +420,10 @@ def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum("pos_cnt").alias("pos_total"),
         F.max("max_c").alias("max_component"),
-        F.sum(F.col("revdot").cast("decimal(18,6)"))
+        (F.sum(F.floor((F.col("revdot")) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("revdot_total"),
-        F.sum(F.col("head_norm2").cast("decimal(18,6)"))
+        (F.sum(F.floor((F.col("head_norm2")) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("head_norm2_total"),
     )

@@ -139,7 +139,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                CAST(floor(q * 10) AS BIGINT) AS bucket,
                COUNT(*) AS cnt,
-               CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS q_total
+               (CAST(SUM(CAST(floor((q) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS q_total
         FROM scored GROUP BY 1, 2
     """,
 )
@@ -153,7 +153,7 @@ def quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("cnt"),
-            F.sum(F.col("q").cast("decimal(18,6)")).cast("double").alias("q_total"),
+            (F.sum(F.floor((F.col("q")) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6)).cast("double").alias("q_total"),
         )
     )
 
@@ -380,7 +380,7 @@ QUALITY_THRESHOLD = 0.5
                CAST(SUM({_sql_token_count('text')}) AS BIGINT) AS ws_tokens,
                CAST(SUM(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))) AS BIGINT)
                    AS bpe_tokens,
-               CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS quality_total
+               (CAST(SUM(CAST(floor((q) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6) AS quality_total
         FROM deduped GROUP BY lang
     """,
 )
@@ -419,7 +419,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("kept_docs"),
         F.sum(tx.token_count("text")).alias("ws_tokens"),
         F.sum(tx.bpe_token_count("text")).alias("bpe_tokens"),
-        F.sum(F.col("q").cast("decimal(18,6)")).cast("double").alias(
+        (F.sum(F.floor((F.col("q")) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6)).cast("double").alias(
             "quality_total"
         ),
     )
