@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from automatic_etl_spark.functions.quantize import qround
+
 from automatic_etl_spark.functions import vectors as vec
 
 # Deterministic "hyperplanes": plane j sums the elements at these
@@ -74,14 +76,14 @@ def projection_bucket(
 
 
 def _score_pairs(joined: DataFrame) -> DataFrame:
-    """Self-exclusion + the ONE rounded-cosine score projection shared
+    """Self-exclusion + the ONE floor-quantized-cosine score projection shared
     by the brute-force, LSH-bucketed, and IVF paths — ann_recall_report
-    assumes truth and approx rank identical rounded values, which only
+    assumes truth and approx rank identical quantized values, which only
     holds while all three score through this single definition."""
     return joined.filter(F.col("q_id") != F.col("n_id")).select(
         "q_id",
         "n_id",
-        F.round(vec.cosine("q_vec", "n_vec"), 6).alias("score"),
+        qround(vec.cosine("q_vec", "n_vec")).alias("score"),
     )
 
 
@@ -169,7 +171,7 @@ def cosine_near_dup_pairs(
         .select(
             "a_id",
             "b_id",
-            F.round(vec.cosine("a_vec", "b_vec"), 6).alias("score"),
+            qround(vec.cosine("a_vec", "b_vec")).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -228,13 +230,13 @@ def mean_centroid_stats(inverted: DataFrame) -> DataFrame:
     identical under any partitioning (and to the DuckDB oracle).
     """
     dims = _dim_sums(inverted)
-    mean = F.round(F.col("s").cast("double") / F.col("c"), 6).cast(
+    mean = qround(F.col("s").cast("double") / F.col("c")).cast(
         "decimal(18,6)"
     )
     per_dim = dims.select("list_id", (mean * mean).alias("sq"), "c")
     return per_dim.groupBy("list_id").agg(
         F.max("c").alias("n_members"),
-        F.round(F.sqrt(F.sum("sq").cast("double")), 6).alias("centroid_norm"),
+        qround(F.sqrt(F.sum("sq").cast("double"))).alias("centroid_norm"),
     )
 
 
@@ -246,7 +248,7 @@ def mean_centroids(inverted: DataFrame) -> DataFrame:
     ``mean_centroid_stats``; the reassembly is a collect_list made
     deterministic by sorting on the dimension index."""
     dims = _dim_sums(inverted)
-    m = F.round(F.col("s").cast("double") / F.col("c"), 6)
+    m = qround(F.col("s").cast("double") / F.col("c"))
     return (
         dims.select("list_id", F.struct(F.col("pos"), m.alias("m")).alias("pm"))
         .groupBy("list_id")

@@ -651,9 +651,9 @@ NTH_POS = 3
         SELECT event_type, COUNT(*) AS cnt,
                MIN(fv) AS first_val, MIN(lv) AS last_val,
                MIN(nth3) AS third_val,
-               (CAST(SUM(CAST(floor((round(pr, 6)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+               (CAST(SUM(CAST(floor(pr * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS pr_total,
-               (CAST(SUM(CAST(floor((round(cd, 6)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+               (CAST(SUM(CAST(floor(cd * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS cd_total
         FROM w GROUP BY event_type
     """,
@@ -686,10 +686,10 @@ def window_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fv").alias("first_val"),
         F.min("lv").alias("last_val"),
         F.min("nth3").alias("third_val"),
-        (F.sum(F.floor((F.round("pr", 6)) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
+        (F.sum(F.floor(F.col("pr") * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("pr_total"),
-        (F.sum(F.floor((F.round("cd", 6)) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
+        (F.sum(F.floor(F.col("cd") * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("cd_total"),
     )

@@ -770,8 +770,8 @@ OVERFLOW_MULT = 1_844_674_407_370_955_161  # 5x fits int64 (…805), 6x overflow
         SELECT event_type,
                COUNT(*) AS rows_n,
                COUNT(*) FILTER (WHERE denom = 0) AS div_nulls,
-               (CAST(SUM(CASE WHEN denom <> 0 THEN CAST(floor(round(
-                        cents / CAST(denom AS DOUBLE), 6) * 1e6 + 0.5)
+               (CAST(SUM(CASE WHEN denom <> 0 THEN CAST(floor(
+                        cents / CAST(denom AS DOUBLE) * 1e6 + 0.5)
                         AS BIGINT) END) AS DOUBLE) / 1e6) AS ratio_total,
                COUNT(*) FILTER (WHERE cents > 5) AS overflow_nulls,
                COUNT(*) FILTER (WHERE s = 'N/A') AS parse_nulls,
@@ -815,7 +815,7 @@ def try_arithmetic_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.groupBy("event_type").agg(
         F.count("*").alias("rows_n"),
         F.sum((F.col("denom") == 0).cast("long")).alias("div_nulls"),
-        (F.sum(F.floor((F.round("ratio", 6)) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
+        (F.sum(F.floor(F.col("ratio") * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("ratio_total"),
         F.sum(

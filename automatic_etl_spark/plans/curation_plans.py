@@ -36,6 +36,7 @@ from automatic_etl_spark.plans.dedup_plans import (
     ROWS_PER_BAND,
 )
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.sources.parquet import table
 
 # Chain planting: copy1 extends the base by 3 tokens, copy2 by 6 — all
@@ -460,8 +461,9 @@ _SQL_BIGRAMS = """
         WITH {_SQL_BIGRAMS},
         scored AS (
             SELECT lang,
-                   round((len(g) - len(list_distinct(g)))
-                         / CAST(len(g) AS DOUBLE), 6) AS rep_ratio
+                   floor((len(g) - len(list_distinct(g)))
+                         / CAST(len(g) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                       AS rep_ratio
             FROM grams
         )
         SELECT lang,
@@ -484,10 +486,9 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = tx.word_ngrams("text", 2)
     scored = docs.select(
         "lang",
-        F.round(
+        qround(
             (F.size(g) - F.size(F.array_distinct(g)))
-            / F.size(g).cast("double"),
-            6,
+            / F.size(g).cast("double")
         ).alias("rep_ratio"),
     ).filter(F.size(g) >= 1)
     return scored.groupBy("lang").agg(
@@ -511,7 +512,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         per_doc AS (
             SELECT doc_id, lang,
-                   round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS frac
+                   floor(MAX(c) / CAST(SUM(c) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS frac
             FROM cnts GROUP BY 1, 2
         )
         SELECT lang,
@@ -535,8 +536,8 @@ def top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id", "lang")
         .agg(
-            F.round(
-                F.max("c") / F.sum("c").cast("double"), 6
+            qround(
+                F.max("c") / F.sum("c").cast("double")
             ).alias("frac")
         )
     )
@@ -888,9 +889,10 @@ QUERY_MOD = 100  # same query set as the ANN plans
         n AS (SELECT vec_id AS n_id, v AS nv, s AS ns FROM e),
         scored AS (
             SELECT q_id, n_id,
-                   round(list_dot_product(qv, nv)
+                   floor(list_dot_product(qv, nv)
                          / (sqrt(list_dot_product(qv, qv))
-                            * sqrt(list_dot_product(nv, nv))), 6)
+                            * sqrt(list_dot_product(nv, nv)))
+                         * 1e6 + 0.5) / 1e6
                        AS exact_score,
                    list_dot_product(qs, ns) AS quant_score
             FROM q CROSS JOIN n WHERE n_id <> q_id
@@ -911,7 +913,8 @@ QUERY_MOD = 100  # same query set as the ANN plans
         )
         SELECT et.q_id,
                COUNT(qt.n_id) AS overlap_cnt,
-               round(COUNT(qt.n_id) / CAST({RECALL_K} AS DOUBLE), 6) AS recall
+               floor(COUNT(qt.n_id) / CAST({RECALL_K} AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS recall
         FROM et LEFT JOIN qt ON et.q_id = qt.q_id AND et.n_id = qt.n_id
         GROUP BY et.q_id
     """,
@@ -922,7 +925,7 @@ def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a quantized index at 100 TB. The quantized score is an INTEGER
     (agreements − disagreements via a ±1 dot product), so its ranking
     is exactly reproducible across engines; exact scores use the
-    verified rounded-double cosine. One broadcast-query cross join
+    verified floor-quantized cosine. One broadcast-query cross join
     feeds both rankings (two window sorts over the same q_id
     partitioning)."""
     from automatic_etl_spark.functions import vectors as vec
@@ -957,7 +960,7 @@ def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "n_id",
-            F.round(vec.cosine("qv", "nv"), 6).alias("exact_score"),
+            qround(vec.cosine("qv", "nv")).alias("exact_score"),
             quant.alias("quant_score"),
         )
     )
@@ -982,8 +985,8 @@ def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q_id")
         .agg(
             F.count("m").alias("overlap_cnt"),
-            F.round(
-                F.count("m") / F.lit(float(RECALL_K)), 6
+            qround(
+                F.count("m") / F.lit(float(RECALL_K))
             ).alias("recall"),
         )
     )
@@ -1128,7 +1131,7 @@ def substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from -1 is boilerplate-heavy or template-generated. Least-squares
 # fit of ln(freq) on ln(rank) over each language's vocabulary — the
 # rank window runs over the VOCABULARY (bounded), not the corpus, and
-# the moments are decimal-pinned sums of once-rounded doubles, so the
+# the moments are decimal-pinned sums of once-quantized doubles, so the
 # fitted slope is engine-identical.
 
 
@@ -1147,26 +1150,28 @@ def substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         pts AS (
             SELECT lang,
-                   round(ln(CAST(ROW_NUMBER() OVER (
+                   floor(ln(CAST(ROW_NUMBER() OVER (
                        PARTITION BY lang ORDER BY c DESC, tok ASC
-                   ) AS DOUBLE)), 6) AS x,
-                   round(ln(CAST(c AS DOUBLE)), 6) AS y
+                   ) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS x,
+                   floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS y
             FROM vocab
         ),
         m AS (
             SELECT lang, COUNT(*) AS n,
                    SUM(CAST(x AS DECIMAL(28,8))) AS sx,
                    SUM(CAST(y AS DECIMAL(28,8))) AS sy,
-                   SUM(CAST(round(x * y, 8) AS DECIMAL(28,8))) AS sxy,
-                   SUM(CAST(round(x * x, 8) AS DECIMAL(28,8))) AS sxx
+                   SUM(CAST(floor(x * y * 1e8 + 0.5) / 1e8
+                            AS DECIMAL(28,8))) AS sxy,
+                   SUM(CAST(floor(x * x * 1e8 + 0.5) / 1e8
+                            AS DECIMAL(28,8))) AS sxx
             FROM pts GROUP BY lang
         )
         SELECT lang, CAST(n AS BIGINT) AS n_vocab,
-               round((n * CAST(sxy AS DOUBLE)
+               floor((n * CAST(sxy AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                      / (n * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-                   AS zipf_slope
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS zipf_slope
         FROM m
     """,
 )
@@ -1174,7 +1179,7 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Least-squares slope of ln(freq) vs ln(rank) over each lang's
     token vocabulary — the Zipf-law corpus diagnostic. Returns
     (lang, n_vocab, zipf_slope). Ranks tie-break on token text; x/y
-    round once, moments accumulate as decimals."""
+    floor-quantize once (qround), moments accumulate as decimals."""
     return zipf_slope(table(spark, sf_dir, "documents"))
 
 
@@ -1193,16 +1198,16 @@ def zipf_slope(docs: DataFrame) -> DataFrame:
     w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
     pts = vocab.select(
         "lang",
-        F.round(F.log(F.row_number().over(w).cast("double")), 6).alias("x"),
-        F.round(F.log(F.col("c").cast("double")), 6).alias("y"),
+        qround(F.log(F.row_number().over(w).cast("double"))).alias("x"),
+        qround(F.log(F.col("c").cast("double"))).alias("y"),
     )
     m = pts.groupBy("lang").agg(
         F.count("*").alias("n"),
         F.sum(F.col("x").cast("decimal(28,8)")).alias("sx"),
         F.sum(F.col("y").cast("decimal(28,8)")).alias("sy"),
-        F.sum(F.round(F.col("x") * F.col("y"), 8).cast("decimal(28,8)"))
+        F.sum(qround(F.col("x") * F.col("y"), 8).cast("decimal(28,8)"))
         .alias("sxy"),
-        F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(28,8)"))
+        F.sum(qround(F.col("x") * F.col("x"), 8).cast("decimal(28,8)"))
         .alias("sxx"),
     )
     n = F.col("n")
@@ -1213,8 +1218,8 @@ def zipf_slope(docs: DataFrame) -> DataFrame:
     return m.select(
         "lang",
         n.alias("n_vocab"),
-        F.round(
-            (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
+        qround(
+            (n * sxy - sx * sy) / (n * sxx - sx * sx)
         ).alias("zipf_slope"),
     )
 

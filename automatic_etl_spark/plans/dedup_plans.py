@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from automatic_etl_spark.functions import text as tx
 from automatic_etl_spark.operators import text_dedup as td
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.sources.parquet import table
 
 NEAR_DUP_SUFFIX = " zyx wvu tsr"
@@ -171,7 +172,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COUNT(*) AS pair_cnt,
                CAST(SUM(a_id) AS BIGINT) AS a_id_total,
                CAST(SUM(b_id) AS BIGINT) AS b_id_total,
-               (CAST(SUM(CAST(floor((round(jaccard, 6)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+               (CAST(SUM(CAST(floor(jaccard * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS jaccard_total
         FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
@@ -185,7 +186,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("pair_cnt"),
         F.sum("a_id").alias("a_id_total"),
         F.sum("b_id").alias("b_id_total"),
-        (F.sum(F.floor((F.round("jaccard", 6)) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
+        (F.sum(F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("jaccard_total"),
     )
@@ -214,7 +215,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT (SELECT COUNT(*) FROM cand) AS candidate_cnt,
                COUNT(*) AS verified_cnt,
                CAST(SUM(a_id) AS BIGINT) AS a_id_total,
-               (CAST(SUM(CAST(floor((round(jaccard, 6)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+               (CAST(SUM(CAST(floor(jaccard * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS jaccard_total
         FROM verified
     """,
@@ -239,7 +240,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = verified.agg(
         F.count("*").alias("verified_cnt"),
         F.sum("a_id").alias("a_id_total"),
-        (F.sum(F.floor((F.round("jaccard", 6)) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
+        (F.sum(F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("jaccard_total"),
     )
@@ -270,7 +271,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT COUNT(*) FROM cand) AS candidate_cnt,
                COUNT(*) AS verified_cnt,
                CAST(SUM(a_id) AS BIGINT) AS a_id_total,
-               (CAST(SUM(CAST(floor((round(jaccard, 6)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+               (CAST(SUM(CAST(floor(jaccard * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS jaccard_total
         FROM verified
     """,
@@ -323,7 +324,7 @@ def minhash_lsh_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = verified.agg(
         F.count("*").alias("verified_cnt"),
         F.sum("a_id").alias("a_id_total"),
-        (F.sum(F.floor((F.round("jaccard", 6)) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
+        (F.sum(F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("jaccard_total"),
     )
@@ -584,9 +585,9 @@ ERR_BUCKETS = 10
         SELECT LEAST(CAST(floor(abs(est_j - exact_j) * {ERR_BUCKETS})
                           AS INT), {ERR_BUCKETS - 1}) AS err_bucket,
                COUNT(*) AS cnt,
-               (CAST(SUM(CAST(floor((round(est_j, 6)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+               (CAST(SUM(CAST(floor(est_j * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS est_total,
-               (CAST(SUM(CAST(floor((round(exact_j, 6)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+               (CAST(SUM(CAST(floor(exact_j * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
                    AS exact_total
         FROM joined GROUP BY 1
     """,
@@ -637,10 +638,10 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(bucket.alias("err_bucket")).agg(
         F.count("*").alias("cnt"),
-        (F.sum(F.floor((F.round("est_j", 6)) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
+        (F.sum(F.floor(F.col("est_j") * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("est_total"),
-        (F.sum(F.floor((F.round("exact_j", 6)) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
+        (F.sum(F.floor(F.col("exact_j") * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6))
         .cast("double")
         .alias("exact_total"),
     )
@@ -677,25 +678,29 @@ _SPARSE_ORACLE = f"""
     n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
     w AS (
         SELECT t.doc_id, t.tok,
-               round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS w
+               floor(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df)
+                     * 1e6 + 0.5) / 1e6 AS w
         FROM tf t JOIN df d ON t.tok = d.tok CROSS JOIN n
         WHERE d.df BETWEEN {SPARSE_DF_MIN} AND {SPARSE_DF_CAP}
     ),
     norm AS (
         SELECT doc_id,
-               sqrt(CAST(SUM(CAST(round(w * w, 8) AS DECIMAL(28,8)))
+               sqrt(CAST(SUM(CAST(floor(w * w * 1e8 + 0.5) / 1e8
+                                  AS DECIMAL(28,8)))
                          AS DOUBLE)) AS nrm
         FROM w GROUP BY doc_id
     ),
     u AS (
-        SELECT w.doc_id, w.tok, round(w.w / norm.nrm, 6) AS u
+        SELECT w.doc_id, w.tok,
+               floor(w.w / norm.nrm * 1e6 + 0.5) / 1e6 AS u
         FROM w JOIN norm ON w.doc_id = norm.doc_id
         WHERE norm.nrm > 0
     ),
     pairs AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               round(CAST(SUM(CAST(round(a.u * b.u, 8) AS DECIMAL(28,8)))
-                          AS DOUBLE), 6) AS score
+               floor(CAST(SUM(CAST(floor(a.u * b.u * 1e8 + 0.5) / 1e8
+                                   AS DECIMAL(28,8)))
+                          AS DOUBLE) * 1e6 + 0.5) / 1e6 AS score
         FROM u a JOIN u b ON a.tok = b.tok AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
@@ -715,9 +720,10 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution at df² ≤ 900 BEFORE the self-join (no all-pairs term
     exists — a ubiquitous term never reaches the join), and the pair
     aggregate is map-side combinable on (a_id, b_id). Every float
-    crossing the engines rounds at ONE site then sums as DECIMAL
-    (weights 6dp, squared/paired products 8dp), so the order-dependent
-    double-sum trap never fires. Complements `minhash_lsh_dedup`
+    crossing the engines is floor-quantized (qround) at ONE site then
+    sums as DECIMAL (weights 6dp, squared/paired products 8dp), so
+    neither the order-dependent double-sum trap nor the native-round
+    cross-engine half-boundary trap can fire. Complements `minhash_lsh_dedup`
     (probabilistic lexical) and `embedding_cosine_dedup` (dense
     semantic): this one is exact AND lexical."""
     docs = table(spark, sf_dir, "documents")
@@ -742,17 +748,16 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "tok",
-            F.round(
+            qround(
                 F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df")),
-                6,
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
             ).alias("w"),
         )
     )
     norm = w.groupBy("doc_id").agg(
         F.sqrt(
             F.sum(
-                F.round(F.col("w") * F.col("w"), 8).cast("decimal(28,8)")
+                qround(F.col("w") * F.col("w"), 8).cast("decimal(28,8)")
             ).cast("double")
         ).alias("nrm")
     )
@@ -760,7 +765,9 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.join(norm, "doc_id")
         .where(F.col("nrm") > 0)
         .select(
-            "doc_id", "tok", F.round(F.col("w") / F.col("nrm"), 6).alias("u")
+            "doc_id",
+            "tok",
+            qround(F.col("w") / F.col("nrm")).alias("u"),
         )
         .localCheckpoint(eager=True)
     )
@@ -775,13 +782,12 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(
-            F.round(
+            qround(
                 F.sum(
-                    F.round(F.col("ua") * F.col("ub"), 8).cast(
+                    qround(F.col("ua") * F.col("ub"), 8).cast(
                         "decimal(28,8)"
                     )
-                ).cast("double"),
-                6,
+                ).cast("double")
             ).alias("score")
         )
     )

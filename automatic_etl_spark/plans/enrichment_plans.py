@@ -57,6 +57,7 @@ from automatic_etl_spark.functions import vectors as vec
 from automatic_etl_spark.operators import quantiles as qt
 from automatic_etl_spark.operators import similarity as sim
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.plans.similarity_plans import (
     _SQL_ASSIGN,
     _sql_bucket,
@@ -87,9 +88,10 @@ SEM_THRESHOLD = 0.35
             SELECT a.list_id, a.n_id AS a_id, b.n_id AS b_id
             FROM assign a JOIN assign b
               ON a.list_id = b.list_id AND a.n_id < b.n_id
-            WHERE round(list_dot_product(a.nv, b.nv)
+            WHERE floor(list_dot_product(a.nv, b.nv)
                         / (sqrt(list_dot_product(a.nv, a.nv))
-                           * sqrt(list_dot_product(b.nv, b.nv))), 6)
+                           * sqrt(list_dot_product(b.nv, b.nv)))
+                        * 1e6 + 0.5) / 1e6
                   >= {SEM_THRESHOLD}
         ),
         pruned AS (
@@ -138,7 +140,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         left.join(right, "list_id")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
-            F.round(vec.cosine("a_vec", "b_vec"), 6) >= SEM_THRESHOLD
+            qround(vec.cosine("a_vec", "b_vec")) >= SEM_THRESHOLD
         )
     )
     pruned = pairs.groupBy("list_id").agg(
@@ -200,7 +202,8 @@ WIN_W = 8  # fixture docs are 10-99 tokens; production would use ~50
             GROUP BY sh.doc_id
         )
         SELECT doc_id, n_windows, n_shared,
-               round(CAST(n_shared AS DOUBLE) / n_windows, 6) AS shared_frac
+               floor(CAST(n_shared AS DOUBLE) / n_windows * 1e6 + 0.5)
+                   / 1e6 AS shared_frac
         FROM per_doc
     """,
 )
@@ -233,8 +236,8 @@ def repeated_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_windows",
         "n_shared",
-        F.round(
-            F.col("n_shared").cast("double") / F.col("n_windows"), 6
+        qround(
+            F.col("n_shared").cast("double") / F.col("n_windows")
         ).alias("shared_frac"),
     )
 
@@ -271,9 +274,10 @@ STRIDE = 24
                CAST(list_sum(list_transform(
                    starts, s -> least({CHUNK}, n_tok - s + 1)
                )) AS BIGINT) AS chunk_tokens,
-               round(CAST(len(starts) * {CHUNK} - list_sum(list_transform(
+               floor(CAST(len(starts) * {CHUNK} - list_sum(list_transform(
                          starts, s -> least({CHUNK}, n_tok - s + 1)))
-                     AS DOUBLE) / (len(starts) * {CHUNK}), 6) AS pad_frac
+                     AS DOUBLE) / (len(starts) * {CHUNK})
+                     * 1e6 + 0.5) / 1e6 AS pad_frac
         FROM ch
     """,
 )
@@ -306,10 +310,9 @@ def chunk_stride_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         "n_chunks",
         "chunk_tokens",
-        F.round(
+        qround(
             (F.col("n_chunks") * CHUNK - F.col("chunk_tokens")).cast("double")
-            / (F.col("n_chunks") * CHUNK),
-            6,
+            / (F.col("n_chunks") * CHUNK)
         ).alias("pad_frac"),
     )
 
@@ -476,9 +479,10 @@ def _pr_iterate(ranks: DataFrame, sym: DataFrame, deg: DataFrame) -> DataFrame:
         edges AS (
             SELECT a.vec_id AS a_id, b.vec_id AS b_id
             FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.v, b.v)
+            WHERE floor(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v))
-                           * sqrt(list_dot_product(b.v, b.v))), 6)
+                           * sqrt(list_dot_product(b.v, b.v)))
+                        * 1e6 + 0.5) / 1e6
                   >= {DEDUP_THRESHOLD}
         ),
         sym AS (
@@ -773,9 +777,10 @@ DECON_THRESHOLD = 0.30
         ),
         scored AS (
             SELECT n_id, e_id,
-                   round(list_dot_product(nv, ev)
+                   floor(list_dot_product(nv, ev)
                          / (sqrt(list_dot_product(nv, nv))
-                            * sqrt(list_dot_product(ev, ev))), 6) AS score
+                            * sqrt(list_dot_product(ev, ev)))
+                         * 1e6 + 0.5) / 1e6 AS score
             FROM corpus CROSS JOIN ev
         ),
         best AS (
@@ -804,7 +809,7 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = corpus.crossJoin(F.broadcast(ev)).select(
         "n_id",
         (-F.col("e_id")).alias("neg_e"),
-        F.round(vec.cosine("n_vec", "e_vec"), 6).alias("score"),
+        qround(vec.cosine("n_vec", "e_vec")).alias("score"),
     )
     best = scored.groupBy("n_id").agg(
         F.max(F.struct("score", "neg_e")).alias("m")
@@ -904,9 +909,10 @@ def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cum GROUP BY event_type
         )
         SELECT q.event_type, q.n_events, q.p05, q.p95,
-               round(CAST(SUM(CAST(round(
+               floor(CAST(SUM(CAST(round(
                          least(greatest(e.value, q.p05), q.p95), 2)
-                     AS DECIMAL(18,2))) AS DOUBLE) / q.n_events, 6)
+                     AS DECIMAL(18,2))) AS DOUBLE) / q.n_events
+                     * 1e6 + 0.5) / 1e6
                    AS wins_mean
         FROM q JOIN events e USING (event_type)
         WHERE e.value IS NOT NULL
@@ -935,11 +941,10 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(q), "event_type")
         .groupBy("event_type", "n_events", "p05", "p95")
         .agg(
-            F.round(
+            qround(
                 F.sum(F.round(clamped, 2).cast("decimal(18,2)"))
                 .cast("double")
-                / F.col("n_events"),
-                6,
+                / F.col("n_events")
             ).alias("wins_mean")
         )
     )
@@ -1198,12 +1203,13 @@ _CORR_PAIRS = [
 
 def _sql_corr(a: str, b: str) -> str:
     return (
-        f"round((n * CAST(s_{a}_{b} AS DOUBLE)"
+        f"floor((n * CAST(s_{a}_{b} AS DOUBLE)"
         f" - CAST(s_{a} AS DOUBLE) * s_{b})"
         f" / sqrt((n * CAST(s_{a}_{a} AS DOUBLE)"
         f" - CAST(s_{a} AS DOUBLE) * s_{a})"
         f" * (n * CAST(s_{b}_{b} AS DOUBLE)"
-        f" - CAST(s_{b} AS DOUBLE) * s_{b})), 6)"
+        f" - CAST(s_{b} AS DOUBLE) * s_{b}))"
+        f" * 1e6 + 0.5) / 1e6"
     )
 
 
@@ -1274,13 +1280,12 @@ def corr_matrix_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         sab = F.col(f"s_{a}_{b}").cast("double")
         saa = F.col(f"s_{a}_{a}").cast("double")
         sbb = F.col(f"s_{b}_{b}").cast("double")
-        return F.round(
+        return qround(
             (n * sab - sa * F.col(f"s_{b}"))
             / F.sqrt(
                 (n * saa - sa * F.col(f"s_{a}"))
                 * (n * sbb - sb * F.col(f"s_{b}"))
-            ),
-            6,
+            )
         )
 
     wide = m.select(
@@ -1413,7 +1418,7 @@ def null_safe_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cum2 GROUP BY event_type
         )
         SELECT m.event_type, m.n_events, m.med, d.mad,
-               round(1.4826 * d.mad, 6) AS mad_scaled
+               floor(1.4826 * d.mad * 1e6 + 0.5) / 1e6 AS mad_scaled
         FROM med m JOIN mad d USING (event_type)
     """,
 )
@@ -1446,7 +1451,7 @@ def mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "med",
             "mad",
-            F.round(1.4826 * F.col("mad"), 6).alias("mad_scaled"),
+            qround(1.4826 * F.col("mad")).alias("mad_scaled"),
         )
     )
 
@@ -1487,8 +1492,8 @@ def mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dims AS (
             SELECT label, epoch, dim,
-                   round(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
-                         / COUNT(*), 6) AS mval,
+                   floor(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                         / COUNT(*) * 1e6 + 0.5) / 1e6 AS mval,
                    COUNT(*) AS c
             FROM ex GROUP BY 1, 2, 3
         ),
@@ -1502,13 +1507,15 @@ def mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label,
                CAST(MAX(ca) AS BIGINT) AS n_a,
                CAST(MAX(cb) AS BIGINT) AS n_b,
-               round(CAST(SUM(CAST(round(ma * mb, 8) AS DECIMAL(28,8)))
+               floor(CAST(SUM(CAST(floor(ma * mb * 1e8 + 0.5) / 1e8
+                                   AS DECIMAL(28,8)))
                           AS DOUBLE)
-                     / (sqrt(CAST(SUM(CAST(round(ma * ma, 8)
+                     / (sqrt(CAST(SUM(CAST(floor(ma * ma * 1e8 + 0.5) / 1e8
                                            AS DECIMAL(28,8))) AS DOUBLE))
-                        * sqrt(CAST(SUM(CAST(round(mb * mb, 8)
+                        * sqrt(CAST(SUM(CAST(floor(mb * mb * 1e8 + 0.5) / 1e8
                                              AS DECIMAL(28,8)))
-                                    AS DOUBLE))), 6) AS centroid_cosine
+                                    AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS centroid_cosine
         FROM joined GROUP BY label
     """,
 )
@@ -1575,10 +1582,9 @@ def embedding_drift_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dims = ex.groupBy("label", "epoch", "dim").agg(
-        F.round(
+        qround(
             F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-            / F.count("*"),
-            6,
+            / F.count("*")
         ).alias("mval"),
         F.count("*").alias("c"),
     )
@@ -1591,16 +1597,15 @@ def embedding_drift_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mval").alias("mb"), F.col("c").alias("cb"),
     )
     joined = a.join(b, ["label", "dim"])
-    dot = F.sum(F.round(F.col("ma") * F.col("mb"), 8).cast("decimal(28,8)"))
-    na2 = F.sum(F.round(F.col("ma") * F.col("ma"), 8).cast("decimal(28,8)"))
-    nb2 = F.sum(F.round(F.col("mb") * F.col("mb"), 8).cast("decimal(28,8)"))
+    dot = F.sum(qround(F.col("ma") * F.col("mb"), 8).cast("decimal(28,8)"))
+    na2 = F.sum(qround(F.col("ma") * F.col("ma"), 8).cast("decimal(28,8)"))
+    nb2 = F.sum(qround(F.col("mb") * F.col("mb"), 8).cast("decimal(28,8)"))
     return joined.groupBy("label").agg(
         F.max("ca").alias("n_a"),
         F.max("cb").alias("n_b"),
-        F.round(
+        qround(
             dot.cast("double")
-            / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))),
-            6,
+            / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double")))
         ).alias("centroid_cosine"),
     )
 
@@ -1629,8 +1634,8 @@ _EWMA_ORACLE = f"""
     ),
     pairs AS (
         SELECT c.event_id, c.event_type, c.value,
-               CAST(round(pow(0.5, c.rn - p.rn) * p.value, 6)
-                    AS DECIMAL(28,6)) AS wx,
+               CAST(floor(pow(0.5, c.rn - p.rn) * p.value * 1e6 + 0.5)
+                    / 1e6 AS DECIMAL(28,6)) AS wx,
                CAST(pow(0.5, c.rn - p.rn) AS DECIMAL(18,8)) AS w
         FROM base c JOIN base p
           ON c.user_id = p.user_id
@@ -1638,21 +1643,22 @@ _EWMA_ORACLE = f"""
     ),
     pred AS (
         SELECT event_id, event_type, value,
-               round(CAST(SUM(wx) AS DOUBLE)
-                     / CAST(SUM(w) AS DOUBLE), 6) AS ewma
+               floor(CAST(SUM(wx) AS DOUBLE)
+                     / CAST(SUM(w) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ewma
         FROM pairs GROUP BY event_id, event_type, value
     )
     SELECT event_type,
            COUNT(*) AS n_scored,
-           CAST(SUM(CASE WHEN round(abs(value - ewma)
-                                    / (abs(ewma) + 1.0), 6)
+           CAST(SUM(CASE WHEN floor(abs(value - ewma)
+                                    / (abs(ewma) + 1.0) * 1e6 + 0.5) / 1e6
                               > {EWMA_REL_LIMIT}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-           round(CAST(SUM(CASE WHEN round(abs(value - ewma)
-                                          / (abs(ewma) + 1.0), 6)
+           floor(CAST(SUM(CASE WHEN floor(abs(value - ewma)
+                                          / (abs(ewma) + 1.0)
+                                          * 1e6 + 0.5) / 1e6
                                     > {EWMA_REL_LIMIT}
                                THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS anomaly_rate
+                 / COUNT(*) * 1e6 + 0.5) / 1e6 AS anomaly_rate
     FROM pred GROUP BY event_type
 """
 
@@ -1699,29 +1705,28 @@ def ewma_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.event_id").alias("event_id"),
         F.col("c.event_type").alias("event_type"),
         F.col("c.value").alias("value"),
-        F.round(F.pow(F.lit(0.5), d) * F.col("p.value"), 6)
+        qround(F.pow(F.lit(0.5), d) * F.col("p.value"))
         .cast("decimal(28,6)")
         .alias("wx"),
         F.pow(F.lit(0.5), d).cast("decimal(18,8)").alias("w"),
     )
     pred = pairs.groupBy("event_id", "event_type", "value").agg(
-        F.round(
-            F.sum("wx").cast("double") / F.sum("w").cast("double"), 6
+        qround(
+            F.sum("wx").cast("double") / F.sum("w").cast("double")
         ).alias("ewma")
     )
     is_anom = (
-        F.round(
+        qround(
             F.abs(F.col("value") - F.col("ewma"))
-            / (F.abs(F.col("ewma")) + 1.0),
-            6,
+            / (F.abs(F.col("ewma")) + 1.0)
         )
         > EWMA_REL_LIMIT
     ).cast("long")
     return pred.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.sum(is_anom).cast("bigint").alias("n_anomalies"),
-        F.round(
-            F.sum(is_anom).cast("double") / F.count(F.lit(1)), 6
+        qround(
+            F.sum(is_anom).cast("double") / F.count(F.lit(1))
         ).alias("anomaly_rate"),
     )
 
@@ -1779,17 +1784,19 @@ KS_ALPHA_COEF = 1.358  # c(α) for α = 0.05
         )
         SELECT event_type,
                CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
-               round(CAST(d_scaled AS DOUBLE)
-                     / (CAST(n0 AS DOUBLE) * n1), 6) AS ks_stat,
-               round({KS_ALPHA_COEF} * sqrt((n0 + CAST(n1 AS DOUBLE))
-                                            / (CAST(n0 AS DOUBLE) * n1)),
-                     6) AS crit_value,
-               CAST(CASE WHEN round(CAST(d_scaled AS DOUBLE)
-                                    / (CAST(n0 AS DOUBLE) * n1), 6)
-                              > round({KS_ALPHA_COEF}
+               floor(CAST(d_scaled AS DOUBLE)
+                     / (CAST(n0 AS DOUBLE) * n1) * 1e6 + 0.5) / 1e6
+                   AS ks_stat,
+               floor({KS_ALPHA_COEF} * sqrt((n0 + CAST(n1 AS DOUBLE))
+                                            / (CAST(n0 AS DOUBLE) * n1))
+                     * 1e6 + 0.5) / 1e6 AS crit_value,
+               CAST(CASE WHEN floor(CAST(d_scaled AS DOUBLE)
+                                    / (CAST(n0 AS DOUBLE) * n1)
+                                    * 1e6 + 0.5) / 1e6
+                              > floor({KS_ALPHA_COEF}
                                       * sqrt((n0 + CAST(n1 AS DOUBLE))
-                                             / (CAST(n0 AS DOUBLE) * n1)),
-                                      6)
+                                             / (CAST(n0 AS DOUBLE) * n1))
+                                      * 1e6 + 0.5) / 1e6
                          THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
         FROM per_type
     """,
@@ -1844,18 +1851,16 @@ def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("n0") > 0) & (F.col("n1") > 0))
     )
-    ks = F.round(
+    ks = qround(
         F.col("d_scaled").cast("double")
-        / (F.col("n0").cast("double") * F.col("n1")),
-        6,
+        / (F.col("n0").cast("double") * F.col("n1"))
     )
-    crit = F.round(
+    crit = qround(
         F.lit(KS_ALPHA_COEF)
         * F.sqrt(
             (F.col("n0") + F.col("n1").cast("double"))
             / (F.col("n0").cast("double") * F.col("n1"))
-        ),
-        6,
+        )
     )
     return per_type.select(
         "event_type",

@@ -29,16 +29,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from automatic_etl_spark.functions.quantize import qround  # noqa: F401
 from automatic_etl_spark.operators.dedup import latest_version
 from automatic_etl_spark.plans.registry import register
 from automatic_etl_spark.sources.parquet import table
+
+# qround is re-exported: the plan packs import their render helpers
+# from this module; its canonical definition lives in
+# functions/quantize.py so operators can use it without depending on
+# a plan module.
 
 
 def dsum(expr: Column | str, alias: str, scale: int = 2) -> Column:
     """Order-independent sum of a double expression (see module doc):
     exact BIGINT sum of floor(x·10^scale + 0.5) rendered as
-    CAST(sum AS DOUBLE) / 10^scale. SQL mirror per site:
-    ``CAST(SUM(CAST(floor(x * 1eK + 0.5) AS BIGINT)) AS DOUBLE) / 1eK``."""
+    CAST(sum AS DOUBLE) / 10^scale. SQL mirror per site: prefer
+    :func:`_sql_dsum` (single-source scale constant); legacy sites spell
+    ``CAST(SUM(CAST(floor(x * 1eK + 0.5) AS BIGINT)) AS DOUBLE) / 1eK``
+    and ``tests/test_quantize_idiom.py`` pins multiplier == divisor.
+
+    Rounding semantics: floor(x·s + 0.5) is HALF_UP for x ≥ 0 but
+    half-toward-+inf for negative half-boundary values (-2.5 → -2,
+    where DECIMAL HALF_UP gives -3). Both engines evaluate the same
+    IEEE expression, so there is no oracle drift; the shift is only
+    visible if a negative input carries more precision than `scale`
+    (c_acctbal / events.value are 2-dp at source, so current callers
+    never observe it)."""
     col = F.col(expr) if isinstance(expr, str) else expr
     s = F.lit(float(10**scale))
     return (
@@ -50,9 +66,28 @@ def dsum(expr: Column | str, alias: str, scale: int = 2) -> Column:
 def micro_long(expr: Column | str, scale: float) -> Column:
     """floor(x·scale + 0.5) as BIGINT — the per-row half of :func:`dsum`,
     for callers that aggregate the scaled integers themselves (window
-    frames, HAVING thresholds, share numerators)."""
+    frames, HAVING thresholds, share numerators). Same negative-half
+    semantics as :func:`dsum` (half-toward-+inf, engine-consistent)."""
     col = F.col(expr) if isinstance(expr, str) else expr
     return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
+
+
+def _sql_qround(expr: str, scale: int = 6) -> str:
+    """DuckDB mirror of :func:`qround`, generated from the same scale
+    constant so multiplier and divisor can never drift apart."""
+    return f"floor(({expr}) * 1e{scale} + 0.5) / 1e{scale}"
+
+
+def _sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
+    """DuckDB mirror of :func:`dsum` — single-source scale constant
+    (ADVICE r9: hand-duplicated multiplier/divisor pairs can drift;
+    generating both from one ``scale`` makes the typo impossible)."""
+    return (
+        f"(CAST(SUM(CAST(floor(({expr}) * 1e{scale} + 0.5) AS BIGINT)) "
+        f"AS DOUBLE) / 1e{scale}) AS {alias}"
+    )
 
 
 # --- A1: full-table COUNT (reference tools/ingest_runner.py:1880) -----------

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from automatic_etl_spark.operators import similarity as sim
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.sources.parquet import table
 
 K = 5
@@ -22,9 +23,9 @@ def _sql_cos(a: str, b: str) -> str:
     from this so a rounding/precision change cannot desynchronize a
     subset of them."""
     return (
-        f"round(list_dot_product({a}, {b})"
+        f"floor(list_dot_product({a}, {b})"
         f" / (sqrt(list_dot_product({a}, {a}))"
-        f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        f" * sqrt(list_dot_product({b}, {b}))) * 1e6 + 0.5) / 1e6"
     )
 
 
@@ -158,9 +159,10 @@ _SQL_ASSIGN = (
         ),
         pairs AS (
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                   round(list_dot_product(a.v, b.v)
+                   floor(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v))
-                            * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+                            * sqrt(list_dot_product(b.v, b.v)))
+                         * 1e6 + 0.5) / 1e6 AS score
             FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
         SELECT a_id, b_id, score FROM pairs WHERE score >= {DEDUP_THRESHOLD}
@@ -193,9 +195,10 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scored AS (
             SELECT p.q_id, a.n_id,
-                   round(list_dot_product(p.qv, a.nv)
+                   floor(list_dot_product(p.qv, a.nv)
                          / (sqrt(list_dot_product(p.qv, p.qv))
-                            * sqrt(list_dot_product(a.nv, a.nv))), 6) AS score
+                            * sqrt(list_dot_product(a.nv, a.nv)))
+                         * 1e6 + 0.5) / 1e6 AS score
             FROM probe p JOIN assign a USING (list_id)
             WHERE a.n_id <> p.q_id
         ),
@@ -228,7 +231,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         )
         SELECT label, COUNT(*) AS cnt,
-               (CAST(SUM(CAST(floor(round(sqrt(list_dot_product(v, v)), 6)
+               (CAST(SUM(CAST(floor(sqrt(list_dot_product(v, v))
                                     * 1e6 + 0.5) AS BIGINT))
                      AS DOUBLE) / 1e6) AS norm_total
         FROM e GROUP BY label
@@ -240,7 +243,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     v = vec.to_double_array("embedding")
     return (
-        emb.select("label", F.round(vec.norm(v), 6).alias("nrm"))
+        emb.select("label", vec.norm(v).alias("nrm"))
         .groupBy("label")
         .agg(
             F.count("*").alias("cnt"),
@@ -269,13 +272,15 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sq AS (
             SELECT list_id,
-                   CAST(round(CAST(s AS DOUBLE) / c, 6) AS DECIMAL(18,6)) AS m,
+                   CAST(floor(CAST(s AS DOUBLE) / c * 1e6 + 0.5) / 1e6
+                        AS DECIMAL(18,6)) AS m,
                    c
             FROM dims
         )
         SELECT list_id,
                MAX(c) AS n_members,
-               round(sqrt(CAST(SUM(m * m) AS DOUBLE)), 6) AS centroid_norm
+               floor(sqrt(CAST(SUM(m * m) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS centroid_norm
         FROM sq GROUP BY list_id
     """,
 )
@@ -323,7 +328,8 @@ _SQL_MEANS = """
         {_SQL_MEANS.format(i=1)},
         c1 AS (
             SELECT list_id AS c_id,
-                   list(CAST(round(CAST(s AS DOUBLE) / c, 6) AS DOUBLE)
+                   list(CAST(floor(CAST(s AS DOUBLE) / c * 1e6 + 0.5) / 1e6
+                             AS DOUBLE)
                         ORDER BY ord) AS cv
             FROM d1 GROUP BY list_id
         ),
@@ -331,13 +337,15 @@ _SQL_MEANS = """
         {_SQL_MEANS.format(i=2)},
         sq AS (
             SELECT list_id,
-                   CAST(round(CAST(s AS DOUBLE) / c, 6) AS DECIMAL(18,6)) AS m,
+                   CAST(floor(CAST(s AS DOUBLE) / c * 1e6 + 0.5) / 1e6
+                        AS DECIMAL(18,6)) AS m,
                    c
             FROM d2
         )
         SELECT list_id,
                MAX(c) AS n_members,
-               round(sqrt(CAST(SUM(m * m) AS DOUBLE)), 6) AS centroid_norm
+               floor(sqrt(CAST(SUM(m * m) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS centroid_norm
         FROM sq GROUP BY list_id
     """,
 )
@@ -380,10 +388,13 @@ HEAD_DIMS = 8
         per AS (
             SELECT label,
                    len(list_filter(v, x -> x > 0)) AS pos_cnt,
-                   round(CAST(list_max(v) AS DOUBLE), 6) AS max_c,
-                   round(list_dot_product(v, list_reverse(v)), 6) AS revdot,
-                   round(list_dot_product(v[1:{HEAD_DIMS}],
-                                          v[1:{HEAD_DIMS}]), 6) AS head_norm2
+                   floor(CAST(list_max(v) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                       AS max_c,
+                   floor(list_dot_product(v, list_reverse(v))
+                         * 1e6 + 0.5) / 1e6 AS revdot,
+                   floor(list_dot_product(v[1:{HEAD_DIMS}],
+                                          v[1:{HEAD_DIMS}])
+                         * 1e6 + 0.5) / 1e6 AS head_norm2
             FROM e
         )
         SELECT label, COUNT(*) AS cnt,
@@ -410,10 +421,10 @@ def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = emb.select(
         "label",
         F.size(F.filter(v, lambda x: x > 0)).alias("pos_cnt"),
-        F.round(F.array_max(v), 6).alias("max_c"),
-        F.round(vec.dot(v, F.reverse(v)), 6).alias("revdot"),
-        F.round(
-            vec.dot(F.slice(v, 1, HEAD_DIMS), F.slice(v, 1, HEAD_DIMS)), 6
+        qround(F.array_max(v)).alias("max_c"),
+        qround(vec.dot(v, F.reverse(v))).alias("revdot"),
+        qround(
+            vec.dot(F.slice(v, 1, HEAD_DIMS), F.slice(v, 1, HEAD_DIMS))
         ).alias("head_norm2"),
     )
     return per.groupBy("label").agg(
@@ -453,9 +464,10 @@ def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     PARTITION BY q_id ORDER BY score DESC, n_id ASC
                 ) AS rank FROM (
                     SELECT q.q_id, n.n_id,
-                           round(list_dot_product(q.qv, n.nv)
+                           floor(list_dot_product(q.qv, n.nv)
                                  / (sqrt(list_dot_product(q.qv, q.qv))
-                                    * sqrt(list_dot_product(n.nv, n.nv))), 6)
+                                    * sqrt(list_dot_product(n.nv, n.nv)))
+                                 * 1e6 + 0.5) / 1e6
                                AS score
                     FROM q CROSS JOIN
                          (SELECT n_id, nv FROM assign) n
@@ -483,9 +495,10 @@ def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     PARTITION BY s.q_id ORDER BY s.score DESC, s.n_id ASC
                 ) AS rank FROM (
                     SELECT p.q_id, a.n_id,
-                           round(list_dot_product(p.qv, a.nv)
+                           floor(list_dot_product(p.qv, a.nv)
                                  / (sqrt(list_dot_product(p.qv, p.qv))
-                                    * sqrt(list_dot_product(a.nv, a.nv))), 6)
+                                    * sqrt(list_dot_product(a.nv, a.nv)))
+                                 * 1e6 + 0.5) / 1e6
                                AS score
                     FROM probe p JOIN assign a USING (list_id)
                     WHERE a.n_id <> p.q_id
@@ -502,8 +515,8 @@ def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(h) AS BIGINT) AS hits_total,
                CAST(MIN(h) AS BIGINT) AS min_hits,
                CAST(MAX(h) AS BIGINT) AS max_hits,
-               round(SUM(h) / CAST(COUNT(*) * {K} AS DOUBLE), 6)
-                   AS recall_at_k
+               floor(SUM(h) / CAST(COUNT(*) * {K} AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS recall_at_k
         FROM hits
     """,
 )
@@ -538,8 +551,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").alias("hits_total"),
         F.min("h").alias("min_hits"),
         F.max("h").alias("max_hits"),
-        F.round(
-            F.sum("h") / (F.count("*") * F.lit(K)).cast("double"), 6
+        qround(
+            F.sum("h") / (F.count("*") * F.lit(K)).cast("double")
         ).alias("recall_at_k"),
     )
 
@@ -574,9 +587,10 @@ _MMR_ORACLE = f"""
     ),
     r2 AS (
         SELECT c.vec_id, c.v, c.rel,
-               round({MMR_LAMBDA} * c.rel
-                     - {round(1 - MMR_LAMBDA, 6)}
-                       * {_sql_cos('c.v', 's1.v')}, 6) AS score
+               floor(({MMR_LAMBDA} * c.rel
+                      - {round(1 - MMR_LAMBDA, 6)}
+                        * {_sql_cos('c.v', 's1.v')})
+                     * 1e6 + 0.5) / 1e6 AS score
         FROM cand c CROSS JOIN s1 WHERE c.vec_id <> s1.vec_id
     ),
     s2 AS (
@@ -585,10 +599,11 @@ _MMR_ORACLE = f"""
     ),
     r3 AS (
         SELECT c.vec_id, c.v, c.rel,
-               round({MMR_LAMBDA} * c.rel
-                     - {round(1 - MMR_LAMBDA, 6)}
-                       * greatest({_sql_cos('c.v', 's1.v')},
-                                  {_sql_cos('c.v', 's2.v')}), 6) AS score
+               floor(({MMR_LAMBDA} * c.rel
+                      - {round(1 - MMR_LAMBDA, 6)}
+                        * greatest({_sql_cos('c.v', 's1.v')},
+                                   {_sql_cos('c.v', 's2.v')}))
+                     * 1e6 + 0.5) / 1e6 AS score
         FROM cand c CROSS JOIN s1 CROSS JOIN s2
         WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id)
     ),
@@ -640,7 +655,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") % MMR_CAND_MOD == 1) & (F.col("vec_id") != qid)
         )
         .select(
-            "vec_id", "v", F.round(vec.cosine(q_lit, F.col("v")), 6).alias("rel")
+            "vec_id", "v", qround(vec.cosine(q_lit, F.col("v"))).alias("rel")
         )
         .localCheckpoint(eager=True)
     )
@@ -663,13 +678,13 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("vec_id", "v", "rel")
                 .agg(
                     F.max(
-                        F.round(vec.cosine(F.col("v"), F.col("sel_v")), 6)
+                        qround(vec.cosine(F.col("v"), F.col("sel_v")))
                     ).alias("maxsim")
                 )
                 .select(
                     "vec_id", "v", "rel",
-                    F.round(
-                        lam * F.col("rel") - one_minus * F.col("maxsim"), 6
+                    qround(
+                        lam * F.col("rel") - one_minus * F.col("maxsim")
                     ).alias("score"),
                 )
             )
