@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from automatic_etl_spark.functions.quantize import qround
+
 # Marker words per language — whole-word presence scored 0..4. Chosen
 # to be disjoint across languages so the argmax is stable.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -104,8 +106,9 @@ def punct_count(c: Column | str) -> Column:
 
 def quality_score(c: Column | str) -> Column:
     """Deterministic [0,1] quality heuristic: length, stopword ratio,
-    punctuation density. Rounded to 6 decimals (both engines compute
-    identical doubles; rounding removes any residual risk)."""
+    punctuation density. Floor-quantized at 6 decimals (both engines
+    compute identical doubles; qround is bit-identical cross-engine
+    where native round is not)."""
     col = _col(c)
     n_tok = token_count(col).cast("double")
     stop_hits = lang_score(col, "en").cast("double")
@@ -116,7 +119,7 @@ def quality_score(c: Column | str) -> Column:
         + F.lit(0.3)
         * (F.lit(1.0) - F.least(punct / F.greatest(n_tok, F.lit(1.0)), F.lit(1.0)))
     )
-    return F.round(score, 6)
+    return qround(score)
 
 
 def md5_hex(c: Column | str) -> Column:

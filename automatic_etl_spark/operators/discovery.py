@@ -31,6 +31,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from automatic_etl_spark.functions.quantize import qround
+
 
 def uniqueness_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Per-column key-candidacy stats in ONE scan of ``df``.
@@ -68,7 +70,7 @@ def uniqueness_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         )
         .withColumn(
             "uniqueness",
-            F.round(F.col("n_distinct") / F.col("n_rows"), 6),
+            qround(F.col("n_distinct") / F.col("n_rows")),
         )
         .withColumn(
             "is_candidate_key",
@@ -135,7 +137,7 @@ def fk_containment(
         "pair",
         "child_distinct",
         "contained",
-        F.round(F.col("contained") / F.col("child_distinct"), 6).alias(
+        qround(F.col("contained") / F.col("child_distinct")).alias(
             "containment"
         ),
         (F.col("contained") == F.col("child_distinct")).alias("is_fk"),

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.sources.parquet import table
 
 # --- Pivot -------------------------------------------------------------------
@@ -468,16 +469,16 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) GROUP BY l_returnflag
         )
         SELECT l_returnflag, n,
-               round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               floor((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
                      / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-                            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
-                     6) AS corr_qty_price,
-               round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx),
-                     6) AS slope,
-               round((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
-                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx),
-                     6) AS intercept
+                            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+                     * 1e6 + 0.5) / 1e6 AS corr_qty_price,
+               floor((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                     * 1e6 + 0.5) / 1e6 AS slope,
+               floor((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                     * 1e6 + 0.5) / 1e6 AS intercept
         FROM m
     """,
 )
@@ -511,9 +512,9 @@ def corr_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         "n",
-        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
-        F.round(cov_n / var_x, 6).alias("slope"),
-        F.round((sy * F.col("sxx") - sx * F.col("sxy")) / var_x, 6).alias(
+        qround(cov_n / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
+        qround(cov_n / var_x).alias("slope"),
+        qround((sy * F.col("sxx") - sx * F.col("sxy")) / var_x).alias(
             "intercept"
         ),
     )
@@ -1103,14 +1104,14 @@ KM_WINDOW_DAYS = 2
                -- yields NULL that SUM silently skips (a finite wrong
                -- value). The guarded term keeps the oracle runnable.
                CASE WHEN d_i = n_risk THEN NULL ELSE
-                   round(CAST(SUM(CASE WHEN d_i < n_risk THEN
-                                  CAST(round(ln(1.0 - CAST(d_i AS DOUBLE)
-                                                  / n_risk), 8)
+                   floor(CAST(SUM(CASE WHEN d_i < n_risk THEN
+                                  CAST(floor(ln(1.0 - CAST(d_i AS DOUBLE)
+                                                 / n_risk) * 1e8 + 0.5) / 1e8
                                        AS DECIMAL(18,8)) END) OVER (
                                  ORDER BY t
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND CURRENT ROW)
-                             AS DOUBLE), 6)
+                             AS DOUBLE) * 1e6 + 0.5) / 1e6
                END AS log_survival
         FROM risk WHERE d_i > 0
     """,
@@ -1177,7 +1178,7 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's ln(0) hard-errors: divergent failure modes either way.
     log_term = F.when(
         F.col("d_i") < F.col("n_risk"),
-        F.round(
+        qround(
             F.log(1.0 - F.col("d_i").cast("double") / F.col("n_risk")), 8
         ).cast("decimal(18,8)"),
     )
@@ -1189,7 +1190,7 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_i").alias("n_censored"),
             F.when(
                 F.col("d_i") < F.col("n_risk"),
-                F.round(F.sum(log_term).over(w_cum).cast("double"), 6),
+                qround(F.sum(log_term).over(w_cum).cast("double")),
             ).alias("log_survival"),
             F.col("d_i").alias("_d"),
         )

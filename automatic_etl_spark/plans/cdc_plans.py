@@ -28,6 +28,7 @@ from pyspark.sql.types import (
 )
 
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.scratch import scratch_dir
 from automatic_etl_spark.sources.parquet import table
 from automatic_etl_spark.streaming import cdc
@@ -1135,10 +1136,10 @@ _WM_ORACLE = f"""
            CAST(SUM(CASE WHEN j.prev_max IS NOT NULL
                           AND j.ms < j.prev_max - d.delay_ms
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-           round(CAST(SUM(CASE WHEN j.prev_max IS NOT NULL
+           floor(CAST(SUM(CASE WHEN j.prev_max IS NOT NULL
                                 AND j.ms < j.prev_max - d.delay_ms
                                THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS late_rate
+                 / COUNT(*) * 1e6 + 0.5) / 1e6 AS late_rate
     FROM joined j CROSS JOIN (
         VALUES {", ".join(f"({d})" for d in WM_DELAYS_MS)}
     ) d(delay_ms)
@@ -1207,7 +1208,7 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("delay_ms").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(late).cast("bigint").alias("n_late"),
-        F.round(F.sum(late).cast("double") / F.count(F.lit(1)), 6).alias(
+        qround(F.sum(late).cast("double") / F.count(F.lit(1))).alias(
             "late_rate"
         ),
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from automatic_etl_spark.functions import cleaning as cl
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.plans.relational import dsum
 from automatic_etl_spark.sources.parquet import table
 
@@ -890,8 +891,9 @@ def _sql_epoch_median() -> str:
         SELECT a.metric,
                CAST(a.val AS BIGINT) AS epoch_a,
                CAST(b.val AS BIGINT) AS epoch_b,
-               round(abs(b.val - a.val)
-                     / CAST(GREATEST(a.val, 1) AS DOUBLE), 6) AS drift_ratio
+               floor(abs(b.val - a.val)
+                     / CAST(GREATEST(a.val, 1) AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS drift_ratio
         FROM (SELECT * FROM long_form WHERE epoch = 0) a
         JOIN (SELECT * FROM long_form WHERE epoch = 1) b USING (metric)
     """,
@@ -945,9 +947,8 @@ def dq_metric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "epoch_a",
         "epoch_b",
-        F.round(
+        qround(
             F.abs(F.col("epoch_b") - F.col("epoch_a"))
-            / F.greatest(F.col("epoch_a"), F.lit(1)).cast("double"),
-            6,
+            / F.greatest(F.col("epoch_a"), F.lit(1)).cast("double")
         ).alias("drift_ratio"),
     )

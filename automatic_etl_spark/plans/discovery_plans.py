@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from automatic_etl_spark.operators import discovery as dc
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.sources.parquet import table
 
 # --- Candidate-key discovery -------------------------------------------------
@@ -37,7 +38,8 @@ _KEY_ORACLE = "\nUNION ALL\n".join(
                COUNT(DISTINCT {c}) AS n_distinct,
                CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_nulls,
-               round(CAST(COUNT(DISTINCT {c}) AS DOUBLE) / COUNT(*), 6)
+               floor(CAST(COUNT(DISTINCT {c}) AS DOUBLE) / COUNT(*)
+                     * 1e6 + 0.5) / 1e6
                    AS uniqueness,
                COUNT(DISTINCT {c}) = COUNT(*)
                    AND SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) = 0
@@ -160,7 +162,8 @@ _FK_PAIRS_SQL = """
                 JOIN region r ON c.c_nationkey = r.r_regionkey)
     )
     SELECT pair, child_distinct, contained,
-           round(CAST(contained AS DOUBLE) / child_distinct, 6)
+           floor(CAST(contained AS DOUBLE) / child_distinct
+                 * 1e6 + 0.5) / 1e6
                AS containment,
            contained = child_distinct AS is_fk
     FROM pair
@@ -219,12 +222,14 @@ def _entropy_sql(tbl: str, col: str) -> str:
         SELECT '{tbl}.{col}' AS column_name,
                CAST(SUM(cnt) AS BIGINT) AS n_rows,
                COUNT(*) AS n_distinct,
-               round(ln(CAST(SUM(cnt) AS DOUBLE))
-                     - CAST(SUM(CAST(round(cnt * ln(CAST(cnt AS DOUBLE)), 6)
-                                     AS DECIMAL(28,6))) AS DOUBLE)
-                       / SUM(cnt), 6) AS entropy_nats,
-               round(1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
-                     / (CAST(SUM(cnt) AS DOUBLE) * SUM(cnt)), 6) AS gini
+               floor((ln(CAST(SUM(cnt) AS DOUBLE))
+                      - CAST(SUM(CAST(floor(cnt * ln(CAST(cnt AS DOUBLE))
+                                            * 1e6 + 0.5) / 1e6
+                                      AS DECIMAL(28,6))) AS DOUBLE)
+                        / SUM(cnt)) * 1e6 + 0.5) / 1e6 AS entropy_nats,
+               floor((1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+                      / (CAST(SUM(cnt) AS DOUBLE) * SUM(cnt)))
+                     * 1e6 + 0.5) / 1e6 AS gini
         FROM (SELECT {col}, COUNT(*) AS cnt FROM {tbl}
               WHERE {col} IS NOT NULL GROUP BY {col})
     """
@@ -251,8 +256,8 @@ def _entropy_profile(df: DataFrame, tbl: str, col: str) -> DataFrame:
         F.sum("cnt").alias("n_rows"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.sum(
-            F.round(
-                F.col("cnt") * F.log(F.col("cnt").cast("double")), 6
+            qround(
+                F.col("cnt") * F.log(F.col("cnt").cast("double"))
             ).cast("decimal(28,6)")
         ).alias("_slog"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("_ssq"),
@@ -260,16 +265,14 @@ def _entropy_profile(df: DataFrame, tbl: str, col: str) -> DataFrame:
         "column_name",
         "n_rows",
         "n_distinct",
-        F.round(
+        qround(
             F.log(F.col("n_rows").cast("double"))
-            - F.col("_slog").cast("double") / F.col("n_rows"),
-            6,
+            - F.col("_slog").cast("double") / F.col("n_rows")
         ).alias("entropy_nats"),
-        F.round(
+        qround(
             F.lit(1.0)
             - F.col("_ssq").cast("double")
-            / (F.col("n_rows").cast("double") * F.col("n_rows")),
-            6,
+            / (F.col("n_rows").cast("double") * F.col("n_rows"))
         ).alias("gini"),
     )
 
@@ -314,10 +317,12 @@ _BENFORD_ORACLE = """
     ),
     total AS (SELECT SUM(cnt) AS n FROM counted)
     SELECT digit, cnt,
-           round(CAST(cnt AS DOUBLE) / n, 6) AS observed,
-           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected,
-           round(abs(round(CAST(cnt AS DOUBLE) / n, 6)
-                     - round(ln(1.0 + 1.0 / digit) / ln(10.0), 6)), 6)
+           floor(CAST(cnt AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS observed,
+           floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1e6 + 0.5) / 1e6
+               AS expected,
+           floor(abs(floor(CAST(cnt AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+                     - floor(ln(1.0 + 1.0 / digit) / ln(10.0)
+                             * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6
                AS abs_dev
     FROM counted CROSS JOIN total
 """
@@ -350,17 +355,16 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     total = counted.agg(F.sum("cnt").alias("n"))
-    obs = F.round(F.col("cnt").cast("double") / F.col("n"), 6)
-    exp = F.round(
-        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)),
-        6,
+    obs = qround(F.col("cnt").cast("double") / F.col("n"))
+    exp = qround(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
     )
     return counted.crossJoin(F.broadcast(total)).select(
         "digit",
         "cnt",
         obs.alias("observed"),
         exp.alias("expected"),
-        F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+        qround(F.abs(obs - exp)).alias("abs_dev"),
     )
 
 
@@ -422,8 +426,9 @@ _LIFT_ORACLE = """
         GROUP BY a.brand, b.brand
     )
     SELECT brand_a, brand_b, pair_cnt,
-           round(CAST(pair_cnt AS DOUBLE) * n.n
-                 / (CAST(na.bn AS DOUBLE) * nb.bn), 6) AS lift
+           floor(CAST(pair_cnt AS DOUBLE) * n.n
+                 / (CAST(na.bn AS DOUBLE) * nb.bn) * 1e6 + 0.5) / 1e6
+               AS lift
     FROM pairs
     JOIN brand_n na ON na.brand = brand_a
     JOIN brand_n nb ON nb.brand = brand_b
@@ -487,11 +492,10 @@ def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "pair_cnt",
-            F.round(
+            qround(
                 F.col("pair_cnt").cast("double")
                 * F.col("n")
-                / (F.col("bn_a").cast("double") * F.col("bn_b")),
-                6,
+                / (F.col("bn_a").cast("double") * F.col("bn_b"))
             ).alias("lift"),
         )
         .orderBy(F.desc("pair_cnt"), "brand_a", "brand_b")

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.sources.parquet import table
 
 # --- Row-level referential-integrity audit -----------------------------------
@@ -27,24 +28,25 @@ _ORPHAN_ORACLE = """
            COUNT(*) AS child_rows,
            CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS orphan_rows,
-           round(CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS orphan_rate
+           floor(CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+               AS orphan_rate
     FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     UNION ALL
     SELECT 'orders.o_custkey->customer.c_custkey',
            COUNT(*),
            CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT),
-           round(CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6)
+           floor(CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     UNION ALL
     SELECT 'customer.c_nationkey->region.r_regionkey',
            COUNT(*),
            CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT),
-           round(CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6)
+           floor(CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
     FROM customer c LEFT JOIN region r ON c.c_nationkey = r.r_regionkey
 """
 
@@ -67,8 +69,8 @@ def _orphan_row(
         "pair",
         "child_rows",
         "orphan_rows",
-        F.round(
-            F.col("orphan_rows").cast("double") / F.col("child_rows"), 6
+        qround(
+            F.col("orphan_rows").cast("double") / F.col("child_rows")
         ).alias("orphan_rate"),
     )
 

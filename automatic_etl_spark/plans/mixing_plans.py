@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from automatic_etl_spark.functions import text as tx
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.plans.text_plans import (
     _sql_quality_score,
     _sql_token_count,
@@ -42,19 +43,21 @@ _TEMPERATURE_ORACLE = f"""
     ),
     powed AS (
         SELECT source, n_docs, tokens,
-               CAST(round(pow(CAST(tokens AS DOUBLE), {MIX_ALPHA}), 6)
+               CAST(floor(pow(CAST(tokens AS DOUBLE), {MIX_ALPHA})
+                          * 1e6 + 0.5) / 1e6
                     AS DECIMAL(28,6)) AS p
         FROM per_source
     ),
     tot AS (SELECT SUM(p) AS ptot FROM powed)
     SELECT source, n_docs, tokens,
-           round(CAST(p AS DOUBLE) / CAST(ptot AS DOUBLE), 6) AS weight,
-           CAST(round({TOKEN_BUDGET} * round(CAST(p AS DOUBLE)
-                      / CAST(ptot AS DOUBLE), 6)) AS BIGINT)
+           floor(CAST(p AS DOUBLE) / CAST(ptot AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS weight,
+           CAST(round({TOKEN_BUDGET} * (floor(CAST(p AS DOUBLE)
+                      / CAST(ptot AS DOUBLE) * 1e6 + 0.5) / 1e6)) AS BIGINT)
                AS allocated_tokens,
-           round(CAST(round({TOKEN_BUDGET} * round(CAST(p AS DOUBLE)
-                      / CAST(ptot AS DOUBLE), 6)) AS DOUBLE)
-                 / tokens, 6) AS epochs
+           floor(CAST(round({TOKEN_BUDGET} * (floor(CAST(p AS DOUBLE)
+                      / CAST(ptot AS DOUBLE) * 1e6 + 0.5) / 1e6)) AS DOUBLE)
+                 / tokens * 1e6 + 0.5) / 1e6 AS epochs
     FROM powed CROSS JOIN tot
 """
 
@@ -78,12 +81,12 @@ def temperature_mix_allocation(
     )
     powed = per_source.withColumn(
         "p",
-        F.round(F.pow(F.col("tokens").cast("double"), F.lit(MIX_ALPHA)), 6)
+        qround(F.pow(F.col("tokens").cast("double"), F.lit(MIX_ALPHA)))
         .cast("decimal(28,6)"),
     ).localCheckpoint(eager=True)
     tot = powed.agg(F.sum("p").alias("ptot"))
-    weight = F.round(
-        F.col("p").cast("double") / F.col("ptot").cast("double"), 6
+    weight = qround(
+        F.col("p").cast("double") / F.col("ptot").cast("double")
     )
     allocated = F.round(F.lit(TOKEN_BUDGET) * weight).cast("bigint")
     return powed.crossJoin(F.broadcast(tot)).select(
@@ -92,8 +95,8 @@ def temperature_mix_allocation(
         "tokens",
         weight.alias("weight"),
         allocated.alias("allocated_tokens"),
-        F.round(
-            allocated.cast("double") / F.col("tokens"), 6
+        qround(
+            allocated.cast("double") / F.col("tokens")
         ).alias("epochs"),
     )
 
@@ -112,7 +115,8 @@ _EFFECTIVE_ORACLE = f"""
            CAST(SUM(copies * tok) AS BIGINT) AS raw_tokens,
            COUNT(*) AS unique_docs,
            CAST(SUM(tok) AS BIGINT) AS unique_tokens,
-           round(CAST(SUM(copies * tok) AS DOUBLE) / SUM(tok), 6)
+           floor(CAST(SUM(copies * tok) AS DOUBLE) / SUM(tok)
+                 * 1e6 + 0.5) / 1e6
                AS duplication_factor
     FROM uniq GROUP BY source
 """
@@ -142,10 +146,9 @@ def effective_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("unique_docs"),
         F.sum("tok").cast("bigint").alias("unique_tokens"),
-        F.round(
+        qround(
             F.sum(F.col("copies") * F.col("tok")).cast("double")
-            / F.sum("tok"),
-            6,
+            / F.sum("tok")
         ).alias("duplication_factor"),
     )
 
@@ -166,8 +169,8 @@ _QUALITY_DUP_ORACLE = f"""
            COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN d.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS dup_docs,
-           round(CAST(SUM(CASE WHEN d.copies > 1 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 6) AS dup_rate
+           floor(CAST(SUM(CASE WHEN d.copies > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS dup_rate
     FROM scored s JOIN dup d ON md5(s.text) = d.h
     GROUP BY quality_bucket
 """
@@ -202,10 +205,9 @@ def quality_dedup_correlation(
             F.sum((F.col("copies") > 1).cast("long")).cast("bigint").alias(
                 "dup_docs"
             ),
-            F.round(
+            qround(
                 F.sum((F.col("copies") > 1).cast("long")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("dup_rate"),
         )
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from automatic_etl_spark.functions import text as tx
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.sources.parquet import table
 
 # --- Vocabulary coverage / OOV rate ------------------------------------------
@@ -41,9 +42,9 @@ _OOV_ORACLE = f"""
            COUNT(*) AS total_tokens,
            CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS in_vocab_tokens,
-           round(1.0 - CAST(SUM(CASE WHEN v.tok IS NOT NULL
-                                     THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS oov_rate
+           floor((1.0 - CAST(SUM(CASE WHEN v.tok IS NOT NULL
+                                      THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*)) * 1e6 + 0.5) / 1e6 AS oov_rate
     FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
     GROUP BY t.source
 """
@@ -77,11 +78,10 @@ def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("_v").isNotNull().cast("long"))
             .cast("bigint")
             .alias("in_vocab_tokens"),
-            F.round(
+            qround(
                 F.lit(1.0)
                 - F.sum(F.col("_v").isNotNull().cast("long")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("oov_rate"),
         )
     )
@@ -115,11 +115,11 @@ _PII_ORACLE = "\nUNION ALL\n".join(
                CAST(SUM(CASE WHEN regexp_matches(CAST({c} AS VARCHAR),
                                                  '{_PII_VALUE_RE}')
                              THEN 1 ELSE 0 END) AS BIGINT) AS value_hits,
-               round(CAST(SUM(CASE WHEN regexp_matches(
+               floor(CAST(SUM(CASE WHEN regexp_matches(
                                         CAST({c} AS VARCHAR),
                                         '{_PII_VALUE_RE}')
                                    THEN 1 ELSE 0 END) AS DOUBLE)
-                     / COUNT(*), 6) AS hit_rate
+                     / COUNT(*) * 1e6 + 0.5) / 1e6 AS hit_rate
         FROM {t}
     """
     for t, c in _PII_COLUMNS
@@ -151,8 +151,8 @@ def pii_column_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "name_flag",
                 "n_rows",
                 "value_hits",
-                F.round(
-                    F.col("value_hits").cast("double") / F.col("n_rows"), 6
+                qround(
+                    F.col("value_hits").cast("double") / F.col("n_rows")
                 ).alias("hit_rate"),
             )
         )
@@ -181,9 +181,9 @@ _JOINSIZE_ORACLE = f"""
     SELECT bucket, n_keys, rows_in_bucket, exact_pairs,
            CAST(round(CAST(rows_in_bucket AS DOUBLE) * rows_in_bucket
                       / n_keys) AS BIGINT) AS est_pairs,
-           round(CAST(round(CAST(rows_in_bucket AS DOUBLE) * rows_in_bucket
+           floor(CAST(round(CAST(rows_in_bucket AS DOUBLE) * rows_in_bucket
                             / n_keys) AS DOUBLE)
-                 / exact_pairs, 6) AS est_ratio
+                 / exact_pairs * 1e6 + 0.5) / 1e6 AS est_ratio
     FROM per_bucket
 """
 
@@ -222,8 +222,8 @@ def join_size_estimate_report(
         "rows_in_bucket",
         "exact_pairs",
         est.alias("est_pairs"),
-        F.round(
-            est.cast("double") / F.col("exact_pairs"), 6
+        qround(
+            est.cast("double") / F.col("exact_pairs")
         ).alias("est_ratio"),
     )
 
@@ -241,23 +241,24 @@ _CENTROID_ORACLE = f"""
     ),
     cent AS (
         SELECT label, dim,
-               round(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
-                     / COUNT(*), 6) AS mval
+               floor(CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(*) * 1e6 + 0.5) / 1e6 AS mval
         FROM ex GROUP BY label, dim
     ),
     dists AS (
         SELECT e.vec_id, e.label,
-               round(sqrt(CAST(SUM(CAST(round(
-                   (e.val - c.mval) * (e.val - c.mval), 9)
-                   AS DECIMAL(28,9))) AS DOUBLE)), 6) AS dist
+               floor(sqrt(CAST(SUM(CAST(floor(
+                   (e.val - c.mval) * (e.val - c.mval) * 1e9 + 0.5) / 1e9
+                   AS DECIMAL(28,9))) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS dist
         FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
         GROUP BY e.vec_id, e.label
     ),
     stats AS (
         SELECT label,
                COUNT(*) AS cnt,
-               round((CAST(SUM(CAST(floor((dist) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
-                     / COUNT(*), 6) AS mean_dist,
+               floor((CAST(SUM(CAST(floor((dist) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+                     / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_dist,
                MAX(dist) AS max_dist
         FROM dists GROUP BY label
     )
@@ -278,7 +279,7 @@ def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (label, dim) or (vec, label) — the (labels × dims) centroid
     frame broadcasts back onto the distance join; no pairwise
     vector-vector work anywhere. Means and distances are decimal-
-    pinned at one rounding site each (the embedding_drift_epochs
+    pinned at one quantize site each (the embedding_drift_epochs
     conventions)."""
     from automatic_etl_spark.functions import vectors as vec
 
@@ -291,36 +292,33 @@ def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", (F.col("pos") + 1).alias("dim"), "val"
     )
     cent = ex.groupBy("label", "dim").agg(
-        F.round(
+        qround(
             F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("mval")
     )
     dists = (
         ex.join(F.broadcast(cent), ["label", "dim"])
         .groupBy("vec_id", "label")
         .agg(
-            F.round(
+            qround(
                 F.sqrt(
                     F.sum(
-                        F.round(
+                        qround(
                             (F.col("val") - F.col("mval"))
                             * (F.col("val") - F.col("mval")),
                             9,
                         ).cast("decimal(28,9)")
                     ).cast("double")
-                ),
-                6,
+                )
             ).alias("dist")
         )
     ).localCheckpoint(eager=True)
     stats = dists.groupBy("label").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(
+        qround(
             (F.sum(F.floor((F.col("dist")) * F.lit(1e6) + F.lit(0.5)).cast("long")) / F.lit(1e6)).cast("double")
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("mean_dist"),
         F.max("dist").alias("max_dist"),
     )

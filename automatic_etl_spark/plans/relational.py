@@ -1557,9 +1557,9 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_percentiles",
     oracle="""
         SELECT event_type,
-               round(quantile_cont(value, 0.5), 6) AS p50,
-               round(quantile_cont(value, 0.9), 6) AS p90,
-               round(quantile_cont(value, 0.99), 6) AS p99
+               floor(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+               floor(quantile_cont(value, 0.9) * 1e6 + 0.5) / 1e6 AS p90,
+               floor(quantile_cont(value, 0.99) * 1e6 + 0.5) / 1e6 AS p99
         FROM events GROUP BY event_type
     """,
 )
@@ -1569,9 +1569,9 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t-digest) — same call shape, bounded memory."""
     events = table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
-        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        qround(F.percentile("value", F.lit(0.5))).alias("p50"),
+        qround(F.percentile("value", F.lit(0.9))).alias("p90"),
+        qround(F.percentile("value", F.lit(0.99))).alias("p99"),
     )
 
 

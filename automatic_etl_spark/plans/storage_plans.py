@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from automatic_etl_spark.operators.ddl import write_bucketed
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.scratch import scratch_dir
 from automatic_etl_spark.sources import files
 from automatic_etl_spark.sources.parquet import table
@@ -576,14 +577,15 @@ _SKIP_ORACLE = f"""
            CAST(SUM(CASE WHEN bmax >= lo + {SKIP_PROBE_BUCKET} * w
                           AND bmin <= lo + {SKIP_PROBE_BUCKET + 1} * w - 1
                          THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
-           round(1.0 - CAST(SUM(CASE WHEN bmax >= lo
-                                          + {SKIP_PROBE_BUCKET} * w
-                                      AND bmin <= lo
-                                          + {SKIP_PROBE_BUCKET + 1} * w - 1
-                                     THEN 1 ELSE 0 END) AS DOUBLE)
-                     / COUNT(*), 6) AS skip_rate,
-           round(AVG(CAST(bmax - bmin AS DOUBLE)
-                     / ({SKIP_FILES} * w - 1)), 6) AS avg_span_fraction
+           floor((1.0 - CAST(SUM(CASE WHEN bmax >= lo
+                                           + {SKIP_PROBE_BUCKET} * w
+                                       AND bmin <= lo
+                                           + {SKIP_PROBE_BUCKET + 1} * w - 1
+                                      THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*)) * 1e6 + 0.5) / 1e6 AS skip_rate,
+           floor(AVG(CAST(bmax - bmin AS DOUBLE)
+                     / ({SKIP_FILES} * w - 1)) * 1e6 + 0.5) / 1e6
+               AS avg_span_fraction
     FROM stats GROUP BY layout
 """
 
@@ -660,15 +662,14 @@ def minmax_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.groupBy("layout").agg(
         F.count(F.lit(1)).alias("n_buckets"),
         hits.cast("bigint").alias("buckets_scanned"),
-        F.round(
-            F.lit(1.0) - hits.cast("double") / F.count(F.lit(1)), 6
+        qround(
+            F.lit(1.0) - hits.cast("double") / F.count(F.lit(1))
         ).alias("skip_rate"),
-        F.round(
+        qround(
             F.avg(
                 (F.col("bmax") - F.col("bmin")).cast("double")
                 / (F.lit(SKIP_FILES) * F.col("w") - 1)
-            ),
-            6,
+            )
         ).alias("avg_span_fraction"),
     )
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from automatic_etl_spark.functions import text as tx
 from automatic_etl_spark.plans.dedup_plans import PLANT_OFFSET
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.sources.parquet import table
 
 # --- SQL mirrors of functions/text.py ---------------------------------------
@@ -65,9 +66,10 @@ def _sql_quality_score(col: str) -> str:
     stop = f"CAST({_sql_lang_score(col, 'en')} AS DOUBLE)"
     punct = f"CAST({_sql_punct_count(col)} AS DOUBLE)"
     return (
-        f"round(0.4 * least({n_tok} / 100.0, 1.0)"
+        f"floor((0.4 * least({n_tok} / 100.0, 1.0)"
         f" + 0.3 * ({stop} / 4.0)"
-        f" + 0.3 * (1.0 - least({punct} / greatest({n_tok}, 1.0), 1.0)), 6)"
+        f" + 0.3 * (1.0 - least({punct} / greatest({n_tok}, 1.0), 1.0)))"
+        f" * 1e6 + 0.5) / 1e6"
     )
 
 
@@ -231,7 +233,8 @@ def fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         nl AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
         scored AS (
             SELECT t.lang, term, total_tf, df,
-                   round(total_tf * ln(1.0 + CAST(n_docs AS DOUBLE) / df), 6)
+                   floor(total_tf * ln(1.0 + CAST(n_docs AS DOUBLE) / df)
+                         * 1e6 + 0.5) / 1e6
                        AS score
             FROM term_stats t JOIN nl USING (lang)
         )
@@ -267,10 +270,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         "total_tf",
         "df",
-        F.round(
+        qround(
             F.col("total_tf")
-            * F.log(1.0 + F.col("n_docs").cast("double") / F.col("df")),
-            6,
+            * F.log(1.0 + F.col("n_docs").cast("double") / F.col("df"))
         ).alias("score"),
     )
     w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
@@ -484,8 +486,9 @@ _GOPHER_ORACLE = f"""
            CAST(SUM(ok_stopwords) AS BIGINT) AS pass_stopwords,
            CAST(SUM(ok_words * ok_mwl * ok_symbols * ok_alpha
                     * ok_stopwords) AS BIGINT) AS pass_all,
-           round(CAST(SUM(ok_words * ok_mwl * ok_symbols * ok_alpha
-                          * ok_stopwords) AS DOUBLE) / COUNT(*), 6)
+           floor(CAST(SUM(ok_words * ok_mwl * ok_symbols * ok_alpha
+                          * ok_stopwords) AS DOUBLE) / COUNT(*)
+                 * 1e6 + 0.5) / 1e6
                AS pass_rate
     FROM flags GROUP BY source
 """
@@ -552,7 +555,7 @@ def gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ok_alpha").cast("bigint").alias("pass_alpha_frac"),
         F.sum("ok_stopwords").cast("bigint").alias("pass_stopwords"),
         pass_all.cast("bigint").alias("pass_all"),
-        F.round(
-            pass_all.cast("double") / F.count(F.lit(1)), 6
+        qround(
+            pass_all.cast("double") / F.count(F.lit(1))
         ).alias("pass_rate"),
     )

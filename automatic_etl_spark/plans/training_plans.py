@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from automatic_etl_spark.functions import text as tx
 from automatic_etl_spark.plans.curation_plans import PII_PATTERNS
 from automatic_etl_spark.plans.registry import register
+from automatic_etl_spark.plans.relational import qround
 from automatic_etl_spark.sources.parquet import table
 
 # SQL mirror of functions/text.py tokens() / token_count()
@@ -66,8 +67,9 @@ PACK_BUCKETS = 8
                COUNT(*) AS n_docs,
                COUNT(DISTINCT seq_id) AS n_seqs,
                CAST(SUM(tok) AS BIGINT) AS tokens_total,
-               round(CAST(SUM(tok) AS DOUBLE)
-                     / (COUNT(DISTINCT seq_id) * {PACK_BUDGET}.0), 6)
+               floor(CAST(SUM(tok) AS DOUBLE)
+                     / (COUNT(DISTINCT seq_id) * {PACK_BUDGET}.0)
+                     * 1e6 + 0.5) / 1e6
                    AS fill_ratio
         FROM packed GROUP BY bucket
     """,
@@ -98,10 +100,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct("seq_id").alias("n_seqs"),
         F.sum("tok").alias("tokens_total"),
-        F.round(
+        qround(
             F.sum("tok").cast("double")
-            / (F.countDistinct("seq_id") * float(PACK_BUDGET)),
-            6,
+            / (F.countDistinct("seq_id") * float(PACK_BUDGET))
         ).alias("fill_ratio"),
     )
 
@@ -513,7 +514,8 @@ _SQL_TF_COLS = ", ".join(
         ),
         corpus AS (
             SELECT COUNT(*) AS n,
-                   round(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl
+                   floor(CAST(SUM(dl) AS DOUBLE) / COUNT(*)
+                         * 1e6 + 0.5) / 1e6 AS avgdl
             FROM scored_docs
         ),
         long_form AS (
@@ -530,15 +532,17 @@ _SQL_TF_COLS = ", ".join(
         ),
         idf AS (
             SELECT term,
-                   round(ln((n - df_cnt + 0.5) / (df_cnt + 0.5) + 1.0), 6)
+                   floor(ln((n - df_cnt + 0.5) / (df_cnt + 0.5) + 1.0)
+                         * 1e6 + 0.5) / 1e6
                        AS idf
             FROM df CROSS JOIN corpus
         ),
         bm25 AS (
             SELECT l.term, l.doc_id,
-                   round(i.idf * l.tf * ({BM25_K1} + 1.0)
+                   floor(i.idf * l.tf * ({BM25_K1} + 1.0)
                          / (l.tf + {BM25_K1} * (1.0 - {BM25_B}
-                            + {BM25_B} * l.dl / c.avgdl)), 6) AS score
+                            + {BM25_B} * l.dl / c.avgdl))
+                         * 1e6 + 0.5) / 1e6 AS score
             FROM long_form l
             JOIN idf i ON l.term = i.term CROSS JOIN corpus c
             WHERE l.tf > 0
@@ -574,7 +578,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = scored_docs.agg(
         F.count("*").alias("n"),
-        F.round(F.sum("dl").cast("double") / F.count("*"), 6).alias("avgdl"),
+        qround(F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     # one scan → long form via stack (a unionAll of per-term selects
     # would re-scan documents once per term — T scans at T query terms)
@@ -591,13 +595,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idf = df_counts.crossJoin(F.broadcast(corpus)).select(
         "term",
-        F.round(
+        qround(
             F.log(
                 (F.col("n") - F.col("df_cnt") + 0.5)
                 / (F.col("df_cnt") + 0.5)
                 + 1.0
-            ),
-            6,
+            )
         ).alias("idf"),
         "avgdl",
     )
@@ -607,7 +610,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term",
             "doc_id",
-            F.round(
+            qround(
                 F.col("idf")
                 * F.col("tf")
                 * (BM25_K1 + 1.0)
@@ -615,8 +618,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("tf")
                     + BM25_K1
                     * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-                ),
-                6,
+                )
             ).alias("score"),
         )
     )
@@ -945,8 +947,9 @@ _LENGTH_BUCKET_ORACLE = f"""
            COUNT(*) AS n_batches,
            CAST(SUM(real_tokens) AS BIGINT) AS real_tokens,
            CAST(SUM(batch_max * n_docs) AS BIGINT) AS padded_tokens,
-           round(CAST(SUM(batch_max * n_docs) AS DOUBLE)
-                 / SUM(real_tokens) - 1, 6) AS pad_overhead
+           floor((CAST(SUM(batch_max * n_docs) AS DOUBLE)
+                  / SUM(real_tokens) - 1) * 1e6 + 0.5) / 1e6
+               AS pad_overhead
     FROM batches GROUP BY bucket_len
 """
 
@@ -1009,10 +1012,9 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("batch_max") * F.col("n_docs"))
         .cast("bigint")
         .alias("padded_tokens"),
-        F.round(
+        qround(
             F.sum(F.col("batch_max") * F.col("n_docs")).cast("double")
             / F.sum("real_tokens")
-            - 1,
-            6,
+            - 1
         ).alias("pad_overhead"),
     )
