@@ -33,7 +33,7 @@ from automatic_etl_spark.plans.registry import REGISTRY
 
 # Backstop against a pack silently vanishing (e.g. a module that stops
 # registering at import time): the registry can only grow from here.
-_MIN_EXPECTED_QUERIES = 252
+_MIN_EXPECTED_QUERIES = 253
 assert len(REGISTRY) >= _MIN_EXPECTED_QUERIES, (
     f"registry shrank: {len(REGISTRY)} < {_MIN_EXPECTED_QUERIES} — "
     "a plan module stopped registering its queries"

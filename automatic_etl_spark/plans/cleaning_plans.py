@@ -739,6 +739,68 @@ def decimal_fidelity_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- C10 escalation: beyond-int64 money sums (r10) ----------------------------
+# dsum's BIGINT micro-units hold to ~9.2e18 micros per group — about
+# 10^13 2-dp money rows. Past that, the documented escalation path
+# (COVERAGE.md r9) is exact DECIMAL(38,0)/HUGEINT accumulation of the
+# SAME per-row BIGINT micros, rendered as a canonical fixed-point
+# string (never DecimalType output, never a double). This query
+# executes that path for real at every tested SF by scaling each row's
+# micros by a planted 10^5 factor: at sf0.01 the per-flag totals reach
+# ~5e20 — far beyond int64 — so the wide accumulator is load-bearing,
+# not decorative (under the driver's ANSI session a broken escalation
+# would raise on overflow rather than silently wrap).
+
+ESCALATION_MULT = 100_000  # stands in for ~10^13-row groups at test SF
+
+
+@register(
+    "money_sum_decimal_escalation",
+    oracle=f"""
+        SELECT l_returnflag, n_rows,
+               CAST(t // 1000000 AS VARCHAR) || '.' ||
+                   LPAD(CAST(t % 1000000 AS VARCHAR), 6, '0')
+                   AS scaled_total
+        FROM (
+            SELECT l_returnflag,
+                   COUNT(*) AS n_rows,
+                   SUM(CAST(FLOOR(l_extendedprice * 1e6 + 0.5) AS HUGEINT)
+                       * {ESCALATION_MULT}) AS t
+            FROM lineitem GROUP BY l_returnflag
+        )
+    """,
+)
+def money_sum_decimal_escalation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dsum overflow-escalation path as tested code: per-row
+    micros stay the pinned IEEE floor(x*1e6 + 0.5) BIGINT, the
+    accumulator widens to DECIMAL(38,0) (DuckDB: HUGEINT — internal
+    types may differ, the CANONICAL STRING is the contract), and the
+    render is integer DIV/MOD — the decimal_fidelity_agg idiom at a
+    magnitude where the int64 fast path cannot reach. At 100 TB this
+    is the shape money sums take once a group exceeds ~10^13 rows."""
+    li = table(spark, sf_dir, "lineitem")
+    micros = (
+        F.floor(F.col("l_extendedprice") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        * F.lit(ESCALATION_MULT)
+    ).cast("decimal(38,0)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(micros).alias("t"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        F.concat(
+            F.expr("t DIV 1000000").cast("string"),
+            F.lit("."),
+            F.lpad(F.pmod("t", F.lit(1000000)).cast("long").cast("string"), 6, "0"),
+        ).alias("scaled_total"),
+    )
+
+
 # --- try_* error-safe arithmetic under ANSI (r6) ------------------------------
 # The driver session runs ANSI mode ON (Spark 4 default): plain
 # division-by-zero, integer overflow, and bad numeric parses THROW.

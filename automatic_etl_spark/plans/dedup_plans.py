@@ -250,6 +250,23 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH from a MATERIALIZED signature table -----------------------
 
 
+def _matview_sig_dir(sf_dir: str) -> str:
+    """Signature-table location for minhash_lsh_matview: a per-USER
+    fixed dir keyed by the fixture basename. Fixed (not mkdtemp) so
+    repeated runs overwrite instead of leaking one tree per run;
+    user-keyed so another account cannot pre-create or poison it;
+    same-user concurrency is pinned single-writer (see caller)."""
+    import getpass
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_minhash_sig_{getpass.getuser()}",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+
+
 @register(
     "minhash_lsh_matview",
     oracle=f"""
@@ -298,17 +315,17 @@ def minhash_lsh_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     (materialization changes where bytes live, not what they are);
     the oracle reuses the same fragments with the added census column.
     The write path follows the fixed-dir precedent (catalog_plans:
-    a fresh mkdtemp per call would leak one signature tree per run).
+    a fresh mkdtemp per call would leak one signature tree per run)
+    but keys the root by USER (ADVICE r9: a world-predictable /tmp
+    path can be squatted by another account and poisons read-back) —
+    within one user the path stays fixed, preserving the no-leak
+    property via overwrite semantics. Concurrent sessions of the SAME
+    user on the same sf_dir still race the overwrite: single-writer
+    is the harness reality and the pinned assumption here
+    (tests/test_matview_sig_dir.py).
     """
-    import os
-    import tempfile
-
     corpus = _corpus(spark, sf_dir, near_dups=True)
-    sig_dir = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_minhash_sig",
-        os.path.basename(os.path.normpath(sf_dir)) or "sf",
-    )
+    sig_dir = _matview_sig_dir(sf_dir)
     td.minhash_signatures_wide(corpus, NUM_HASHES).write.mode(
         "overwrite"
     ).parquet(sig_dir)

@@ -14,6 +14,14 @@ The probes mirror the manual commands recorded in COVERAGE.md §2.1:
 import checks for Python packages, a short-timeout TCP connect for
 the Kafka/MySQL server ports, and a pyspark jars-dir scan for the
 connector jars.
+
+Escape hatch (ADVICE r9): the TCP probes make the suite sensitive to
+UNRELATED local services — a MySQL or Kafka that happens to listen on
+the standard port for reasons outside this repo would hard-fail the
+run. Set SPARK_GRAFT_WAIVER_PORTS_IGNORE=1 to skip the port probes
+(package/jar probes still run — those are repo-environment state, not
+shared-host state). The default keeps the strict contract: on the
+round harness, a listening port IS the dependency appearing.
 """
 
 from __future__ import annotations
@@ -25,8 +33,12 @@ import socket
 
 import pytest
 
+_IGNORE_PORTS = os.environ.get("SPARK_GRAFT_WAIVER_PORTS_IGNORE") == "1"
+
 
 def _port_open(port: int, host: str = "127.0.0.1") -> bool:
+    if _IGNORE_PORTS:
+        return False
     try:
         with socket.create_connection((host, port), timeout=0.5):
             return True
