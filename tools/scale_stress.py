@@ -179,6 +179,13 @@ QUERIES = (
                                 # replica (SHIFT % 20 == 0)
     "stream_stream_join",       # two watermarked streams; user_id
                                 # shift keeps join-key density constant
+    "minhash_lsh_matview",      # r10: the write-once signature table —
+                                # its whole claim is a SCALE claim
+                                # (signatures written once at ~1% corpus
+                                # size, both consumers scan the matview,
+                                # never documents); expected ~linear:
+                                # signature build is per-doc, band join
+                                # is bounded by the capped buckets
     "kmeans_two_iter",          # two exact unrolled iterations over a
                                 # 10x vector set, centroid frame fixed
     "cdc_unwrap_dedup",         # Debezium unwrap + LWW dedup over a
