@@ -43,8 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (b) slots 2-50 are the r9-pre-staged block: the 2 r4-latest
 # stragglers + the first 47 (alphabetical) of the 50-query r5-latest
 # cohort — the new slot-1 query displaces exactly one pre-staged name
-# (value_histogram_equiwidth) into the r11 spill, per the r9 matview
-# precedent (never-driver-checked goes first);
+# (variant_props_stats, the 48th alphabetical cohort member) into the
+# r11 spill, per the r9 matview precedent (never-driver-checked goes
+# first);
 # (c) the 3 r5 spills + the 50-query r6-latest cohort pre-stage the
 # r11 window (53 names — 50 land in r11, the last 3 alphabetical r6
 # names spill to r12). Cohorts recomputed this round from the union:

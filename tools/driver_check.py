@@ -34,7 +34,10 @@ def main() -> int:
     )
     wanted = set(sys.argv[1:])
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()  # bare
+    # SPARK_GRAFT_CHECK_MASTER=local[4] reproduces the partitioning-
+    # sensitivity probe (COVERAGE r8/r9) without editing this file.
+    master = os.environ.get("SPARK_GRAFT_CHECK_MASTER", "local[8]")
+    spark = SparkSession.builder.master(master).getOrCreate()  # bare
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e
