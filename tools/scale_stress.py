@@ -5,11 +5,15 @@ corpus built by replicating the sf0.1 fixtures 10x.
 
 Replication is structure-preserving so work should scale LINEARLY by
 construction, and any superlinear wall-time is a plan defect:
-- documents: replica r shifts doc_id by r*10M (multiples of 20, so the
-  planted near-dup chain classes recur per replica) and rotates the
-  lowercase alphabet of ``text`` by r, so replicas are NOT near-dups
-  of each other — duplicate-group sizes stay constant, group count
-  scales 10x. n_chars is preserved by construction (rotation is 1:1).
+- documents: replica r shifts doc_id by r*69,300 (r10 fix — the old
+  r*10M shift pushed every replica above the dedup corpora's
+  ``doc_id < PLANT_OFFSET`` (1M) clamp, so the minhash/CC-family
+  stress rows through r9 measured a CONSTANT corpus; 69,300 is
+  divisible by every doc_id modulus the plans use except %97 and
+  keeps all replica ids under the clamp) and rotates the lowercase
+  alphabet of ``text`` by r, so replicas are NOT near-dups of each
+  other — duplicate-group sizes stay constant, group count scales
+  10x. n_chars is preserved by construction (rotation is 1:1).
 - embeddings: replica r shifts vec_id by r*10M, vectors unchanged.
   NOTE: 10M % 100 == 0, so the ``vec_id % 100`` query set ALSO scales
   10x — the expected IVF work model is (queries x probed-list size),
@@ -59,6 +63,19 @@ BASE_DIR = "/root/testdata/sf0.1"
 STRESS_DIR = "/tmp/sfstress10"
 REPLICAS = 10
 SHIFT = 10_000_000
+
+# documents uses its OWN shift (r10 find): the dedup/curation corpus
+# builders clamp `doc_id < PLANT_OFFSET` (1M) to keep the planted id
+# spaces collision-free, so the old r*10M shift pushed every replica
+# ABOVE the clamp and the minhash/CC-family stress rows (r8 "1.04x",
+# "1.2x") measured a CONSTANT corpus. 69,300 = lcm(3,5,7,9,10,11,20,50)
+# (every doc_id modulus any plan uses except %97, which the old shift
+# rotated too) and is divisible by 100: all planted dup/chain classes
+# recur per replica, replica ids stay in [0, 629k) — under the clamp
+# and clear of the +1M/+2M planted spaces — so the clamped corpora now
+# genuinely scale 10x. Replica texts stay non-dups via the alphabet
+# rotation (every sf0.1 doc contains lowercase).
+DOC_SHIFT = 69_300
 
 QUERIES = (
     "minhash_lsh_dedup",
@@ -176,7 +193,9 @@ QUERIES = (
     # lineitem input is not replicated by this harness)
     "near_dup_canonical",       # the LSH front + CC + survivor agg;
                                 # planted chain classes recur per
-                                # replica (SHIFT % 20 == 0)
+                                # replica (DOC_SHIFT % 20 == 0; r10:
+                                # replicas now actually pass the
+                                # doc_id < PLANT_OFFSET corpus clamp)
     "stream_stream_join",       # two watermarked streams; user_id
                                 # shift keeps join-key density constant
     "minhash_lsh_matview",      # r10: the write-once signature table —
@@ -275,16 +294,20 @@ def build_stress_dir() -> None:
         if not os.path.exists(dst):
             shutil.copy(os.path.join(BASE_DIR, f"{name}.parquet"), dst)
 
-    def replicate(name: str, mutate) -> None:
+    def replicate(name: str, mutate, stale=None) -> None:
         dst = os.path.join(STRESS_DIR, f"{name}.parquet")
         if os.path.exists(dst):
             # r7 migration: orders/customer used to be PLAIN COPIES
             # (pre-replication rounds staged them 1x); rebuild any
             # replicated table whose staged row count is not 10x base.
+            # `stale` (r10): extra per-table probe for staged files
+            # whose row count is right but whose content predates a
+            # mutation change (the DOC_SHIFT migration).
             base_rows = pq.ParquetFile(
                 os.path.join(BASE_DIR, f"{name}.parquet")
             ).metadata.num_rows
-            if pq.ParquetFile(dst).metadata.num_rows == REPLICAS * base_rows:
+            if pq.ParquetFile(dst).metadata.num_rows == REPLICAS * base_rows \
+                    and not (stale and stale(dst)):
                 return
             os.remove(dst)
         src = pq.read_table(os.path.join(BASE_DIR, f"{name}.parquet"))
@@ -297,8 +320,16 @@ def build_stress_dir() -> None:
         pq.write_table(pa.concat_tables(copies), dst)
 
     def mut_docs(df, r):
-        df["doc_id"] = df["doc_id"] + r * SHIFT
+        df["doc_id"] = df["doc_id"] + r * DOC_SHIFT
         df["text"] = _rot_text(df["text"], r)
+
+    def docs_stale(dst: str) -> bool:
+        # staged with the pre-r10 10M shift -> replicas sit above the
+        # PLANT_OFFSET clamp and the clamped corpora never scale
+        col = pq.read_table(dst, columns=["doc_id"])["doc_id"]
+        import pyarrow.compute as pc
+
+        return pc.max(col).as_py() >= 1_000_000
 
     def mut_emb(df, r):
         df["vec_id"] = df["vec_id"] + r * SHIFT
@@ -326,7 +357,7 @@ def build_stress_dir() -> None:
     def mut_lineitem(df, r):
         df["l_orderkey"] = df["l_orderkey"] + r * 12_000_000
 
-    replicate("documents", mut_docs)
+    replicate("documents", mut_docs, stale=docs_stale)
     replicate("embeddings", mut_emb)
     replicate("events", mut_events)
     replicate("orders", mut_orders)
