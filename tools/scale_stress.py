@@ -80,6 +80,10 @@ DOC_SHIFT = 69_300
 QUERIES = (
     "minhash_lsh_dedup",
     "dedup_connected_components",
+    "dedup_cc_pointer_doubling",  # r10: the O(log d) hook+compress
+                                  # variant — its whole pitch is a
+                                  # scale claim; same outputs as the
+                                  # row above by contract
     "ann_ivf_topk",
     "streaming_upsert_partitioned_pipe",
     "curation_funnel",
@@ -211,7 +215,11 @@ QUERIES = (
                                 # 10x event envelope stream
     "simhash_buckets",          # per-doc signature + bucket agg; the
                                 # alphabet rotation keeps replica
-                                # vocabularies (and buckets) disjoint
+                                # vocabularies disjoint, but the
+                                # 16-bit signature space pigeonholes
+                                # 15k docs into partially shared
+                                # buckets (r10 probe: max_bucket
+                                # 202->350) — agg stays bucket-keyed
     # round-8: the two event-table pipelines whose plans changed this
     # round (union-then-aggregate audit; broadcast scalar share)
     "ingest_e2e",               # clean->window-dedup->write->1-shuffle
