@@ -63,11 +63,16 @@ def hex_hash(c: Column | str, salt: str = "", length: int = 8) -> Column:
 def minhash_signatures(shingles_df: DataFrame, num_hashes: int = 8) -> DataFrame:
     """One row per doc with columns h0..h{K-1} — the MinHash signature.
 
-    Single groupBy (one shuffle) computing all K mins with map-side
-    partial aggregation; no per-hash passes. Prefer
-    :func:`minhash_signatures_wide` when starting from the documents
-    table — it needs NO shuffle at all; this row-form exists for
-    callers whose shingles are already exploded rows.
+    Single groupBy computing all K mins with map-side partial
+    aggregation; no per-hash passes. This is the DEFAULT form (r10):
+    the per-row md5×K hashing runs inside whole-stage codegen, and the
+    exchange carries ~1 row per doc, not doc×shingle — explode keeps a
+    doc's shingles in its parent's partition, so the partial aggregate
+    finishes each doc before the shuffle. The honest-scale A/B against
+    :func:`minhash_signatures_wide` (10×-scaled corpus, fresh JVMs):
+    5.8 s vs 19.2 s at 10×, 1.0 s vs 2.4 s warm at sf0.1 — the wide
+    form's higher-order ``transform`` evaluates its lambda on Spark's
+    interpreted path per array element.
     """
     aggs = [
         F.min(hex_hash("shingle", salt=str(k))).alias(f"h{k}")
@@ -87,21 +92,24 @@ def minhash_signatures_wide(
     over per-row transforms of the shingle array, no explode and no
     groupBy. Value-identical to :func:`minhash_signatures` over
     :func:`shingle_rows` (min is duplicate-insensitive and
-    lexicographic min over fixed-width hex equals numeric min), but
-    the doc×shingle shuffle — the single largest exchange in the LSH
-    front at corpus scale — disappears. Docs with fewer than ``n``
-    tokens yield no signature row (same visibility contract as the
-    row form: shingle-based strategies never see them).
+    lexicographic min over fixed-width hex equals numeric min). Docs
+    with fewer than ``n`` tokens yield no signature row (same
+    visibility contract as the row form).
 
-    CHOOSE BY CONSUMER COUNT: the map-side build is recomputed at
-    every plan occurrence (there is no exchange for ReuseExchange to
-    collapse), so it wins when the signature frame feeds ONE consumer
-    chain (the band-key self-join reuses its own downstream exchange)
-    and loses when several distinct consumers each re-pay the md5×K
-    hashing — minhash_jaccard_calibration measured 2× slower wide
-    than row-form. Multi-consumer shapes should use the row form or
-    materialize this frame (at scale: write the signature table once
-    and join from it)."""
+    NOT the default (r10 reversal): the higher-order ``transform``
+    lambda is evaluated on Spark's interpreted expression path per
+    array element, which loses to the row form's codegen'd hashing by
+    2.4× warm at sf0.1 and 3.3× at the 10×-scaled corpus — and the
+    shuffle the wide form avoids is only ~1 row/doc anyway (explode
+    preserves partitioning, so the groupBy's map-side partial mins
+    finish each doc before the exchange). The r8 A/B that picked this
+    form for single-consumer fronts ran on the stress harness's
+    constant-corpus bug (see tools/scale_stress.py DOC_SHIFT). Kept as
+    the zero-exchange alternative for strict-map-only contexts (e.g.
+    inside a streaming micro-batch where an extra exchange changes
+    checkpoint shape); batch LSH fronts should use the row form and
+    multi-consumer shapes should materialize the signature table
+    (minhash_lsh_matview)."""
 
     def _minhash(sh: Column, k: int) -> Column:
         return F.array_min(

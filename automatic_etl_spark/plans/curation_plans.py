@@ -127,9 +127,10 @@ def _near_dup_edges(
     every near-dup graph query (Spark mirror of _SQL_EDGE_CHAIN)."""
     corpus = _chain_corpus(spark, sf_dir)
     sh = td.shingle_rows(corpus)
-    # signatures map-side (r8): no doc-shingle shuffle; sh rows feed
-    # only the Jaccard verification below
-    signatures = td.minhash_signatures_wide(corpus, NUM_HASHES)
+    # row-form signatures (r10): codegen'd hashing, ~1-row/doc exchange
+    # (see dedup_plans.minhash_lsh_dedup for the honest-scale A/B that
+    # reversed the r8 map-side choice)
+    signatures = td.minhash_signatures(sh, NUM_HASHES)
     candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)
     edges = (
         td.jaccard_pairs(sh, candidates=candidates)

@@ -229,9 +229,14 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # InMemoryRelation); at 100 TB the LSH pipeline would instead
     # WRITE the shingle/signature tables once and verify from disk.
     sh = td.shingle_rows(corpus)
-    # signatures map-side (r8): the doc×shingle shuffle the groupBy
-    # form paid is gone; sh rows feed only the Jaccard verification
-    signatures = td.minhash_signatures_wide(corpus, NUM_HASHES)
+    # signatures row-form (r10): value-identical to the wide build but
+    # whole-stage-codegen'd — the wide form's higher-order transform
+    # hashes on Spark's interpreted path (3.3x slower at honest 10x
+    # data; the r8 A/B that picked it ran on the constant-corpus bug).
+    # The groupBy exchange carries ~1 row/doc, not doc×shingle: explode
+    # keeps a doc's shingles in one partition, so map-side partial mins
+    # finish each doc before the shuffle.
+    signatures = td.minhash_signatures(sh, NUM_HASHES)
     candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)
     verified = td.jaccard_pairs(sh, candidates=candidates).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
@@ -298,12 +303,14 @@ def minhash_lsh_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature table once, then every consumer scans the materialized
     frame instead of re-paying the md5×K signature build.
 
-    This is the documented guidance of minhash_signatures_wide
-    (operators/text_dedup.py) exercised as tested code (VERDICT r8
-    #8): the map-side wide build is the right WRITER (one scan, zero
-    exchanges — the cheapest possible single pass over the corpus),
-    but is recomputed at every plan occurrence, so multi-consumer
-    shapes must either take the row-form's shuffle or materialize.
+    Exercises the multi-consumer guidance in operators/text_dedup.py
+    as tested code (VERDICT r8 #8): a signature build is recomputed at
+    every plan occurrence, so multi-consumer shapes must materialize
+    (or accept re-derivation). The writer is the ROW-form build (r10:
+    codegen'd explode + map-side-min groupBy — 2.4-3.3x faster than
+    the wide form's interpreted higher-order transform, and its
+    exchange carries ~1 row/doc since explode keeps each doc's
+    shingles in one partition).
     Here the materialized table feeds TWO consumers — the band-key
     candidate join and the signature census (``sig_cnt`` output
     column) — each scanning K+1 narrow parquet columns, never the
@@ -326,7 +333,7 @@ def minhash_lsh_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _corpus(spark, sf_dir, near_dups=True)
     sig_dir = _matview_sig_dir(sf_dir)
-    td.minhash_signatures_wide(corpus, NUM_HASHES).write.mode(
+    td.minhash_signatures(td.shingle_rows(corpus), NUM_HASHES).write.mode(
         "overwrite"
     ).parquet(sig_dir)
     sig = spark.read.parquet(sig_dir)
@@ -429,8 +436,11 @@ def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    sh = td.shingle_rows(corpus)  # feeds the Jaccard verification only
-    signatures = td.minhash_signatures_wide(corpus, NUM_HASHES)
+    sh = td.shingle_rows(corpus)
+    # row-form signatures (r10): codegen'd hashing, ~1-row/doc exchange
+    # (see minhash_lsh_dedup) — the wide form's interpreted transform
+    # was 2.4-3.3x slower once the stress corpus genuinely scaled
+    signatures = td.minhash_signatures(sh, NUM_HASHES)
     keys = td.lsh_band_keys(signatures, BANDS, ROWS_PER_BAND)
     # ONE census frame feeds both the dropped-bucket report and the
     # cap filter: identical subtrees let ReusedExchange compute the

@@ -242,13 +242,17 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 9, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 13, "exch": 5,
     },
-    # r8: map-side minhash signatures (minhash_signatures_wide) — the
-    # doc-shingle groupBy exchange disappears from every occurrence of
-    # the signature subtree (partialAgg/exch drops are the win, the
-    # smj->bhj flips follow from the now-tiny signature frame)
+    # r10: ROW-form signatures (explode + map-side-min groupBy) — the
+    # r8 map-side wide choice is reversed: its higher-order transform
+    # hashes on the interpreted path (A/B on the honestly-scaled 10x
+    # corpus: wide ~45 s vs row ~10 s, alternating fresh JVMs), while
+    # the groupBy exchange carries ~1 row/doc (explode preserves the
+    # parent partitioning, so partial mins finish each doc map-side).
+    # partialAgg grows because the aggregate subtree prints at every
+    # signature occurrence; exch stays 4 — the exchanges are reused.
     "minhash_lsh_dedup": {
-        "bhj": 5, "smj": 0, "shj": 0, "bnlj": 1,
-        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 4,
+        "bhj": 6, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 14, "exch": 4,
     },
     # r9: signatures MATERIALIZED to parquet before the LSH back half —
     # all consumers (band keys, census) scan the signature table, so
@@ -554,10 +558,10 @@ PINNED.update({
         "bhj": 7, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 4,
     },
-    # r8: wide signatures — see minhash_lsh_dedup note
+    # r10: row-form signatures — see minhash_lsh_dedup note
     "minhash_lsh_capped": {
-        "bhj": 7, "smj": 0, "shj": 0, "bnlj": 2,
-        "wgl": 0, "topN": 0, "partialAgg": 7, "exch": 6,
+        "bhj": 9, "smj": 0, "shj": 0, "bnlj": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 23, "exch": 7,
     },
     "nation_profit": {
         "bhj": 4, "smj": 0, "shj": 0, "bnlj": 0,
