@@ -6,11 +6,17 @@ bit-identical to DuckDB's ``list_dot_product`` (verified), which the
 oracle plans rely on. Elements are cast to double FIRST so both
 engines do double arithmetic throughout.
 
-Scale notes: these run inside codegen on the JVM — no Python, no UDF.
-A 64-dim cosine is ~190 fused multiply-adds per row; brute-force top-k
-over N vectors × Q queries is O(N·Q·d) and distributes perfectly
-(queries broadcast, N partitioned). For large Q·N use the LSH-bucketed
-variant in operators/similarity.py.
+Scale notes: JVM-side, no Python, no UDF — but higher-order lambdas
+evaluate on Spark's INTERPRETED expression path per element, not
+inside whole-stage codegen (the distinction that cost the minhash wide
+build 3× in r10). Here the lambda is a bare multiply/add, so the
+interpreted overhead is negligible at any measured scale (r10 A/B on
+the 10× corpus: HOF fold 0.58 s vs a fully-unrolled element_at sum
+0.66 s over 20k 64-dim vectors, identical checksums) — unlike the
+md5-per-element case, where the lambda body dwarfed dispatch cost and
+codegen won 3.3×. Brute-force top-k over N vectors × Q queries is
+O(N·Q·d) and distributes perfectly (queries broadcast, N partitioned).
+For large Q·N use the LSH-bucketed variant in operators/similarity.py.
 """
 
 from __future__ import annotations
