@@ -209,6 +209,10 @@ QUERIES = (
                                 # never documents); expected ~linear:
                                 # signature build is per-doc, band join
                                 # is bounded by the capped buckets
+    "minhash_lsh_capped",       # r10: the max_bucket_size drop-and-
+                                # REPORT path — whether the cap
+                                # engages and bounds pair work is
+                                # precisely a 10x question
     "kmeans_two_iter",          # two exact unrolled iterations over a
                                 # 10x vector set, centroid frame fixed
     "cdc_unwrap_dedup",         # Debezium unwrap + LWW dedup over a
