@@ -230,6 +230,12 @@ def main() -> None:
     match = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(match.group(1).rstrip(".")) if match else -1.0
 
+    # Ambient load at run START (r10 verdict: the r10 baseline was
+    # captured at loadavg ~6-8 and silently inflated the drift gate;
+    # recording the start value makes "was the machine idle" auditable
+    # from the file alone, matching loadavg_end below).
+    loadavg_start = list(os.getloadavg())
+
     # Per-group fault isolation on top of per-query isolation inside
     # the child: a wedged JVM loses one group's signal, never the
     # round's (BENCH_r03 lesson).
@@ -286,6 +292,7 @@ def main() -> None:
         # mid-round run showed a uniform ~2x cluster on untouched
         # queries that normalized on an idle machine — recording load
         # makes that forensics one field-read instead of a re-run
+        "loadavg_start": loadavg_start,
         "loadavg_end": list(os.getloadavg()),
     }
     log_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "logs")
