@@ -340,6 +340,8 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     digits = orders.where(F.col("o_totalprice") > 0).select(
         F.substring(
+            # round-ok: scale-0 cents recovery — 2-dp money ×100 is
+            # within 1 ulp of an integer, 0.5 margin from any half.
             F.round(F.col("o_totalprice") * 100)
             .cast("bigint")
             .cast("string"),

@@ -942,6 +942,10 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n_events", "p05", "p95")
         .agg(
             qround(
+                # round-ok: 2-dp grid recovery — clamped is either the
+                # source value or a type-1 (actual-data-value) quantile
+                # bound, both on the 2-dp grid; the input sits within
+                # 1 ulp of the grid, never near a .005 half boundary.
                 F.sum(F.round(clamped, 2).cast("decimal(18,2)"))
                 .cast("double")
                 / F.col("n_events")
@@ -1031,6 +1035,8 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pit.groupBy("status").agg(
         F.count("*").alias("purchases"),
+        # round-ok: 2-dp grid recovery on the 2-dp source column —
+        # input within 1 ulp of the grid, never near a half boundary.
         F.sum(F.round("value", 2).cast("decimal(18,2)"))
         .cast("double")
         .alias("value_total"),

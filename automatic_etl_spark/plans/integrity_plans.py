@@ -173,6 +173,9 @@ def runtime_bloom_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(
             F.count(F.lit(1)).alias("line_cnt"),
             F.sum(
+                # round-ok: scale-0 cents recovery — a 2-dp money value
+                # ×100 lands within 1 ulp of an integer (0.5 margin, no
+                # half boundary); both engines round the same double.
                 F.round(F.col("l_extendedprice") * 100).cast("bigint")
             ).alias("revenue_cents"),
         )
@@ -245,6 +248,8 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderdate").over(w_all).alias("first_order_date"),
             F.max("o_orderdate").over(w_all).alias("last_order_date"),
             F.sum(
+                # round-ok: scale-0 cents recovery — 2-dp money ×100 is
+                # within 1 ulp of an integer, 0.5 margin from any half.
                 F.round(F.col("o_totalprice") * 100).cast("bigint")
             )
             .over(w_all)
@@ -405,6 +410,8 @@ def merge_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents (decimal_fidelity_agg policy); the 110/100 update is BIGINT
     division on both engines, truncation identical."""
     orders = table(spark, sf_dir, "orders")
+    # round-ok: scale-0 cents recovery — 2-dp money ×100 is within
+    # 1 ulp of an integer, 0.5 margin from any half boundary.
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     target = orders.where(F.col("o_orderkey") % 3 != 0).select(
         F.col("o_orderkey").alias("k"), cents.alias("t_cents")

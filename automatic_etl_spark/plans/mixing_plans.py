@@ -88,6 +88,9 @@ def temperature_mix_allocation(
     weight = qround(
         F.col("p").cast("double") / F.col("ptot").cast("double")
     )
+    # round-ok: scale-0 integer recovery — weight is qround'd to the
+    # 1e-6 grid and TOKEN_BUDGET is 1e6, so budget×weight lands within
+    # 1 ulp of an integer (0.5 margin); mirrored round() in the oracle.
     allocated = F.round(F.lit(TOKEN_BUDGET) * weight).cast("bigint")
     return powed.crossJoin(F.broadcast(tot)).select(
         "source",

@@ -211,6 +211,9 @@ def join_size_estimate_report(
         F.sum("c").cast("bigint").alias("rows_in_bucket"),
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_pairs"),
     )
+    # round-ok: scale-0 round of an integer-ratio double, mirrored
+    # symmetrically in the oracle SQL — both engines round the SAME
+    # double with no 10^k scaling step, so they cannot diverge.
     est = F.round(
         F.col("rows_in_bucket").cast("double")
         * F.col("rows_in_bucket")

@@ -133,6 +133,29 @@ def test_native_f_round_allowlist():
     )
 
 
+def test_every_native_f_round_site_carries_a_classification():
+    """r10 verdict #3: the file-level allowlist bounds COUNTS, but each
+    surviving site must also carry its own boundary argument so the
+    classification is auditable in place. Convention: a ``# round-ok:``
+    comment on the F.round line or within the 5 lines above it, stating
+    why the input can never sit near an engine-divergent half boundary.
+    A NEW F.round site without one fails here even if someone also bumps
+    the count allowlist."""
+    bad = []
+    for name, src in _sources().items():
+        lines = src.splitlines()
+        for i, line in enumerate(lines):
+            if "F.round(" not in line:
+                continue
+            window = lines[max(0, i - 5) : i + 1]
+            if not any("# round-ok" in w for w in window):
+                bad.append(f"{name}:{i + 1}")
+    assert not bad, (
+        "F.round site(s) without a '# round-ok:' boundary argument "
+        f"within 5 lines: {bad}"
+    )
+
+
 def test_scaled_native_f_round_only_at_allowed_scales():
     """Any F.round WITH a scale argument must be scale 2 (grid
     recovery); scale-0 rounds carry no argument. Scales >= 3 on
