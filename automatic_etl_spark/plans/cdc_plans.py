@@ -957,11 +957,19 @@ PYDS_STREAM_BATCH = 500
         FROM gen GROUP BY 1
     """,
 )
-def python_stream_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def python_stream_source_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    rows: int = PYDS_STREAM_ROWS,
+    batch: int = PYDS_STREAM_BATCH,
+) -> DataFrame:
     """Multi-batch streaming read through the custom Python stream
-    source (4 offset windows of {500}), drained to a memory sink and
-    aggregated per cohort — must equal the batch replay exactly
-    (exactly-once over the full drain)."""
+    source (rows/batch offset windows; 4 of 500 at the registry
+    default), drained to a memory sink and aggregated per cohort —
+    must equal the batch replay exactly (exactly-once over the full
+    drain). ``rows``/``batch`` exist for the scale-stress harness
+    (tools/scale_stress.py); the pinned oracle covers the default."""
     import time
 
     from automatic_etl_spark.sources import pydatasource
@@ -972,14 +980,14 @@ def python_stream_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(stream_state_partitions(rows=PYDS_STREAM_ROWS)),
+        str(stream_state_partitions(rows=rows)),
     )
     name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
     try:
         stream = (
             spark.readStream.format(pydatasource.FORMAT_NAME)
-            .option("rows", str(PYDS_STREAM_ROWS))
-            .option("batch", str(PYDS_STREAM_BATCH))
+            .option("rows", str(rows))
+            .option("batch", str(batch))
             .load()
         )
         query = (
@@ -996,7 +1004,7 @@ def python_stream_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # row universe; the poll reads a bounded scalar count.
         deadline = time.time() + 120
         while time.time() < deadline:
-            if spark.table(name).count() >= PYDS_STREAM_ROWS:
+            if spark.table(name).count() >= rows:
                 break
             time.sleep(0.3)
         query.stop()

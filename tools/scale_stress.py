@@ -69,12 +69,20 @@ SHIFT = 10_000_000
 # spaces collision-free, so the old r*10M shift pushed every replica
 # ABOVE the clamp and the minhash/CC-family stress rows (r8 "1.04x",
 # "1.2x") measured a CONSTANT corpus. 69,300 = lcm(3,5,7,9,10,11,20,50)
-# (every doc_id modulus any plan uses except %97, which the old shift
-# rotated too) and is divisible by 100: all planted dup/chain classes
-# recur per replica, replica ids stay in [0, 629k) — under the clamp
-# and clear of the +1M/+2M planted spaces — so the clamped corpora now
-# genuinely scale 10x. Replica texts stay non-dups via the alphabet
-# rotation (every sf0.1 doc contains lowercase).
+# — every PLANTED-class doc_id modulus recurs per replica — and is
+# divisible by 100; replica ids stay in [0, 629k), under the clamp and
+# clear of the +1M/+2M planted spaces, so the clamped corpora now
+# genuinely scale 10x. Two deliberate non-recurring moduli (r11 ADVICE
+# — the exemption list is pinned in tests/test_scale_stress_shift.py):
+# %97 (BENCH_MOD/EVAL_MOD) rotates per replica but keeps class density
+# on any contiguous range, exactly as under the old shift; %8
+# (PACK_BUCKETS, sequence_packing) is a uniform sharding bucket, not a
+# planted class — 69,300 % 8 == 4 rotates bucket labels (bucket b gets
+# 5·c(b)+5·c(b−4 mod 8) instead of 10·c(b)) but total and per-bucket
+# work still scale ~linearly. lcm-with-8 (138,600) is NOT an option:
+# 9×138,600 = 1,247,400 would cross the 1M clamp. Replica texts stay
+# non-dups via the alphabet rotation (every sf0.1 doc contains
+# lowercase).
 DOC_SHIFT = 69_300
 
 QUERIES = (
@@ -259,6 +267,17 @@ QUERIES = (
     # plain pagerank_two_iter row above keeps the fixed-bucket default
     # for comparison
     "pagerank_two_iter@scaled_buckets",
+    # round-11 (VERDICT r10 #4): the one driver-bench headliner without
+    # a 10x row. The query's universe is SYNTHETIC (rows/batch options
+    # on the custom Python stream source; sf_dir unused), so its 10x is
+    # rows x10 at the same batch size — 40 offset windows of 500 vs 4.
+    # Work model: per-row Python cost dominates (pickle/iterate in the
+    # source's read()), plus a constant per-micro-batch planning cost,
+    # so expect ~LINEAR wall (factor ~10 minus the amortized constant
+    # term) — unlike the JVM paths this row is NOT expected sublinear;
+    # at 100x the same pipeline moves to the JVM Kafka source (the
+    # documented production path, sources/kafka.py).
+    "python_stream_source_totals@10x_rows",
 )
 
 # Rows that are a registry query under a NON-default configuration:
@@ -282,7 +301,23 @@ def _pagerank_scaled_buckets(spark, sf_dir):
     return pagerank_two_iter(spark, sf_dir, planes=planes)
 
 
-SPECIAL = {"pagerank_two_iter@scaled_buckets": _pagerank_scaled_buckets}
+def _pyds_stream_scaled(spark, sf_dir):
+    from automatic_etl_spark.plans.cdc_plans import (
+        PYDS_STREAM_BATCH,
+        PYDS_STREAM_ROWS,
+        python_stream_source_totals,
+    )
+
+    rows = PYDS_STREAM_ROWS * (10 if sf_dir == STRESS_DIR else 1)
+    return python_stream_source_totals(
+        spark, sf_dir, rows=rows, batch=PYDS_STREAM_BATCH
+    )
+
+
+SPECIAL = {
+    "pagerank_two_iter@scaled_buckets": _pagerank_scaled_buckets,
+    "python_stream_source_totals@10x_rows": _pyds_stream_scaled,
+}
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
@@ -336,12 +371,20 @@ def build_stress_dir() -> None:
         df["text"] = _rot_text(df["text"], r)
 
     def docs_stale(dst: str) -> bool:
-        # staged with the pre-r10 10M shift -> replicas sit above the
-        # PLANT_OFFSET clamp and the clamped corpora never scale
-        col = pq.read_table(dst, columns=["doc_id"])["doc_id"]
+        # EXACT staleness probe (r11 ADVICE): a staged file built with
+        # ANY other shift — the pre-r10 10M one OR a future DOC_SHIFT
+        # change that stays under the clamp — has the wrong max doc_id,
+        # so comparing against the value the CURRENT constants imply
+        # catches the whole silent-constant-corpus class, not just the
+        # one historical breakage a >=1M threshold detected.
         import pyarrow.compute as pc
 
-        return pc.max(col).as_py() >= 1_000_000
+        col = pq.read_table(dst, columns=["doc_id"])["doc_id"]
+        base = pq.read_table(
+            os.path.join(BASE_DIR, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"]
+        expected_max = pc.max(base).as_py() + (REPLICAS - 1) * DOC_SHIFT
+        return pc.max(col).as_py() != expected_max
 
     def mut_emb(df, r):
         df["vec_id"] = df["vec_id"] + r * SHIFT
