@@ -82,6 +82,159 @@ def _plan_module_constants() -> dict[str, int]:
     return consts
 
 
+# --- r11 generalization: the same guard for EVERY replicated key ---
+#
+# The r10 bug class was a shift that silently broke a key-class
+# assumption (doc_id replicas crossing the PLANT_OFFSET clamp). The
+# doc_id pins above close that column; these pins extend the census to
+# the other six replicated key columns so a future plan/harness change
+# can't reopen the class on a column nobody is watching.
+#
+# Classification per (column, modulus):
+#   "recurs"  — the modulus divides the replica shift, so every planted
+#               class recurs identically per replica (shift % m == 0,
+#               asserted below);
+#   "density" — the shift rotates the class labels, but the consuming
+#               semantics depend only on class DENSITY on a contiguous
+#               key range (planted-dirt CASE branches, drift/corruption
+#               classes, uniform shard buckets, query/eval sets — each
+#               reason audited r10/r11), so rotation preserves linear
+#               scaling. A dividing modulus classified "density" (or
+#               vice versa) fails, keeping the census exact.
+_KEY_SHIFTS = {
+    "vec_id": 10_000_000,
+    "event_id": 10_000_000,
+    "user_id": 100_000,
+    "o_orderkey": 12_000_000,
+    "c_custkey": 1_430_000,
+    "l_orderkey": 12_000_000,
+}
+_KEY_MODULI: dict[str, dict[int, str]] = {
+    "vec_id": {
+        100: "recurs",   # QUERY_MOD: ANN/decontaminate query sets
+        67: "density",   # CENTROID_MOD: IVF coarse-centroid set (~1/67)
+        7: "density",    # MMR_CAND_MOD: candidate pool density
+        97: "density",   # DECON_EVAL_MOD: eval-set rotation documented
+    },
+    "event_id": {
+        2: "recurs", 5: "recurs", 10: "recurs",
+        8: "recurs",     # AUDIT_BUCKETS
+        16: "recurs",    # SKIP_FILES
+        1000: "recurs",  # ID_LOSS_MOD (planted loss class)
+        3: "density",    # case-format / planted-'N/A' branches
+        7: "density",    # NULLQ_MOD planted-null class
+        13: "density",   # CORRUPT_MOD corrupt-row class
+        199: "density",  # range-join interval anchors
+    },
+    "user_id": {10: "recurs", 5: "recurs", 8: "recurs"},
+    "o_orderkey": {
+        2: "recurs", 3: "recurs", 4: "recurs", 10: "recurs",
+        16: "recurs",    # CHECKSUM_BUCKETS
+        256: "recurs",   # 1 << Z_BITS z-order cell
+        97: "density",   # REPAIR_MISS_MOD drift class
+        89: "density",   # REPAIR_CORRUPT_MOD drift class
+        7: "density",    # _DIFF_UPD (snapshot_diff — outside stress set)
+        13: "density",   # _DIFF_INS (same)
+        19: "density",   # _DIFF_DEL (same)
+        9: "density",    # planted-'NaN' dirty class
+        11: "density",   # planted-'0000-00-00' dirty class
+    },
+    "c_custkey": {
+        11: "recurs",    # LATE_DIM_MOD (143 | 1.43M)
+        13: "recurs",    # NEVER_DIM_MOD
+        8: "recurs",     # uniform shard bucket
+        7: "density",    # _DIRTY_MOD dirty-feed class
+    },
+    "l_orderkey": {},
+}
+
+
+def _scan_column_moduli(col: str) -> set[int]:
+    """Every modulus applied to ``col`` anywhere in the package, both
+    syntactic forms, digit or constant-named (incl. ``1 << NAME``)."""
+    import glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                       "automatic_etl_spark")
+    digit_re = re.compile(col + r"\"?\)?\s*%\s*(\d[\d_]*)")
+    name_re = re.compile(col + r"\"?\)?\s*%\s*\{?([A-Z_][A-Z_0-9]*)\}?")
+    shift_re = re.compile(col + r"\"?\)?\s*%\s*\{1\s*<<\s*([A-Z_][A-Z_0-9]*)\}")
+    used: set[int] = set()
+    names: set[str] = set()
+    shifts: set[str] = set()
+    for f in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        src = open(f).read()
+        used |= {int(m.replace("_", "")) for m in digit_re.findall(src)}
+        names |= set(name_re.findall(src))
+        shifts |= set(shift_re.findall(src))
+    if names or shifts:
+        consts = _plan_module_constants()
+        missing = (names | shifts) - set(consts)
+        assert not missing, f"{col}: unresolved constant moduli {missing}"
+        used |= {consts[n] for n in names}
+        used |= {1 << consts[n] for n in shifts}
+    return used
+
+
+def test_replicated_key_moduli_census():
+    for col, shift in _KEY_SHIFTS.items():
+        expected = _KEY_MODULI[col]
+        found = _scan_column_moduli(col)
+        assert found == set(expected), (
+            f"{col}: moduli census drifted — found {sorted(found)}, "
+            f"classified {sorted(expected)}. Classify the new modulus "
+            "(recurs/density with a reason) and check the replica shift "
+            "still scales its consumer linearly."
+        )
+        for m, cls in expected.items():
+            divides = shift % m == 0
+            assert divides == (cls == "recurs"), (
+                f"{col} % {m}: classified '{cls}' but shift {shift} "
+                f"{'divides' if divides else 'does not divide'} — "
+                "reclassify to keep the census exact"
+            )
+
+
+def test_replicated_key_range_clamps_census():
+    """The exact r10 failure shape: a RANGE CLAMP on a replicated key
+    column silently excludes stress replicas. Census every `<col> <
+    BOUND` / `<col> >= BOUND` comparison against an UPPERCASE constant
+    or literal bound; each must be one of the two audited clamps:
+    doc_id vs PLANT_OFFSET (stress-safe by the DOC_SHIFT pins above)
+    and snapshot_diff's o_orderkey vs _DIFF_SHIFT (deliberate
+    anti-collision guard — and that query must stay OUT of the stress
+    set, asserted here)."""
+    import glob
+    import os
+
+    from tools.scale_stress import QUERIES
+
+    allowed = {("doc_id", "PLANT_OFFSET"), ("o_orderkey", "_DIFF_SHIFT")}
+    cols = "|".join(["doc_id", *_KEY_SHIFTS])
+    # (?!\.) rejects column refs like `< F.col("b.doc_id")` whose head
+    # would otherwise read as a constant named "F"
+    clamp_re = re.compile(
+        rf"({cols})\"?\)?\s*(?:<|>=)\s*\{{?([A-Z_][A-Z_0-9]*(?!\.)|\d[\d_]*)\}}?"
+    )
+    pkg = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                       "automatic_etl_spark")
+    found = set()
+    for f in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        found |= {(c, b) for c, b in clamp_re.findall(open(f).read())}
+    unexpected = found - allowed
+    assert not unexpected, (
+        f"unaudited range clamp(s) on replicated key columns: "
+        f"{unexpected} — the r10 silent-constant-corpus class; audit "
+        "the clamp against every replica shift and extend the allowlist"
+    )
+    assert found == allowed, f"clamp census went blind: only saw {found}"
+    assert "snapshot_diff" not in QUERIES, (
+        "snapshot_diff entered the stress set but its o_orderkey < "
+        "_DIFF_SHIFT clamp excludes replicas above the bound"
+    )
+
+
 def test_moduli_set_matches_plan_sources():
     """Re-derive the doc_id moduli actually used by the plans; a new
     modulus must be added to _RECURRING_MODULI (and DOC_SHIFT adjusted)
