@@ -63,6 +63,27 @@ def _latest_baseline() -> str:
     return max(paths, key=_round_no)
 
 
+def test_latest_baseline_recorded_near_idle():
+    """r10 verdict: a baseline captured under ambient load silently
+    absorbs real regressions (the r10 file summed 203.9 s at loadavg
+    ~6-8). bench.py records loadavg_start since r11; the committed
+    baseline the gate compares against must prove it started near-idle
+    so the gate's noise band means what it says. (Baselines predating
+    the field are never latest once an r11+ file exists.)"""
+    with open(_latest_baseline()) as fh:
+        base = json.load(fh)
+    start = base.get("loadavg_start")
+    assert start is not None, (
+        "committed baseline lacks loadavg_start — regenerate it with "
+        "the current bench.py so its idleness is auditable"
+    )
+    assert start[0] < 2.0, (
+        f"committed baseline started at 1-min loadavg {start[0]:.2f} — "
+        "not idle; re-record on a quiet machine (the r10 inflated-"
+        "baseline class)"
+    )
+
+
 def test_bench_drift_vs_committed_baseline():
     BASELINE = _latest_baseline()
     if not os.path.exists(CURRENT):
