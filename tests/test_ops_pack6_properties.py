@@ -174,7 +174,7 @@ def test_km_log_survival_random_cohorts(spark, cohort):
         F.log(1.0 - F.col("d_i").cast("double") / F.col("n_risk")), 8
     ).cast("decimal(18,8)")
     got = {
-        r.t: (r.n_risk, round(float(r.ls), 6))
+        r.t: (r.n_risk, float(r.ls))
         for r in risk.select(
             "t", "d_i",
             F.col("n_risk"),
@@ -191,7 +191,15 @@ def test_km_log_survival_random_cohorts(spark, cohort):
             logsum += round(math.log(1 - d_i / at_risk), 8)
             exp_risk, exp_ls = got[t]
             assert exp_risk == at_risk
-            assert abs(exp_ls - round(logsum, 6)) < 1e-9
+            # compare the decimal-exact Spark sum against the float-
+            # accumulated recurrence directly: a re-round to 6 dp on
+            # both sides (the pre-r11 form) was half-boundary-fragile —
+            # sums of 8-dp terms routinely land ON 6-dp halves, where
+            # ~1e-16 float accumulation error flips Python's round()
+            # (hypothesis found sum=-0.7717095 → -0.771709 vs -0.77171).
+            # Tolerance 1e-9 covers ≤40 terms of float error (~4e-15)
+            # and stays far below the 1e-8 term grid.
+            assert abs(exp_ls - logsum) < 1e-9
         at_risk -= d_i + c_i
     assert len(got) == sum(
         1 for t in times if any(tt == t and e for tt, e in cohort)
