@@ -19,6 +19,14 @@ drift).
 
 The gate SKIPS when there is no fresh local detail file — it guards
 rounds where bench actually ran, it does not run bench itself.
+
+CROSS-ROUND comparisons (r12, VERDICT r11 #3): this gate is LOCAL —
+same host regime, fresh baseline each round. For round-over-round
+perf questions, do NOT compare in-bench driver totals (they drifted
+189 → 210 → 215 s across r9–r11 on fingerprint-identical plans, all
+host-regime noise); compare the load-controlled fresh-JVM minima in
+``bench_baselines/headliner_minima_r{N}.json`` (written once per
+round by ``tools/headliner_minima.py``, loadavg recorded per sample).
 """
 
 from __future__ import annotations

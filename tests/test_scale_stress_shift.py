@@ -16,7 +16,15 @@ import re
 import duckdb
 
 from automatic_etl_spark.plans.dedup_plans import PLANT_OFFSET
-from tools.scale_stress import BASE_DIR, DOC_SHIFT, REPLICAS
+from tools.scale_stress import (
+    BASE_DIR,
+    CUSTKEY_SHIFT,
+    DOC_SHIFT,
+    EVENT_USER_SHIFT,
+    ORDERKEY_SHIFT,
+    REPLICAS,
+    SHIFT,
+)
 
 # Every modulus any plan applies to doc_id (test below re-derives the
 # set from source so a new modulus can't be added without landing
@@ -36,6 +44,48 @@ def _base_max_doc_id() -> int:
     return duckdb.sql(
         f"SELECT max(doc_id) FROM read_parquet('{BASE_DIR}/documents.parquet')"
     ).fetchone()[0]
+
+
+def test_staged_stress_corpus_matches_current_shifts():
+    """r12 ADVICE #4 made the harness staleness probe exact on EVERY
+    replicated key column; this pin re-derives the same expectation
+    independently so a probe bug can't pass its own staged file.
+    Skips when the stress corpus isn't staged (it lives in /tmp)."""
+    import os
+
+    import pytest
+
+    from tools.scale_stress import STRESS_DIR
+
+    if not os.path.isdir(STRESS_DIR):
+        pytest.skip("stress corpus not staged")
+    per_table = {
+        "documents": {"doc_id": DOC_SHIFT},
+        "embeddings": {"vec_id": SHIFT},
+        "events": {"event_id": SHIFT, "user_id": EVENT_USER_SHIFT},
+        "orders": {"o_orderkey": ORDERKEY_SHIFT,
+                   "o_custkey": CUSTKEY_SHIFT},
+        "customer": {"c_custkey": CUSTKEY_SHIFT},
+        "lineitem": {"l_orderkey": ORDERKEY_SHIFT},
+    }
+    for table, shifts in per_table.items():
+        staged = os.path.join(STRESS_DIR, f"{table}.parquet")
+        if not os.path.exists(staged):
+            pytest.skip(f"{table} not staged")
+        for col, shift in shifts.items():
+            base_max, = duckdb.sql(
+                f"SELECT max({col}) FROM "
+                f"read_parquet('{BASE_DIR}/{table}.parquet')"
+            ).fetchone()
+            staged_max, = duckdb.sql(
+                f"SELECT max({col}) FROM read_parquet('{staged}')"
+            ).fetchone()
+            assert staged_max == base_max + (REPLICAS - 1) * shift, (
+                f"{table}.{col}: staged corpus was built with a "
+                f"different shift than the current constant {shift} — "
+                "the silent-constant-corpus class (rebuild via "
+                "tools/scale_stress.py --build)"
+            )
 
 
 def test_doc_shift_keeps_replicas_under_the_corpus_clamp():
@@ -101,13 +151,17 @@ def _plan_module_constants() -> dict[str, int]:
 #               reason audited r10/r11), so rotation preserves linear
 #               scaling. A dividing modulus classified "density" (or
 #               vice versa) fails, keeping the census exact.
+# Shifts are IMPORTED from the harness (r12 ADVICE) — a future change
+# to any tools/scale_stress.py shift constant flows into the census
+# automatically instead of passing against a stale inline copy.
 _KEY_SHIFTS = {
-    "vec_id": 10_000_000,
-    "event_id": 10_000_000,
-    "user_id": 100_000,
-    "o_orderkey": 12_000_000,
-    "c_custkey": 1_430_000,
-    "l_orderkey": 12_000_000,
+    "vec_id": SHIFT,
+    "event_id": SHIFT,
+    "user_id": EVENT_USER_SHIFT,
+    "o_orderkey": ORDERKEY_SHIFT,
+    "c_custkey": CUSTKEY_SHIFT,
+    "o_custkey": CUSTKEY_SHIFT,   # shifts in lockstep with c_custkey
+    "l_orderkey": ORDERKEY_SHIFT,
 }
 _KEY_MODULI: dict[str, dict[int, str]] = {
     "vec_id": {
@@ -144,6 +198,12 @@ _KEY_MODULI: dict[str, dict[int, str]] = {
         13: "recurs",    # NEVER_DIM_MOD
         8: "recurs",     # uniform shard bucket
         7: "density",    # _DIRTY_MOD dirty-feed class
+    },
+    "o_custkey": {
+        256: "density",  # 1 << Z_BITS z-order cell (zorder layout) —
+                         # uniform sharding bucket; 1.43M % 256 == 240
+                         # rotates cell labels, per-cell row counts
+                         # stay ~uniform so layout work scales linearly
     },
     "l_orderkey": {},
 }
@@ -212,16 +272,35 @@ def test_replicated_key_range_clamps_census():
 
     allowed = {("doc_id", "PLANT_OFFSET"), ("o_orderkey", "_DIFF_SHIFT")}
     cols = "|".join(["doc_id", *_KEY_SHIFTS])
-    # (?!\.) rejects column refs like `< F.col("b.doc_id")` whose head
-    # would otherwise read as a constant named "F"
+    # All four comparators (r12 ADVICE — the old `<|>=` let a future
+    # `<=`/`>` clamp evade the census). The trailing (?![A-Z_0-9.])
+    # cannot be defeated by backtracking (r12 ADVICE — the old
+    # `*(?!\.)` truncated dotted names like `LIMIT.value` to "LIMI"):
+    # a constant name must end before any dot or further name char, so
+    # column refs like `< F.col("b.doc_id")` are rejected whole.
     clamp_re = re.compile(
-        rf"({cols})\"?\)?\s*(?:<|>=)\s*\{{?([A-Z_][A-Z_0-9]*(?!\.)|\d[\d_]*)\}}?"
+        rf"({cols})\"?\)?\s*(?:<=?|>=?)\s*"
+        rf"\{{?([A-Z_][A-Z_0-9]*(?![A-Z_0-9.])|\d[\d_]*)\}}?"
+    )
+    # BETWEEN is a range clamp too (r12 ADVICE): census both the
+    # Column form `.between(` and SQL `BETWEEN` on the same columns.
+    between_re = re.compile(
+        rf"({cols})\"?\)?\s*(?:\.between\(|between\s)", re.IGNORECASE
     )
     pkg = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                        "automatic_etl_spark")
     found = set()
+    betweens = set()
     for f in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
-        found |= {(c, b) for c, b in clamp_re.findall(open(f).read())}
+        src = open(f).read()
+        found |= {(c, b) for c, b in clamp_re.findall(src)}
+        betweens |= {(os.path.basename(f), c)
+                     for c in between_re.findall(src)}
+    assert not betweens, (
+        f"unaudited BETWEEN clamp(s) on replicated key columns: "
+        f"{betweens} — audit against every replica shift and extend "
+        "this census"
+    )
     unexpected = found - allowed
     assert not unexpected, (
         f"unaudited range clamp(s) on replicated key columns: "

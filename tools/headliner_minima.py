@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Per-round fresh-JVM-minima table for the driver-bench headliners
+(VERDICT r11 #3).
+
+The driver-bench TOTAL drifted 189 s (r9) -> 210 s (r10) -> 215 s
+(r11) on fingerprint-identical plans — all host-regime noise — so
+round-over-round comparisons of the in-bench numbers degraded into
+regime archaeology (the r10 and r11 rounds each spent a verdict item
+re-litigating ambient load). This tool records, once per round, a
+LOAD-CONTROLLED column: the minimum over N fresh-JVM samples per
+headliner at sf0.1, with the 1-min loadavg captured before every
+sample so idleness is auditable from the artifact alone. Cross-round
+perf questions should compare THESE minima (same methodology as the
+r10/r11 pagerank and python_stream isolations, tools/scale_stress.py
+--child), not the in-bench driver numbers.
+
+Usage:
+    python tools/headliner_minima.py --round 12 [--samples 4] [names...]
+
+Default headliner set: the top-10 of the newest BENCH_r*.json's
+``parsed.queries`` (the driver records exactly its 10 slowest).
+Writes bench_baselines/headliner_minima_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = "/root/testdata/sf0.1"
+CHILD = os.path.join(REPO, "tools", "scale_stress.py")
+
+
+def latest_bench_headliners() -> tuple[int, list[str]]:
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    src = paths[-1]
+    rec = json.load(open(src))
+    queries = rec.get("parsed", {}).get("queries") or rec.get("queries")
+    names = sorted(queries, key=lambda n: -queries[n])[:10]
+    rnd = int(re.search(r"r(\d+)", os.path.basename(src)).group(1))
+    return rnd, names
+
+
+def one_sample(name: str) -> tuple[float | None, float]:
+    """One fresh-JVM measurement (warm on sf0.001, time sf0.1);
+    returns (sec|None, loadavg_1min_before)."""
+    load1 = os.getloadavg()[0]
+    proc = subprocess.run(
+        [sys.executable, CHILD, "--child", name, SF_DIR],
+        capture_output=True, text=True, timeout=1800,
+    )
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+    try:
+        return json.loads(line)["sec"], round(load1, 2)
+    except (json.JSONDecodeError, KeyError):
+        sys.stderr.write(f"{name}: child failed: {(proc.stderr or '')[-300:]}\n")
+        return None, round(load1, 2)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--samples", type=int, default=4)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    bench_round, names = latest_bench_headliners()
+    if args.names:
+        names = args.names
+
+    out: dict = {
+        "_meta": {
+            "round": args.round,
+            "date": datetime.date.today().isoformat(),
+            "harness": (
+                "tools/headliner_minima.py — fresh JVM per sample via "
+                "tools/scale_stress.py --child (warmed on sf0.001, "
+                "timed on sf0.1), min over samples reported"
+            ),
+            "headliner_source": f"BENCH_r{bench_round:02d}.json top-10",
+            "samples_per_query": args.samples,
+            "purpose": (
+                "load-controlled cross-round perf column (VERDICT r11 "
+                "#3): compare these minima across rounds, not the "
+                "in-bench driver totals, which carry host-regime drift"
+            ),
+        },
+    }
+    for name in names:
+        samples: list[float] = []
+        loads: list[float] = []
+        for _ in range(args.samples):
+            sec, load1 = one_sample(name)
+            if sec is not None:
+                samples.append(sec)
+            loads.append(load1)
+        row = {
+            "min": min(samples) if samples else None,
+            "samples": samples,
+            "loadavg1_before_each": loads,
+        }
+        out[name] = row
+        print(f"{name}: {row}", file=sys.stderr)
+
+    dst = os.path.join(
+        REPO, "bench_baselines", f"headliner_minima_r{args.round:02d}.json"
+    )
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+    print(dst)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

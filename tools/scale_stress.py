@@ -64,6 +64,14 @@ STRESS_DIR = "/tmp/sfstress10"
 REPLICAS = 10
 SHIFT = 10_000_000
 
+# Per-column replica shifts (r12 ADVICE: named constants, imported by
+# tests/test_scale_stress_shift.py's _KEY_SHIFTS so the census can
+# never drift from the harness). Rationale for each value lives in the
+# module docstring and the mut_* functions below.
+EVENT_USER_SHIFT = 100_000     # events.user_id
+ORDERKEY_SHIFT = 12_000_000    # orders.o_orderkey + lineitem.l_orderkey
+CUSTKEY_SHIFT = 1_430_000      # customer.c_custkey + orders.o_custkey
+
 # documents uses its OWN shift (r10 find): the dedup/curation corpus
 # builders clamp `doc_id < PLANT_OFFSET` (1M) to keep the planted id
 # spaces collision-free, so the old r*10M shift pushed every replica
@@ -341,20 +349,40 @@ def build_stress_dir() -> None:
         if not os.path.exists(dst):
             shutil.copy(os.path.join(BASE_DIR, f"{name}.parquet"), dst)
 
-    def replicate(name: str, mutate, stale=None) -> None:
+    def key_stale(name: str, dst: str, key_shifts: dict) -> bool:
+        # EXACT staleness probe, generalized from the r11 docs_stale
+        # (r12 ADVICE): a staged file built with ANY other shift — a
+        # historical value OR a future constant change that keeps the
+        # row count at 10x — has the wrong max key on some shifted
+        # column, so comparing against the value the CURRENT constants
+        # imply catches the silent-constant-corpus class on EVERY
+        # replicated key column, not just doc_id.
+        import pyarrow.compute as pc
+
+        base_path = os.path.join(BASE_DIR, f"{name}.parquet")
+        for col, shift in key_shifts.items():
+            staged_max = pc.max(pq.read_table(dst, columns=[col])[col]).as_py()
+            base_max = pc.max(
+                pq.read_table(base_path, columns=[col])[col]
+            ).as_py()
+            if staged_max != base_max + (REPLICAS - 1) * shift:
+                return True
+        return False
+
+    def replicate(name: str, mutate, key_shifts: dict) -> None:
         dst = os.path.join(STRESS_DIR, f"{name}.parquet")
         if os.path.exists(dst):
             # r7 migration: orders/customer used to be PLAIN COPIES
             # (pre-replication rounds staged them 1x); rebuild any
             # replicated table whose staged row count is not 10x base.
-            # `stale` (r10): extra per-table probe for staged files
-            # whose row count is right but whose content predates a
-            # mutation change (the DOC_SHIFT migration).
+            # key_stale (r10 docs-only, r12 all tables): extra probe
+            # for staged files whose row count is right but whose
+            # content predates a shift-constant change.
             base_rows = pq.ParquetFile(
                 os.path.join(BASE_DIR, f"{name}.parquet")
             ).metadata.num_rows
             if pq.ParquetFile(dst).metadata.num_rows == REPLICAS * base_rows \
-                    and not (stale and stale(dst)):
+                    and not key_stale(name, dst, key_shifts):
                 return
             os.remove(dst)
         src = pq.read_table(os.path.join(BASE_DIR, f"{name}.parquet"))
@@ -370,39 +398,23 @@ def build_stress_dir() -> None:
         df["doc_id"] = df["doc_id"] + r * DOC_SHIFT
         df["text"] = _rot_text(df["text"], r)
 
-    def docs_stale(dst: str) -> bool:
-        # EXACT staleness probe (r11 ADVICE): a staged file built with
-        # ANY other shift — the pre-r10 10M one OR a future DOC_SHIFT
-        # change that stays under the clamp — has the wrong max doc_id,
-        # so comparing against the value the CURRENT constants imply
-        # catches the whole silent-constant-corpus class, not just the
-        # one historical breakage a >=1M threshold detected.
-        import pyarrow.compute as pc
-
-        col = pq.read_table(dst, columns=["doc_id"])["doc_id"]
-        base = pq.read_table(
-            os.path.join(BASE_DIR, "documents.parquet"), columns=["doc_id"]
-        )["doc_id"]
-        expected_max = pc.max(base).as_py() + (REPLICAS - 1) * DOC_SHIFT
-        return pc.max(col).as_py() != expected_max
-
     def mut_emb(df, r):
         df["vec_id"] = df["vec_id"] + r * SHIFT
 
     def mut_events(df, r):
         df["event_id"] = df["event_id"] + r * SHIFT
-        df["user_id"] = df["user_id"] + r * 100_000
+        df["user_id"] = df["user_id"] + r * EVENT_USER_SHIFT
 
     # lcm(2,3,10,16)=240 | 12M: MERGE clause classes and checksum
     # buckets recur per replica; 143 | 1.43M: late(%11)/never(%13)
     # dimension classes recur, and orders.o_custkey shifts in
     # lockstep with customer.c_custkey so the FK stays closed.
     def mut_orders(df, r):
-        df["o_orderkey"] = df["o_orderkey"] + r * 12_000_000
-        df["o_custkey"] = df["o_custkey"] + r * 1_430_000
+        df["o_orderkey"] = df["o_orderkey"] + r * ORDERKEY_SHIFT
+        df["o_custkey"] = df["o_custkey"] + r * CUSTKEY_SHIFT
 
     def mut_customer(df, r):
-        df["c_custkey"] = df["c_custkey"] + r * 1_430_000
+        df["c_custkey"] = df["c_custkey"] + r * CUSTKEY_SHIFT
 
     # l_orderkey shifts in lockstep with o_orderkey so the fact->order
     # FK closes per replica; part/supplier keys stay unshifted against
@@ -410,14 +422,16 @@ def build_stress_dir() -> None:
     # plain copy through r8 — replicate()'s row-count check rebuilds
     # a stale staged file automatically.)
     def mut_lineitem(df, r):
-        df["l_orderkey"] = df["l_orderkey"] + r * 12_000_000
+        df["l_orderkey"] = df["l_orderkey"] + r * ORDERKEY_SHIFT
 
-    replicate("documents", mut_docs, stale=docs_stale)
-    replicate("embeddings", mut_emb)
-    replicate("events", mut_events)
-    replicate("orders", mut_orders)
-    replicate("customer", mut_customer)
-    replicate("lineitem", mut_lineitem)
+    replicate("documents", mut_docs, {"doc_id": DOC_SHIFT})
+    replicate("embeddings", mut_emb, {"vec_id": SHIFT})
+    replicate("events", mut_events,
+              {"event_id": SHIFT, "user_id": EVENT_USER_SHIFT})
+    replicate("orders", mut_orders,
+              {"o_orderkey": ORDERKEY_SHIFT, "o_custkey": CUSTKEY_SHIFT})
+    replicate("customer", mut_customer, {"c_custkey": CUSTKEY_SHIFT})
+    replicate("lineitem", mut_lineitem, {"l_orderkey": ORDERKEY_SHIFT})
 
 
 def measure_child(name: str, sf_dir: str) -> None:
