@@ -53,9 +53,22 @@ def latest_bench_headliners() -> tuple[int, list[str]]:
     return rnd, names
 
 
-def one_sample(name: str) -> tuple[float | None, float]:
+def one_sample(name: str, idle_below: float = 0.0) -> tuple[float | None, float]:
     """One fresh-JVM measurement (warm on sf0.001, time sf0.1);
-    returns (sec|None, loadavg_1min_before)."""
+    returns (sec|None, loadavg_1min_before).
+
+    ``idle_below`` > 0 sleeps (up to 4 min) until the 1-min loadavg
+    decays under the threshold before launching the child. Without it,
+    back-to-back serial children leave the PREVIOUS child's load in
+    the 1-min average (no actual contention — the child exited — but
+    the recorded "before" value stops proving idleness, the exact
+    property this artifact exists to carry)."""
+    if idle_below > 0:
+        waited = 0.0
+        while os.getloadavg()[0] >= idle_below and waited < 240:
+            import time
+            time.sleep(10)
+            waited += 10
     load1 = os.getloadavg()[0]
     proc = subprocess.run(
         [sys.executable, CHILD, "--child", name, SF_DIR],
@@ -73,6 +86,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--samples", type=int, default=4)
+    ap.add_argument("--idle-below", type=float, default=0.0,
+                    help="wait (≤4 min) for 1-min loadavg under this "
+                         "value before each sample")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -91,6 +107,7 @@ def main() -> int:
             ),
             "headliner_source": f"BENCH_r{bench_round:02d}.json top-10",
             "samples_per_query": args.samples,
+            "idle_below": args.idle_below,
             "purpose": (
                 "load-controlled cross-round perf column (VERDICT r11 "
                 "#3): compare these minima across rounds, not the "
@@ -102,7 +119,7 @@ def main() -> int:
         samples: list[float] = []
         loads: list[float] = []
         for _ in range(args.samples):
-            sec, load1 = one_sample(name)
+            sec, load1 = one_sample(name, idle_below=args.idle_below)
             if sec is not None:
                 samples.append(sec)
             loads.append(load1)
