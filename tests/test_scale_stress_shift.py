@@ -68,10 +68,15 @@ def test_staged_stress_corpus_matches_current_shifts():
         "customer": {"c_custkey": CUSTKEY_SHIFT},
         "lineitem": {"l_orderkey": ORDERKEY_SHIFT},
     }
+    # Check every PRESENT staged table (r12 review find: a mid-loop
+    # skip on one missing table would discard the checks of tables
+    # later in the dict — a partially staged dir must still have its
+    # present files validated, since build_stress_dir only rebuilds
+    # what its own probe flags).
     for table, shifts in per_table.items():
         staged = os.path.join(STRESS_DIR, f"{table}.parquet")
         if not os.path.exists(staged):
-            pytest.skip(f"{table} not staged")
+            continue
         for col, shift in shifts.items():
             base_max, = duckdb.sql(
                 f"SELECT max({col}) FROM "
@@ -276,11 +281,32 @@ def test_replicated_key_range_clamps_census():
     # `<=`/`>` clamp evade the census). The trailing (?![A-Z_0-9.])
     # cannot be defeated by backtracking (r12 ADVICE — the old
     # `*(?!\.)` truncated dotted names like `LIMIT.value` to "LIMI"):
-    # a constant name must end before any dot or further name char, so
-    # column refs like `< F.col("b.doc_id")` are rejected whole.
+    # a constant name must end before any dot or further name char.
     clamp_re = re.compile(
         rf"({cols})\"?\)?\s*(?:<=?|>=?)\s*"
         rf"\{{?([A-Z_][A-Z_0-9]*(?![A-Z_0-9.])|\d[\d_]*)\}}?"
+    )
+    # Any DOTTED bound is censused separately (r12 review find: the
+    # lookahead above makes `doc_id < LIMITS.MAX` invisible, where the
+    # pre-fix regex at least fired via a truncated spurious entry).
+    # This catches namespaced constants AND column refs; each audited
+    # entry below is a bound that SCALES WITH THE CORPUS (so replicas
+    # are never excluded — the class this census exists to catch is a
+    # CONSTANT bound):
+    #   b.doc_id / b.vec_id — pair-ordering predicates in self-join
+    #     dedup (a.key < b.key keeps one ordering of each pair);
+    #   med.m / F.col — the SQL and Column forms of data-derived
+    #     bounds (embedding_drift_epochs splits at the median vec_id)
+    #     and of the same pair-ordering (F.col("a.doc_id") <
+    #     F.col("b.doc_id")).
+    dotted_allowed = {
+        ("doc_id", "b.doc_id"), ("vec_id", "b.vec_id"),
+        ("vec_id", "med.m"),
+        ("doc_id", "F.col"), ("vec_id", "F.col"),
+    }
+    dotted_re = re.compile(
+        rf"({cols})\"?\)?\s*(?:<=?|>=?)\s*"
+        rf"([A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_0-9]+)+)"
     )
     # BETWEEN is a range clamp too (r12 ADVICE): census both the
     # Column form `.between(` and SQL `BETWEEN` on the same columns.
@@ -290,12 +316,23 @@ def test_replicated_key_range_clamps_census():
     pkg = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                        "automatic_etl_spark")
     found = set()
+    dotted = set()
     betweens = set()
     for f in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
         src = open(f).read()
         found |= {(c, b) for c, b in clamp_re.findall(src)}
+        dotted |= {(c, b) for c, b in dotted_re.findall(src)}
         betweens |= {(os.path.basename(f), c)
                      for c in between_re.findall(src)}
+    unexpected_dotted = dotted - dotted_allowed
+    assert not unexpected_dotted, (
+        f"unaudited dotted-expression clamp(s) on replicated key "
+        f"columns: {unexpected_dotted} — classify (corpus-scaling "
+        "bound vs constant) and extend dotted_allowed with the reason"
+    )
+    assert dotted == dotted_allowed, (
+        f"dotted-bound census went blind: only saw {dotted}"
+    )
     assert not betweens, (
         f"unaudited BETWEEN clamp(s) on replicated key columns: "
         f"{betweens} — audit against every replica shift and extend "

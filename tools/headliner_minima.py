@@ -45,9 +45,15 @@ def latest_bench_headliners() -> tuple[int, list[str]]:
         glob.glob(os.path.join(REPO, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
+    if not paths:
+        sys.exit("no BENCH_r*.json in the repo — pass query names "
+                 "explicitly")
     src = paths[-1]
     rec = json.load(open(src))
     queries = rec.get("parsed", {}).get("queries") or rec.get("queries")
+    if not isinstance(queries, dict) or not queries:
+        sys.exit(f"{src} has no parsed.queries/queries map (failed "
+                 "driver run?) — pass query names explicitly")
     names = sorted(queries, key=lambda n: -queries[n])[:10]
     rnd = int(re.search(r"r(\d+)", os.path.basename(src)).group(1))
     return rnd, names
@@ -63,6 +69,8 @@ def one_sample(name: str, idle_below: float = 0.0) -> tuple[float | None, float]
     the 1-min average (no actual contention — the child exited — but
     the recorded "before" value stops proving idleness, the exact
     property this artifact exists to carry)."""
+    from tools.scale_stress import run_child
+
     if idle_below > 0:
         waited = 0.0
         while os.getloadavg()[0] >= idle_below and waited < 240:
@@ -70,16 +78,10 @@ def one_sample(name: str, idle_below: float = 0.0) -> tuple[float | None, float]
             time.sleep(10)
             waited += 10
     load1 = os.getloadavg()[0]
-    proc = subprocess.run(
-        [sys.executable, CHILD, "--child", name, SF_DIR],
-        capture_output=True, text=True, timeout=1800,
-    )
-    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-    try:
-        return json.loads(line)["sec"], round(load1, 2)
-    except (json.JSONDecodeError, KeyError):
-        sys.stderr.write(f"{name}: child failed: {(proc.stderr or '')[-300:]}\n")
-        return None, round(load1, 2)
+    sec, err = run_child(name, SF_DIR, timeout=1800)
+    if err is not None:
+        sys.stderr.write(f"{name}: child failed: {err}\n")
+    return sec, round(load1, 2)
 
 
 def main() -> int:
@@ -92,9 +94,12 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
-    bench_round, names = latest_bench_headliners()
     if args.names:
         names = args.names
+        source = f"explicit CLI names ({len(names)})"
+    else:
+        bench_round, names = latest_bench_headliners()
+        source = f"BENCH_r{bench_round:02d}.json top-10"
 
     out: dict = {
         "_meta": {
@@ -105,7 +110,7 @@ def main() -> int:
                 "tools/scale_stress.py --child (warmed on sf0.001, "
                 "timed on sf0.1), min over samples reported"
             ),
-            "headliner_source": f"BENCH_r{bench_round:02d}.json top-10",
+            "headliner_source": source,
             "samples_per_query": args.samples,
             "idle_below": args.idle_below,
             "purpose": (
@@ -115,6 +120,9 @@ def main() -> int:
             ),
         },
     }
+    dst = os.path.join(
+        REPO, "bench_baselines", f"headliner_minima_r{args.round:02d}.json"
+    )
     for name in names:
         samples: list[float] = []
         loads: list[float] = []
@@ -130,12 +138,12 @@ def main() -> int:
         }
         out[name] = row
         print(f"{name}: {row}", file=sys.stderr)
+        # flush after every query: a wedged/killed child (run_child
+        # returns None on timeout, but the process itself can die too)
+        # must not discard the completed rows of a ~1 h collection
+        with open(dst, "w") as f:
+            json.dump(out, f, indent=1)
 
-    dst = os.path.join(
-        REPO, "bench_baselines", f"headliner_minima_r{args.round:02d}.json"
-    )
-    with open(dst, "w") as f:
-        json.dump(out, f, indent=1)
     print(dst)
     return 0
 

@@ -349,6 +349,23 @@ def build_stress_dir() -> None:
         if not os.path.exists(dst):
             shutil.copy(os.path.join(BASE_DIR, f"{name}.parquet"), dst)
 
+    def col_max(path: str, col: str):
+        # Footer row-group statistics give the max without scanning
+        # data (the staged lineitem key column alone is ~6M values);
+        # fall back to a real scan only if a writer omitted stats.
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
+        idx = next(i for i in range(md.num_columns)
+                   if md.schema.column(i).name == col)
+        maxes = []
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                import pyarrow.compute as pc
+                return pc.max(pq.read_table(path, columns=[col])[col]).as_py()
+            maxes.append(stats.max)
+        return max(maxes)
+
     def key_stale(name: str, dst: str, key_shifts: dict) -> bool:
         # EXACT staleness probe, generalized from the r11 docs_stale
         # (r12 ADVICE): a staged file built with ANY other shift — a
@@ -357,15 +374,10 @@ def build_stress_dir() -> None:
         # column, so comparing against the value the CURRENT constants
         # imply catches the silent-constant-corpus class on EVERY
         # replicated key column, not just doc_id.
-        import pyarrow.compute as pc
-
         base_path = os.path.join(BASE_DIR, f"{name}.parquet")
         for col, shift in key_shifts.items():
-            staged_max = pc.max(pq.read_table(dst, columns=[col])[col]).as_py()
-            base_max = pc.max(
-                pq.read_table(base_path, columns=[col])[col]
-            ).as_py()
-            if staged_max != base_max + (REPLICAS - 1) * shift:
+            if col_max(dst, col) != \
+                    col_max(base_path, col) + (REPLICAS - 1) * shift:
                 return True
         return False
 
@@ -434,6 +446,26 @@ def build_stress_dir() -> None:
     replicate("lineitem", mut_lineitem, {"l_orderkey": ORDERKEY_SHIFT})
 
 
+def run_child(name: str, sf_dir: str, timeout: int = 3600):
+    """Spawn one fresh-JVM measurement child (the ``--child`` protocol
+    below) and parse its result; returns ``(sec | None, err | None)``.
+    Shared by this harness and tools/headliner_minima.py so the child
+    invocation/output contract has exactly one implementation."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             name, sf_dir],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"child timed out after {timeout}s"
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+    try:
+        return json.loads(line)["sec"], None
+    except (json.JSONDecodeError, KeyError):
+        return None, (proc.stderr or "")[-300:]
+
+
 def measure_child(name: str, sf_dir: str) -> None:
     from automatic_etl_spark.plans.all_plans import REGISTRY
     from automatic_etl_spark.session import get_spark
@@ -465,17 +497,10 @@ def main() -> None:
     for name in names:
         row = {}
         for label, sf_dir in (("sf0.1", BASE_DIR), ("10x", STRESS_DIR)):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child",
-                 name, sf_dir],
-                capture_output=True, text=True, timeout=3600,
-            )
-            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-            try:
-                row[label] = json.loads(line)["sec"]
-            except (json.JSONDecodeError, KeyError):
-                row[label] = None
-                row[f"{label}_err"] = (proc.stderr or "")[-200:]
+            sec, err = run_child(name, sf_dir)
+            row[label] = sec
+            if err is not None:
+                row[f"{label}_err"] = err
         if row.get("sf0.1") and row.get("10x"):
             row["factor"] = round(row["10x"] / row["sf0.1"], 2)
         report[name] = row
