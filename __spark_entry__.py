@@ -47,7 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # xml_source_agg) + the 50-query r8-latest cohort pre-stage the r13
 # window (53 names — 50 land in r13, the last 3 alphabetical r8 names,
 # top_tables_by_size + unpivot_measures + value_percentiles, spill to
-# r14). Names are asserted against REGISTRY below — a typo fails loudly.
+# r14). Names are asserted against REGISTRY below — a typo fails
+# loudly; `python tools/rotation_derive.py` re-derives the whole list
+# from the ledger and diffs it against this file (r12).
 _CHECK_PRIORITY = [
     # (a) r6 spills (3) + r7-latest cohort (first 47 of 50)
     "union_all_labels", "window_frame_functions", "zipf_slope_by_lang",
