@@ -295,18 +295,25 @@ def test_replicated_key_range_clamps_census():
     # CONSTANT bound):
     #   b.doc_id / b.vec_id — pair-ordering predicates in self-join
     #     dedup (a.key < b.key keeps one ordering of each pair);
-    #   med.m / F.col — the SQL and Column forms of data-derived
-    #     bounds (embedding_drift_epochs splits at the median vec_id)
-    #     and of the same pair-ordering (F.col("a.doc_id") <
-    #     F.col("b.doc_id")).
+    #   med.m / F.col(...) — the SQL and Column forms of data-derived
+    #     bounds (embedding_drift_epochs splits at the median vec_id,
+    #     Column form `F.col("m")`) and of the same pair-ordering
+    #     (F.col("a.doc_id") < F.col("b.doc_id")). The F.col ARGUMENT
+    #     is captured (r12 ADVICE — a bare `F.col` allowlist entry
+    #     would wave through ANY future F.col bound on these columns,
+    #     e.g. a constant-valued `F.col("config_limit")`); an F.col
+    #     call whose argument isn't a plain string literal captures
+    #     as bare `F.col`, which is NOT allowlisted → census fails →
+    #     human audit. Fail-closed by construction.
     dotted_allowed = {
         ("doc_id", "b.doc_id"), ("vec_id", "b.vec_id"),
         ("vec_id", "med.m"),
-        ("doc_id", "F.col"), ("vec_id", "F.col"),
+        ("doc_id", 'F.col("b.doc_id")'), ("vec_id", 'F.col("m")'),
     }
     dotted_re = re.compile(
         rf"({cols})\"?\)?\s*(?:<=?|>=?)\s*"
-        rf"([A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_0-9]+)+)"
+        rf"([A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_0-9]+)+"
+        rf"(?:\(\"[^\"]*\"\)|\('[^']*'\))?)"
     )
     # BETWEEN is a range clamp too (r12 ADVICE): census both the
     # Column form `.between(` and SQL `BETWEEN` on the same columns.

@@ -59,29 +59,43 @@ def latest_bench_headliners() -> tuple[int, list[str]]:
     return rnd, names
 
 
-def one_sample(name: str, idle_below: float = 0.0) -> tuple[float | None, float]:
+def one_sample(
+    name: str, idle_below: float = 0.0
+) -> tuple[float | None, float, bool]:
     """One fresh-JVM measurement (warm on sf0.001, time sf0.1);
-    returns (sec|None, loadavg_1min_before).
+    returns (sec|None, loadavg_1min_before, gate_timed_out).
 
     ``idle_below`` > 0 sleeps (up to 4 min) until the 1-min loadavg
     decays under the threshold before launching the child. Without it,
     back-to-back serial children leave the PREVIOUS child's load in
     the 1-min average (no actual contention — the child exited — but
     the recorded "before" value stops proving idleness, the exact
-    property this artifact exists to carry)."""
+    property this artifact exists to carry).
+
+    If the 240 s wait expires still above threshold, the sample runs
+    anyway (load bias only inflates minima, never fakes a fast run)
+    but ``gate_timed_out`` comes back True so the artifact records the
+    violated-gate sample explicitly instead of silently (r12 ADVICE)."""
     from tools.scale_stress import run_child
 
+    gate_timed_out = False
     if idle_below > 0:
         waited = 0.0
         while os.getloadavg()[0] >= idle_below and waited < 240:
             import time
             time.sleep(10)
             waited += 10
+        if os.getloadavg()[0] >= idle_below:
+            gate_timed_out = True
+            sys.stderr.write(
+                f"{name}: idle gate TIMED OUT after {waited:.0f}s "
+                f"(loadavg1={os.getloadavg()[0]:.2f} >= {idle_below}); "
+                "sampling anyway — flagged in artifact\n")
     load1 = os.getloadavg()[0]
     sec, err = run_child(name, SF_DIR, timeout=1800)
     if err is not None:
         sys.stderr.write(f"{name}: child failed: {err}\n")
-    return sec, round(load1, 2)
+    return sec, round(load1, 2), gate_timed_out
 
 
 def main() -> int:
@@ -126,16 +140,23 @@ def main() -> int:
     for name in names:
         samples: list[float] = []
         loads: list[float] = []
+        gate_timeouts: list[bool] = []
         for _ in range(args.samples):
-            sec, load1 = one_sample(name, idle_below=args.idle_below)
+            sec, load1, timed_out = one_sample(
+                name, idle_below=args.idle_below)
             if sec is not None:
                 samples.append(sec)
             loads.append(load1)
+            gate_timeouts.append(timed_out)
         row = {
             "min": min(samples) if samples else None,
             "samples": samples,
             "loadavg1_before_each": loads,
         }
+        # only materialize the flag when a gate actually expired, so
+        # the common all-idle artifact stays visibly clean (r12 ADVICE)
+        if any(gate_timeouts):
+            row["gate_timed_out_per_sample"] = gate_timeouts
         out[name] = row
         print(f"{name}: {row}", file=sys.stderr)
         # flush after every query: a wedged/killed child (run_child

@@ -40,9 +40,17 @@ WINDOW = 50          # driver hard-check width (observed r1..r12)
 PRESTAGE_SPILL = 3   # cohorts are 50 wide, so 53 names pre-stage
 
 
-def latest_green() -> dict[str, int]:
+def ledger_paths() -> list[str]:
+    """Committed CORRECTNESS files, oldest round first."""
+    return sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+
+
+def latest_green(paths=None) -> dict[str, int]:
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for path in (ledger_paths() if paths is None else paths):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         for name, rec in json.load(open(path)).items():
             if (rec.get("err") is None and rec.get("rows_match")
@@ -51,11 +59,26 @@ def latest_green() -> dict[str, int]:
     return latest
 
 
-def derive() -> tuple[list[str], dict[int, list[str]]]:
-    latest = latest_green()
+def derive(registry_names=None, paths=None) -> tuple[list[str], dict[int, list[str]]]:
+    """Derived check order, oldest green signal first.
+
+    A registry query with NO green row in any ledger file has never
+    produced a driver signal at all — by the staleness policy that is
+    the OLDEST possible state, so such names sort to the very front
+    (cohort 0) instead of silently dropping out of the rotation
+    (r12 ADVICE). Callers that know the registry pass its names;
+    without them the ledger is assumed closed.
+    """
+    latest = latest_green(paths)
     cohorts: dict[int, list[str]] = defaultdict(list)
     for name, rnd in latest.items():
         cohorts[rnd].append(name)
+    if registry_names is not None:
+        never_green = sorted(set(registry_names) - set(latest))
+        if never_green:
+            print(f"WARNING: {len(never_green)} registry queries have "
+                  f"no green ledger row (fronted): {never_green}")
+            cohorts[0] = never_green
     order: list[str] = []
     for rnd in sorted(cohorts):
         order.extend(sorted(cohorts[rnd]))
@@ -63,7 +86,9 @@ def derive() -> tuple[list[str], dict[int, list[str]]]:
 
 
 def main() -> int:
-    order, cohorts = derive()
+    from automatic_etl_spark.plans.all_plans import REGISTRY
+
+    order, cohorts = derive(list(REGISTRY))
     if "--print" in sys.argv:
         for rnd in sorted(cohorts):
             print(f"r{rnd}-latest: {len(cohorts[rnd])}")
@@ -74,8 +99,6 @@ def main() -> int:
         return 0
 
     import __spark_entry__ as e
-
-    from automatic_etl_spark.plans.all_plans import REGISTRY
 
     missing = [n for n in order if n not in REGISTRY]
     if missing:
@@ -89,16 +112,23 @@ def main() -> int:
               f"({len(actual)} names; ledger covers {ledger}/"
               f"{len(REGISTRY)} registry queries)")
         return 0
+    # zip_longest so length divergence prints the extra/missing tail
+    # names explicitly instead of truncating at the shorter list
+    # (r12 ADVICE).
+    from itertools import zip_longest
+    _ABSENT = "<absent>"
     if actual[:WINDOW] != expected[:WINDOW]:
         print("WINDOW DRIFT (slots 1-50):")
-        for i, (a, x) in enumerate(zip(actual[:WINDOW], expected[:WINDOW])):
+        for i, (a, x) in enumerate(zip_longest(
+                actual[:WINDOW], expected[:WINDOW], fillvalue=_ABSENT)):
             if a != x:
                 print(f"  slot {i + 1}: file={a!r} expected={x!r}")
     if actual[WINDOW:] != expected[WINDOW:]:
         print("PRE-STAGE DRIFT (slots 51+): file has "
               f"{len(actual) - WINDOW}, derivation expects "
               f"{len(expected) - WINDOW}")
-        for i, (a, x) in enumerate(zip(actual[WINDOW:], expected[WINDOW:])):
+        for i, (a, x) in enumerate(zip_longest(
+                actual[WINDOW:], expected[WINDOW:], fillvalue=_ABSENT)):
             if a != x:
                 print(f"  slot {WINDOW + i + 1}: file={a!r} expected={x!r}")
     print("\nNOTE: drift at round START (before the rotation lands) is "
