@@ -484,6 +484,19 @@ def main() -> None:
         measure_child(sys.argv[2], sys.argv[3])
         return
 
+    # An unrecognized flag must not silently fall through to the
+    # build-and-measure path: `--help` once cost a stray staging JVM
+    # (r13). Known flags only; anything else dash-prefixed is an error.
+    unknown = [a for a in sys.argv[1:]
+               if a.startswith("-") and a not in ("--build",)]
+    if unknown:
+        sys.exit(f"unknown flag(s) {unknown}; usage:\n"
+                 "  python tools/scale_stress.py [names...]  "
+                 "# build + measure + report\n"
+                 "  python tools/scale_stress.py --build     "
+                 "# stage the stress corpus only\n"
+                 "  python tools/scale_stress.py --child <name> <sf_dir>")
+
     build_stress_dir()
     if "--build" in sys.argv:
         print(f"staged {STRESS_DIR}")
