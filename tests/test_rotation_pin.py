@@ -86,18 +86,35 @@ def test_never_green_names_are_fronted():
     assert cohorts[0] == ["__phantom_query__"]
 
 
-def test_drift_reporting_covers_length_divergence(capsys):
-    """r12 ADVICE: zip_longest — extra/missing tail slots print names."""
-    from itertools import zip_longest
+def test_drift_reporting_covers_length_divergence():
+    """r12 ADVICE, made real per r13 ADVICE: drive rotation_derive's
+    ACTUAL reporting path (`drift_report`) on length-divergent windows
+    and assert the extra/missing tail names surface as ``<absent>``
+    pairs. A regression to plain zip() — which silently truncates at
+    the shorter list — fails here."""
+    from rotation_derive import drift_report
 
-    actual, expected = ["a", "b"], ["a"]
-    rows = [
-        (i, a, x)
-        for i, (a, x) in enumerate(
-            zip_longest(actual, expected, fillvalue="<absent>"))
-        if a != x
-    ]
-    assert rows == [(1, "b", "<absent>")]
+    base = [f"q{i:03d}" for i in range(WINDOW)]
+
+    # file has an extra pre-stage tail name the derivation lacks
+    text = "\n".join(drift_report(base + ["extra_file_tail"], base))
+    assert "PRE-STAGE DRIFT" in text
+    assert f"slot {WINDOW + 1}: file='extra_file_tail' " \
+           "expected='<absent>'" in text
+
+    # derivation expects a tail name the file lacks
+    text = "\n".join(drift_report(base, base + ["missing_expected_tail"]))
+    assert f"slot {WINDOW + 1}: file='<absent>' " \
+           "expected='missing_expected_tail'" in text
+
+    # window-side length divergence prints too (file shorter than 50)
+    text = "\n".join(drift_report(base[:-1], base))
+    assert "WINDOW DRIFT" in text
+    assert f"slot {WINDOW}: file='<absent>' " \
+           f"expected={base[-1]!r}" in text
+
+    # and identical lists report nothing
+    assert drift_report(list(base), list(base)) == []
 
 
 if __name__ == "__main__":

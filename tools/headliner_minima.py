@@ -17,9 +17,14 @@ r10/r11 pagerank and python_stream isolations, tools/scale_stress.py
 Usage:
     python tools/headliner_minima.py --round 12 [--samples 4] [names...]
 
-Default headliner set: the top-10 of the newest BENCH_r*.json's
-``parsed.queries`` (the driver records exactly its 10 slowest).
-Writes bench_baselines/headliner_minima_r{N}.json.
+Default headliner set (retention policy, r13 verdict): the UNION of
+the top-10s of the last 3 BENCH_r*.json files' ``parsed.queries``
+(the driver records exactly its 10 slowest per round). A query stays
+in the column while it appears in ANY of those three top-10s and is
+archived once it rotates out of all of them — its history stays in
+the older headliner_minima_r*.json files — so the column stops
+growing monotonically under the old newest-top-10 ∪ previous-names
+union rule. Writes bench_baselines/headliner_minima_r{N}.json.
 """
 
 from __future__ import annotations
@@ -40,7 +45,22 @@ SF_DIR = "/root/testdata/sf0.1"
 CHILD = os.path.join(REPO, "tools", "scale_stress.py")
 
 
-def latest_bench_headliners() -> tuple[int, list[str]]:
+RETENTION_ROUNDS = 3  # keep a query while in any of the last N top-10s
+
+
+def _bench_top10(path: str) -> list[str]:
+    rec = json.load(open(path))
+    queries = rec.get("parsed", {}).get("queries") or rec.get("queries")
+    if not isinstance(queries, dict) or not queries:
+        sys.exit(f"{path} has no parsed.queries/queries map (failed "
+                 "driver run?) — pass query names explicitly")
+    return sorted(queries, key=lambda n: -queries[n])[:10]
+
+
+def retention_headliners() -> tuple[list[int], list[str]]:
+    """Minima set under the retention policy (r13 verdict): union of
+    the top-10s of the last RETENTION_ROUNDS BENCH files. Returns
+    (bench rounds used, sorted names)."""
     paths = sorted(
         glob.glob(os.path.join(REPO, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
@@ -48,22 +68,20 @@ def latest_bench_headliners() -> tuple[int, list[str]]:
     if not paths:
         sys.exit("no BENCH_r*.json in the repo — pass query names "
                  "explicitly")
-    src = paths[-1]
-    rec = json.load(open(src))
-    queries = rec.get("parsed", {}).get("queries") or rec.get("queries")
-    if not isinstance(queries, dict) or not queries:
-        sys.exit(f"{src} has no parsed.queries/queries map (failed "
-                 "driver run?) — pass query names explicitly")
-    names = sorted(queries, key=lambda n: -queries[n])[:10]
-    rnd = int(re.search(r"r(\d+)", os.path.basename(src)).group(1))
-    return rnd, names
+    used = paths[-RETENTION_ROUNDS:]
+    names: set[str] = set()
+    for p in used:
+        names.update(_bench_top10(p))
+    rounds = [int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+              for p in used]
+    return rounds, sorted(names)
 
 
 def one_sample(
     name: str, idle_below: float = 0.0
-) -> tuple[float | None, float, bool]:
+) -> tuple[float | None, float, str | None]:
     """One fresh-JVM measurement (warm on sf0.001, time sf0.1);
-    returns (sec|None, loadavg_1min_before, gate_timed_out).
+    returns (sec|None, loadavg_1min_before, gate_violation|None).
 
     ``idle_below`` > 0 sleeps (up to 4 min) until the 1-min loadavg
     decays under the threshold before launching the child. Without it,
@@ -72,13 +90,17 @@ def one_sample(
     the recorded "before" value stops proving idleness, the exact
     property this artifact exists to carry).
 
-    If the 240 s wait expires still above threshold, the sample runs
-    anyway (load bias only inflates minima, never fakes a fast run)
-    but ``gate_timed_out`` comes back True so the artifact records the
-    violated-gate sample explicitly instead of silently (r12 ADVICE)."""
+    If the sample still launches above threshold, it runs anyway (load
+    bias only inflates minima, never fakes a fast run) but the third
+    return value names the cause so the artifact records the
+    violated-gate sample explicitly instead of silently (r12 ADVICE):
+    ``"timed_out"`` when the 240 s budget was exhausted still above
+    threshold, ``"launched_above_threshold"`` when the wait loop exited
+    early (load dipped under) but load bounced back above before launch
+    (r13 ADVICE — previously mislabeled as a timeout)."""
     from tools.scale_stress import run_child
 
-    gate_timed_out = False
+    gate_violation = None
     if idle_below > 0:
         waited = 0.0
         while os.getloadavg()[0] >= idle_below and waited < 240:
@@ -86,16 +108,22 @@ def one_sample(
             time.sleep(10)
             waited += 10
         if os.getloadavg()[0] >= idle_below:
-            gate_timed_out = True
+            gate_violation = (
+                "timed_out" if waited >= 240 else "launched_above_threshold")
+            cause = (
+                f"idle gate TIMED OUT after {waited:.0f}s"
+                if gate_violation == "timed_out"
+                else f"idle gate decayed then bounced back above "
+                     f"threshold before launch (waited {waited:.0f}s)")
             sys.stderr.write(
-                f"{name}: idle gate TIMED OUT after {waited:.0f}s "
+                f"{name}: {cause} "
                 f"(loadavg1={os.getloadavg()[0]:.2f} >= {idle_below}); "
                 "sampling anyway — flagged in artifact\n")
     load1 = os.getloadavg()[0]
     sec, err = run_child(name, SF_DIR, timeout=1800)
     if err is not None:
         sys.stderr.write(f"{name}: child failed: {err}\n")
-    return sec, round(load1, 2), gate_timed_out
+    return sec, round(load1, 2), gate_violation
 
 
 def main() -> int:
@@ -112,8 +140,9 @@ def main() -> int:
         names = args.names
         source = f"explicit CLI names ({len(names)})"
     else:
-        bench_round, names = latest_bench_headliners()
-        source = f"BENCH_r{bench_round:02d}.json top-10"
+        bench_rounds, names = retention_headliners()
+        source = (f"retention policy: union of BENCH top-10s of rounds "
+                  f"{bench_rounds} ({len(names)} names)")
 
     out: dict = {
         "_meta": {
@@ -125,6 +154,15 @@ def main() -> int:
                 "timed on sf0.1), min over samples reported"
             ),
             "headliner_source": source,
+            "retention_policy": (
+                f"r13-verdict retention: a query stays in this column "
+                f"while it appears in ANY of the last {RETENTION_ROUNDS} "
+                "rounds' BENCH top-10s and is archived once it rotates "
+                "out of all of them (history remains in older "
+                "headliner_minima_r*.json files) — bounds the column "
+                "that the old newest-top-10 ∪ previous-names union rule "
+                "grew monotonically"
+            ),
             "samples_per_query": args.samples,
             "idle_below": args.idle_below,
             "purpose": (
@@ -140,23 +178,25 @@ def main() -> int:
     for name in names:
         samples: list[float] = []
         loads: list[float] = []
-        gate_timeouts: list[bool] = []
+        gate_violations: list[str | None] = []
         for _ in range(args.samples):
-            sec, load1, timed_out = one_sample(
+            sec, load1, violation = one_sample(
                 name, idle_below=args.idle_below)
             if sec is not None:
                 samples.append(sec)
             loads.append(load1)
-            gate_timeouts.append(timed_out)
+            gate_violations.append(violation)
         row = {
             "min": min(samples) if samples else None,
             "samples": samples,
             "loadavg1_before_each": loads,
         }
-        # only materialize the flag when a gate actually expired, so
-        # the common all-idle artifact stays visibly clean (r12 ADVICE)
-        if any(gate_timeouts):
-            row["gate_timed_out_per_sample"] = gate_timeouts
+        # only materialize the flag when a gate was actually violated,
+        # so the common all-idle artifact stays visibly clean (r12
+        # ADVICE); values name the cause — "timed_out" vs
+        # "launched_above_threshold" (r13 ADVICE)
+        if any(gate_violations):
+            row["gate_violation_per_sample"] = gate_violations
         out[name] = row
         print(f"{name}: {row}", file=sys.stderr)
         # flush after every query: a wedged/killed child (run_child

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Derive the expected `_CHECK_PRIORITY` rotation from the committed
+"""Derive the expected `_CHECK_PRIORITY` rotation from the on-disk
 CORRECTNESS_r*.json ledger and diff it against `__spark_entry__.py`.
 
 The rotation policy (steady state since r8, judge-verified every
@@ -41,7 +41,18 @@ PRESTAGE_SPILL = 3   # cohorts are 50 wide, so 53 names pre-stage
 
 
 def ledger_paths() -> list[str]:
-    """Committed CORRECTNESS files, oldest round first."""
+    """CORRECTNESS files present on disk, oldest round first.
+
+    Presence-on-disk (not git tracking) is deliberately the contract
+    (r13 ADVICE asked for this to be stated): at round start the
+    driver's freshly written CORRECTNESS_r{N}.json is often still
+    untracked, and it MUST enter the derivation — landing the window
+    it implies IS the round's rotation task. Filtering through
+    `git ls-files` would silently derive the stale window in exactly
+    that state. Consequence: a scratch CORRECTNESS_r*.json parked in
+    the repo root also enters; don't put scratch ledgers there
+    (tests/test_rotation_pin.py fails loudly on most stray shapes).
+    """
     return sorted(
         glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
@@ -85,6 +96,35 @@ def derive(registry_names=None, paths=None) -> tuple[list[str], dict[int, list[s
     return order, cohorts
 
 
+def drift_report(actual: list[str], expected: list[str]) -> list[str]:
+    """Slot-level drift lines between the file's `_CHECK_PRIORITY` and
+    the derivation. Uses zip_longest so length divergence prints the
+    extra/missing tail names explicitly (as ``<absent>`` pairs) instead
+    of truncating at the shorter list (r12 ADVICE); factored out of
+    main() so the suite can drive the REAL reporting path
+    (tests/test_rotation_pin.py, r13 ADVICE)."""
+    from itertools import zip_longest
+
+    _ABSENT = "<absent>"
+    lines: list[str] = []
+    if actual[:WINDOW] != expected[:WINDOW]:
+        lines.append("WINDOW DRIFT (slots 1-50):")
+        for i, (a, x) in enumerate(zip_longest(
+                actual[:WINDOW], expected[:WINDOW], fillvalue=_ABSENT)):
+            if a != x:
+                lines.append(f"  slot {i + 1}: file={a!r} expected={x!r}")
+    if actual[WINDOW:] != expected[WINDOW:]:
+        lines.append("PRE-STAGE DRIFT (slots 51+): file has "
+                     f"{len(actual) - WINDOW}, derivation expects "
+                     f"{len(expected) - WINDOW}")
+        for i, (a, x) in enumerate(zip_longest(
+                actual[WINDOW:], expected[WINDOW:], fillvalue=_ABSENT)):
+            if a != x:
+                lines.append(
+                    f"  slot {WINDOW + i + 1}: file={a!r} expected={x!r}")
+    return lines
+
+
 def main() -> int:
     from automatic_etl_spark.plans.all_plans import REGISTRY
 
@@ -112,25 +152,7 @@ def main() -> int:
               f"({len(actual)} names; ledger covers {ledger}/"
               f"{len(REGISTRY)} registry queries)")
         return 0
-    # zip_longest so length divergence prints the extra/missing tail
-    # names explicitly instead of truncating at the shorter list
-    # (r12 ADVICE).
-    from itertools import zip_longest
-    _ABSENT = "<absent>"
-    if actual[:WINDOW] != expected[:WINDOW]:
-        print("WINDOW DRIFT (slots 1-50):")
-        for i, (a, x) in enumerate(zip_longest(
-                actual[:WINDOW], expected[:WINDOW], fillvalue=_ABSENT)):
-            if a != x:
-                print(f"  slot {i + 1}: file={a!r} expected={x!r}")
-    if actual[WINDOW:] != expected[WINDOW:]:
-        print("PRE-STAGE DRIFT (slots 51+): file has "
-              f"{len(actual) - WINDOW}, derivation expects "
-              f"{len(expected) - WINDOW}")
-        for i, (a, x) in enumerate(zip_longest(
-                actual[WINDOW:], expected[WINDOW:], fillvalue=_ABSENT)):
-            if a != x:
-                print(f"  slot {WINDOW + i + 1}: file={a!r} expected={x!r}")
+    print("\n".join(drift_report(actual, expected)))
     print("\nNOTE: drift at round START (before the rotation lands) is "
           "the expected state when the driver has just committed a new "
           "CORRECTNESS file — landing the printed window IS the "

@@ -487,6 +487,11 @@ def main() -> None:
     # An unrecognized flag must not silently fall through to the
     # build-and-measure path: `--help` once cost a stray staging JVM
     # (r13). Known flags only; anything else dash-prefixed is an error.
+    # --child with the wrong arity is a distinct, clearer error rather
+    # than "unknown flag" (r13 ADVICE) — it still fails before staging.
+    if "--child" in sys.argv[1:]:
+        sys.exit("--child requires exactly <name> <sf_dir>; usage:\n"
+                 "  python tools/scale_stress.py --child <name> <sf_dir>")
     unknown = [a for a in sys.argv[1:]
                if a.startswith("-") and a not in ("--build",)]
     if unknown:
