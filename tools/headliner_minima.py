@@ -50,7 +50,9 @@ RETENTION_ROUNDS = 3  # keep a query while in any of the last N top-10s
 
 def _bench_top10(path: str) -> list[str]:
     rec = json.load(open(path))
-    queries = rec.get("parsed", {}).get("queries") or rec.get("queries")
+    # "parsed" can be explicitly null in early BENCH files (failed
+    # driver parse), not just absent — guard both shapes
+    queries = (rec.get("parsed") or {}).get("queries") or rec.get("queries")
     if not isinstance(queries, dict) or not queries:
         sys.exit(f"{path} has no parsed.queries/queries map (failed "
                  "driver run?) — pass query names explicitly")
