@@ -84,17 +84,22 @@ def connected_components(
     at the fixpoint, where every label is already the component min,
     so the hook-only convergence probe remains exact).
     """
-    sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            edges.select(
-                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
-            )
-        )
-        .distinct()
-    )
+    # Materialize the DIRECTED edge list first (r14): the symmetrize
+    # union references `edges` twice, and for LSH-verified near-dup
+    # edges that subtree is the expensive front of the whole query —
+    # without this checkpoint the one `sym` materialization evaluates
+    # the candidate-generation + Jaccard-verify pipeline TWICE (the
+    # two union branches differ in projection, so Spark's
+    # ReusedExchange cannot collapse them).
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     # Edges re-drive every round: materialize once, truncate lineage.
     sym = sym.localCheckpoint(eager=True)
+    _release_checkpoint(edges)
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)

@@ -75,15 +75,29 @@ def projection_bucket(
     return F.concat(*bits)
 
 
+def _with_norm(df: DataFrame, vec_col: str, nrm_col: str) -> DataFrame:
+    """Attach a precomputed L2 norm column (idempotent). One fold per
+    ROW here instead of one per PAIR inside the score expression —
+    see vectors.cosine_given_norms for the value-identity argument."""
+    if nrm_col in df.columns:
+        return df
+    return df.withColumn(nrm_col, vec.norm(vec_col))
+
+
 def _score_pairs(joined: DataFrame) -> DataFrame:
     """Self-exclusion + the ONE floor-quantized-cosine score projection shared
     by the brute-force, LSH-bucketed, and IVF paths — ann_recall_report
     assumes truth and approx rank identical quantized values, which only
-    holds while all three score through this single definition."""
+    holds while all three score through this single definition.
+    Expects ``q_nrm``/``n_nrm`` precomputed on the join inputs (r14:
+    norms once per row, not per pair; the quantized score is
+    bit-identical)."""
     return joined.filter(F.col("q_id") != F.col("n_id")).select(
         "q_id",
         "n_id",
-        qround(vec.cosine("q_vec", "n_vec")).alias("score"),
+        qround(
+            vec.cosine_given_norms("q_vec", "n_vec", "q_nrm", "n_nrm")
+        ).alias("score"),
     )
 
 
@@ -116,7 +130,13 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k: (q_id, n_id, score, rank). Queries are broadcast —
     the corpus side never shuffles until the final per-query top-k."""
-    return _topk(_scored(F.broadcast(queries), embeddings), k)
+    return _topk(
+        _scored(
+            F.broadcast(_with_norm(queries, "q_vec", "q_nrm")),
+            _with_norm(embeddings, "n_vec", "n_nrm"),
+        ),
+        k,
+    )
 
 
 def lsh_bucketed_topk(
@@ -127,8 +147,12 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     sign-projection bucket."""
-    corpus_b = embeddings.withColumn("bucket", projection_bucket(F.col("n_vec"), planes))
-    queries_b = queries.withColumn("bucket", projection_bucket(F.col("q_vec"), planes))
+    corpus_b = _with_norm(embeddings, "n_vec", "n_nrm").withColumn(
+        "bucket", projection_bucket(F.col("n_vec"), planes)
+    )
+    queries_b = _with_norm(queries, "q_vec", "q_nrm").withColumn(
+        "bucket", projection_bucket(F.col("q_vec"), planes)
+    )
     joined = corpus_b.join(F.broadcast(queries_b), "bucket")
     return _topk(_score_pairs(joined), k)
 
@@ -156,14 +180,18 @@ def cosine_near_dup_pairs(
     """
     from automatic_etl_spark.operators.text_dedup import cap_buckets
 
-    b = corpus.withColumn("bucket", projection_bucket(F.col("n_vec"), planes))
+    b = _with_norm(corpus, "n_vec", "n_nrm").withColumn(
+        "bucket", projection_bucket(F.col("n_vec"), planes)
+    )
     if max_bucket_size is not None:
         b = cap_buckets(b, ["bucket"], max_bucket_size, on_drop)
     left = b.select(
-        F.col("n_id").alias("a_id"), F.col("n_vec").alias("a_vec"), "bucket"
+        F.col("n_id").alias("a_id"), F.col("n_vec").alias("a_vec"),
+        F.col("n_nrm").alias("a_nrm"), "bucket",
     )
     right = b.select(
-        F.col("n_id").alias("b_id"), F.col("n_vec").alias("b_vec"), "bucket"
+        F.col("n_id").alias("b_id"), F.col("n_vec").alias("b_vec"),
+        F.col("n_nrm").alias("b_nrm"), "bucket",
     )
     return (
         left.join(right, "bucket")
@@ -171,7 +199,9 @@ def cosine_near_dup_pairs(
         .select(
             "a_id",
             "b_id",
-            qround(vec.cosine("a_vec", "b_vec")).alias("score"),
+            qround(
+                vec.cosine_given_norms("a_vec", "b_vec", "a_nrm", "b_nrm")
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -180,26 +210,38 @@ def cosine_near_dup_pairs(
 def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF coarse quantization: assign every corpus vector to its
     nearest centroid (argmax cosine, ties → smallest centroid id) →
-    (n_id, list_id, n_vec).
+    (n_id, list_id, n_vec, n_nrm).
 
     Centroids are broadcast; the argmax is ONE groupBy with map-side
     partial ``max(struct(score, -c_id, n_vec))`` — no window shuffle
     over the N×C scored pairs. ``-c_id`` is unique per centroid so the
-    struct comparison never reaches the vector payload.
+    struct comparison never reaches the vector payload. Norms are
+    computed once per ROW below the cross join (r14: the score fold
+    per (vector, centroid) pair is now one dot, not dot + two norms;
+    bit-identical per vectors.cosine_given_norms) and the corpus norm
+    rides the struct — appended LAST, behind the unique ``neg_c``, so
+    the max comparison still never reaches it — making it free for
+    downstream pair scorers (semdedup, ivf_topk).
     """
+    corpus = _with_norm(corpus, "n_vec", "n_nrm")
+    centroids = _with_norm(centroids, "c_vec", "c_nrm")
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         "n_id",
         "n_vec",
-        vec.cosine("n_vec", "c_vec").alias("cscore"),
+        vec.cosine_given_norms("n_vec", "c_vec", "n_nrm", "c_nrm").alias(
+            "cscore"
+        ),
         (-F.col("c_id")).alias("neg_c"),
+        "n_nrm",
     )
     best = scored.groupBy("n_id").agg(
-        F.max(F.struct("cscore", "neg_c", "n_vec")).alias("m")
+        F.max(F.struct("cscore", "neg_c", "n_vec", "n_nrm")).alias("m")
     )
     return best.select(
         "n_id",
         (-F.col("m.neg_c")).alias("list_id"),
         F.col("m.n_vec").alias("n_vec"),
+        F.col("m.n_nrm").alias("n_nrm"),
     )
 
 
@@ -278,15 +320,20 @@ def ivf_topk(
     IVF pruning, expressed as partition pruning + broadcast join.
     Deterministic throughout: fixed centroids, pinned tiebreakers.
     """
-    inverted = ivf_assign(corpus, centroids)
+    inverted = ivf_assign(corpus, centroids)  # carries n_nrm (r14)
+    queries = _with_norm(queries, "q_vec", "q_nrm")
+    centroids = _with_norm(centroids, "c_vec", "c_nrm")
     qscored = queries.crossJoin(F.broadcast(centroids)).select(
-        "q_id", "q_vec", "c_id", vec.cosine("q_vec", "c_vec").alias("cscore")
+        "q_id", "q_vec", "q_nrm", "c_id",
+        vec.cosine_given_norms("q_vec", "c_vec", "q_nrm", "c_nrm").alias(
+            "cscore"
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cscore"), F.asc("c_id"))
     probe = (
         qscored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
-        .select("q_id", "q_vec", F.col("c_id").alias("list_id"))
+        .select("q_id", "q_vec", "q_nrm", F.col("c_id").alias("list_id"))
     )
     cand = inverted.join(F.broadcast(probe), "list_id")
     return _topk(_score_pairs(cand), k)

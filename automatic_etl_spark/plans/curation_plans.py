@@ -720,16 +720,19 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n"))
-    scored = (
-        toks.join(vocab, "tok")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            "lang",
-            _surprisal_micros(
-                F.log(F.col("n").cast("double") / F.col("cnt"))
-            ),
-        )
+    # r14: per-token surprisal precomputed on the DISTINCT-token vocab
+    # (cardinality |V|) before the join, so the log+quantize runs once
+    # per type instead of once per token instance, and the broadcast
+    # singleton joins the vocab frame, not the token stream. Same
+    # integers reach the doc mean.
+    vstats = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        _surprisal_micros(
+            F.log(F.col("n").cast("double") / F.col("cnt"))
+        ),
+    )
+    scored = toks.join(vstats, "tok").select(
+        "doc_id", "lang", "surprisal_micros"
     )
     per_doc = scored.groupBy("doc_id", "lang").agg(_avg_micros())
     return per_doc.groupBy("lang").agg(
@@ -954,6 +957,10 @@ def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # norms once per row below the cross join (r14), not per (q, n)
+    # pair — bit-identical (vectors.cosine_given_norms)
+    q = q.withColumn("q_nrm", vec.norm("qv"))
+    n = n.withColumn("n_nrm", vec.norm("nv"))
     scored = (
         F.broadcast(q)
         .crossJoin(n)
@@ -961,7 +968,9 @@ def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "n_id",
-            qround(vec.cosine("qv", "nv")).alias("exact_score"),
+            qround(
+                vec.cosine_given_norms("qv", "nv", "q_nrm", "n_nrm")
+            ).alias("exact_score"),
             quant.alias("quant_score"),
         )
     )
@@ -1399,23 +1408,28 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(tx.word_ngrams("text", 2)).alias("bigram")
     )
     bcnt = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
-    ctx = bg.groupBy(
+    # r14: context counts DERIVED from the bigram counts — c(w1·) is
+    # exactly Σ c12 over bigrams sharing the context word, so the
+    # second full pass over the exploded bigram stream (and its
+    # zipfian shuffle) collapses to a tiny aggregate over the
+    # distinct-bigram frame. Same integers, one fewer full-data
+    # exchange, and the stream is joined ONCE (per-bigram surprisal is
+    # precomputed on the distinct-bigram frame before the join).
+    ctx = bcnt.groupBy(
         F.split(F.col("bigram"), " ").getItem(0).alias("w1")
-    ).agg(F.count("*").alias("c1"))
+    ).agg(F.sum("c12").alias("c1"))
     vocab = (
         docs.select(F.explode(tx.tokens("text")).alias("x"))
         .agg(F.countDistinct("x").alias("v"))
     )
-    scored = (
-        bg.join(bcnt, "bigram")
-        .join(
+    bstats = (
+        bcnt.join(
             ctx,
             F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"),
         )
         .crossJoin(F.broadcast(vocab))
         .select(
-            "doc_id",
-            "lang",
+            "bigram",
             _surprisal_micros(
                 F.log(
                     (F.col("c1").cast("double") + F.col("v"))
@@ -1423,6 +1437,9 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
+    )
+    scored = bg.join(bstats, "bigram").select(
+        "doc_id", "lang", "surprisal_micros"
     )
     per_doc = scored.groupBy("doc_id", "lang").agg(_avg_micros())
     return per_doc.groupBy("lang").agg(

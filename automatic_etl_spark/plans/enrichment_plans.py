@@ -130,17 +130,25 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster assignment, then run the intra-cluster pair pass over it.
     inverted = sim.ivf_assign(corpus, centroids).localCheckpoint(eager=True)
 
+    # n_nrm rides the checkpointed index from ivf_assign (r14): the
+    # intra-cluster pair filter folds ONE dot per pair instead of
+    # dot + two norms — bit-identical (vectors.cosine_given_norms).
     left = inverted.select(
-        "list_id", F.col("n_id").alias("a_id"), F.col("n_vec").alias("a_vec")
+        "list_id", F.col("n_id").alias("a_id"),
+        F.col("n_vec").alias("a_vec"), F.col("n_nrm").alias("a_nrm"),
     )
     right = inverted.select(
-        "list_id", F.col("n_id").alias("b_id"), F.col("n_vec").alias("b_vec")
+        "list_id", F.col("n_id").alias("b_id"),
+        F.col("n_vec").alias("b_vec"), F.col("n_nrm").alias("b_nrm"),
     )
     pairs = (
         left.join(right, "list_id")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
-            qround(vec.cosine("a_vec", "b_vec")) >= SEM_THRESHOLD
+            qround(
+                vec.cosine_given_norms("a_vec", "b_vec", "a_nrm", "b_nrm")
+            )
+            >= SEM_THRESHOLD
         )
     )
     pruned = pairs.groupBy("list_id").agg(
@@ -806,10 +814,16 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sim.prepare(
         emb.filter(F.col("vec_id") % DECON_EVAL_MOD != 5), role="n"
     )
+    # norms once per row below the cross join (r14), not per
+    # (corpus, eval) pair — bit-identical (vectors.cosine_given_norms)
+    ev = ev.withColumn("e_nrm", vec.norm("e_vec"))
+    corpus = corpus.withColumn("n_nrm", vec.norm("n_vec"))
     scored = corpus.crossJoin(F.broadcast(ev)).select(
         "n_id",
         (-F.col("e_id")).alias("neg_e"),
-        qround(vec.cosine("n_vec", "e_vec")).alias("score"),
+        qround(
+            vec.cosine_given_norms("n_vec", "e_vec", "n_nrm", "e_nrm")
+        ).alias("score"),
     )
     best = scored.groupBy("n_id").agg(
         F.max(F.struct("score", "neg_e")).alias("m")

@@ -61,10 +61,15 @@ PINNED: dict[str, dict[str, int]] = {
     },
     # order-2 LM: both zipfian joins broadcast at sf0.01 (AQE); the
     # pin guards the vocab singleton staying a bnlj broadcast, not a
-    # keyed shuffle
+    # keyed shuffle. r14: context counts now derive from the
+    # distinct-bigram frame (Σ c12 per w1) instead of a second full
+    # pass over the exploded stream, and per-bigram surprisal is
+    # precomputed before the ONE stream join — +1 exchange and +1
+    # partial agg on the (small) distinct-bigram frame, −1 full-data
+    # pass of the stream.
     "bigram_logprob_quality": {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 1,
-        "wgl": 0, "topN": 0, "partialAgg": 9, "exch": 6,
+        "wgl": 0, "topN": 0, "partialAgg": 10, "exch": 7,
     },
     # shuffle-free sort-merge join over co-bucketed tables: exch=1 is
     # the downstream agg only; a second exchange means bucketing broke
