@@ -437,7 +437,10 @@ def stream_stream_join_with_progress(
 
     from automatic_etl_spark.session import stream_state_partitions
 
-    events = table(spark, sf_dir, "events").select(
+    # fan_out=False (r14): staging filters + coalesce(2)-writes — a
+    # 32-way fan-out repartition immediately squeezed back to 2
+    # output files was a pure extra shuffle per side.
+    events = table(spark, sf_dir, "events", fan_out=False).select(
         "event_id", "user_id", "event_type", "ts"
     )
     stage = scratch_dir("ss_join_stage")
@@ -1170,8 +1173,11 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-partitioned window is over batches, never events), and the
     batch stats + delay grid re-join the stream as broadcasts. Two
     narrow passes + one ≤3-row aggregate regardless of scale."""
+    # fan_out=False (r14): both passes over ev are trivial per-row
+    # integer arithmetic feeding partial aggregates / broadcast joins;
+    # the fan-out repartition doubled the full-data exchanges.
     ev = (
-        table(spark, sf_dir, "events")
+        table(spark, sf_dir, "events", fan_out=False)
         .where(F.col("ts").isNotNull())
         .select("event_id", F.unix_millis("ts").alias("ms"))
     )

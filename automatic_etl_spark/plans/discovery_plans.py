@@ -181,12 +181,16 @@ def fk_discovery_containment(
     100 TB the join is over key cardinalities; parent key-sets are
     dimension-sized and broadcast. This is the discovery the
     reference's generated BI joins presuppose but never verify."""
-    orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer")
-    lineitem = table(spark, sf_dir, "lineitem")
-    part = table(spark, sf_dir, "part")
-    supplier = table(spark, sf_dir, "supplier")
-    region = table(spark, sf_dir, "region")
+    # fan_out=False (r14): every scan feeds a DISTINCT partial
+    # aggregate immediately — the fan-out repartition round-robin-
+    # shuffled full fact tables that the next operator collapses to
+    # key cardinalities anyway.
+    orders = table(spark, sf_dir, "orders", fan_out=False)
+    customer = table(spark, sf_dir, "customer", fan_out=False)
+    lineitem = table(spark, sf_dir, "lineitem", fan_out=False)
+    part = table(spark, sf_dir, "part", fan_out=False)
+    supplier = table(spark, sf_dir, "supplier", fan_out=False)
+    region = table(spark, sf_dir, "region", fan_out=False)
     parts = [
         dc.fk_containment(
             orders, "o_custkey", customer, "c_custkey",

@@ -70,7 +70,10 @@ def hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENVELOPE as a boolean: |approx − exact| ≤ 5·rsd·exact (rsd=0.02;
     5σ makes the bound deterministic in practice), alongside the exact
     count which must hash-match."""
-    events = table(spark, sf_dir, "events")
+    # fan_out=False (r14): the scan feeds the partial aggregate
+    # directly — the local fan-out repartition added a full shuffle
+    # for no pre-exchange work worth parallelizing.
+    events = table(spark, sf_dir, "events", fan_out=False)
     return (
         events.groupBy("event_type")
         .agg(

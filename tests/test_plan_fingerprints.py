@@ -305,7 +305,7 @@ PINNED: dict[str, dict[str, int]] = {
     # pre-agg
     "revenue_by_nation": {
         "bhj": 4, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 3,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 1,
     },
     "rollup_agg": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
@@ -321,7 +321,7 @@ PINNED: dict[str, dict[str, int]] = {
     },
     "shipping_priority": {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 1, "partialAgg": 1, "exch": 3,
+        "wgl": 0, "topN": 1, "partialAgg": 1, "exch": 1,
     },
     # the SHUFFLE_HASH hint must take (shj=1): the only registry plan
     # exercising the shuffled-hash strategy
@@ -406,7 +406,7 @@ PINNED: dict[str, dict[str, int]] = {
     # dimension stopped broadcasting
     "fk_discovery_containment": {
         "bhj": 4, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 8, "exch": 15,
+        "wgl": 0, "topN": 0, "partialAgg": 8, "exch": 12,
     },
     "column_entropy_profile": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
