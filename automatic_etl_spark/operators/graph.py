@@ -94,12 +94,17 @@ def connected_components(
     edges = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
+    # No distinct and no second checkpoint on the symmetrized view
+    # (r14): min-label propagation is duplicate-insensitive (the
+    # groupBy MIN below is unchanged by repeated edges), so the
+    # distinct's full shuffle bought nothing, and the union over the
+    # materialized directed blocks is narrow/constant-depth — each
+    # round re-reads the blocks, never recomputes the edge front.
+    # (Heavily duplicated caller edge lists would inflate the per-round
+    # join input — the near-dup callers all pass unique a<b pairs.)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    # Edges re-drive every round: materialize once, truncate lineage.
-    sym = sym.localCheckpoint(eager=True)
-    _release_checkpoint(edges)
+    )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
@@ -139,7 +144,7 @@ def connected_components(
         prev_ckpt = relabeled
         labels = relabeled.drop("changed")
         if changed == 0:
-            _release_checkpoint(sym)
+            _release_checkpoint(edges)
             return labels
         if compress:
             # p(u) := p(p(u)) — component values are node ids, so the

@@ -126,7 +126,12 @@ def _near_dup_edges(
     """(corpus, verified edge list a_id < b_id) — the shared front of
     every near-dup graph query (Spark mirror of _SQL_EDGE_CHAIN)."""
     corpus = _chain_corpus(spark, sf_dir)
-    sh = td.shingle_rows(corpus)
+    # One materialization of the shingle frame (r14): signatures, both
+    # jaccard_pairs probe sides, and the size aggregate otherwise each
+    # re-run scan→tokenize→interpreted-HOF-shingle→explode (guide
+    # §1.2; interleaved A/B at sf0.1: median 5.98→5.46 s on
+    # near_dup_canonical).
+    sh = td.shingle_rows(corpus).localCheckpoint(eager=True)
     # row-form signatures (r10): codegen'd hashing, ~1-row/doc exchange
     # (see dedup_plans.minhash_lsh_dedup for the honest-scale A/B that
     # reversed the r8 map-side choice)

@@ -179,7 +179,11 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir, near_dups=True)
-    pairs = td.jaccard_pairs(td.shingle_rows(corpus)).filter(
+    # jaccard_pairs consumes the shingle frame three times (sizes +
+    # both self-join sides) — materialize once (r14; interleaved A/B
+    # at sf0.1: median 2.75→2.41 s).
+    sh = td.shingle_rows(corpus).localCheckpoint(eager=True)
+    pairs = td.jaccard_pairs(sh).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
     return pairs.agg(
@@ -223,12 +227,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir, near_dups=True)
     # The shingle table feeds the signature build, both sides of the
-    # verification self-join, and the size aggregate. Recomputing it is
-    # measurably cheaper than persist() at bench scale (A/B: caching
-    # adds ~0.5-1s via memory-store writes and blocking AQE through
-    # InMemoryRelation); at 100 TB the LSH pipeline would instead
-    # WRITE the shingle/signature tables once and verify from disk.
-    sh = td.shingle_rows(corpus)
+    # verification join, and the size aggregate — four evaluations of
+    # the scan→tokenize→interpreted-HOF-shingle→explode subtree per
+    # action. localCheckpoint materializes it ONCE (r14, guide §1.2 /
+    # §5; interleaved A/B at sf0.1: median 3.80→2.90 s). The r8 A/B
+    # that rejected persist() measured InMemoryRelation (AQE-blocking,
+    # memory-store writes); checkpoint block reads carry neither
+    # penalty. At 100 TB the LSH pipeline would instead WRITE the
+    # shingle/signature tables once and verify from disk.
+    sh = td.shingle_rows(corpus).localCheckpoint(eager=True)
     # signatures row-form (r10): value-identical to the wide build but
     # whole-stage-codegen'd — the wide form's higher-order transform
     # hashes on Spark's interpreted path (3.3x slower at honest 10x
@@ -333,15 +340,20 @@ def minhash_lsh_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _corpus(spark, sf_dir, near_dups=True)
     sig_dir = _matview_sig_dir(sf_dir)
-    td.minhash_signatures(td.shingle_rows(corpus), NUM_HASHES).write.mode(
+    # One shingle build for BOTH the signature writer and the Jaccard
+    # verify (r14): previously each derived its own shingle frame, and
+    # jaccard_pairs consumes its copy three more times — five
+    # evaluations of the tokenize→HOF-shingle→explode subtree per run.
+    sh = td.shingle_rows(corpus).localCheckpoint(eager=True)
+    td.minhash_signatures(sh, NUM_HASHES).write.mode(
         "overwrite"
     ).parquet(sig_dir)
     sig = spark.read.parquet(sig_dir)
 
     candidates = td.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND)
-    verified = td.jaccard_pairs(
-        td.shingle_rows(corpus), candidates=candidates
-    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    verified = td.jaccard_pairs(sh, candidates=candidates).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
 
     sig_cnt = sig.agg(F.count("*").alias("sig_cnt"))
     cand_cnt = candidates.agg(F.count("*").alias("candidate_cnt"))
@@ -436,7 +448,10 @@ def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    sh = td.shingle_rows(corpus)
+    # Materialized once (r14): signatures + both jaccard probe sides +
+    # sizes re-derive this subtree otherwise (see minhash_lsh_dedup;
+    # interleaved A/B at sf0.1: median 4.93→3.84 s).
+    sh = td.shingle_rows(corpus).localCheckpoint(eager=True)
     # row-form signatures (r10): codegen'd hashing, ~1-row/doc exchange
     # (see minhash_lsh_dedup) — the wide form's interpreted transform
     # was 2.4-3.3x slower once the stress corpus genuinely scaled
@@ -626,7 +641,10 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact|·10) capped at 9. est and exact both reduce to integer
     counts over the same hashes, so buckets are engine-exact."""
     corpus = _corpus(spark, sf_dir, near_dups=True)
-    sh = td.shingle_rows(corpus)
+    # Materialized once (r14): the signature build and jaccard_pairs'
+    # three consumers re-derive the shingle subtree otherwise
+    # (interleaved A/B at sf0.1: median 3.01→2.79 s).
+    sh = td.shingle_rows(corpus).localCheckpoint(eager=True)
     # ROW-form signatures here, deliberately: this query consumes the
     # signature frame THREE times (candidate build + both est-join
     # sides), and the groupBy's shuffle is a ReusedExchange that

@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Interleaved A/B for registry queries under host noise.
+
+The sandbox VM shows multi-x scheduler spikes and slow loadavg decay,
+so sequential before/after sessions confound variant with regime.
+This harness runs BOTH variants alternately (A B A B ...) in ONE
+session, so regime drift hits both arms equally; report min and
+median per arm.
+
+A "variant" is a callable patch applied before building the plan
+(e.g. monkeypatching an operator helper); `None` means stock code.
+
+Usage: python tools/ab_interleaved.py <experiment> <query> [pairs]
+Experiments are defined in EXPERIMENTS below.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _patch_shingle_checkpoint(enable: bool):
+    """Toggle a localCheckpoint wrapper on td.shingle_rows."""
+    from automatic_etl_spark.operators import text_dedup as td
+
+    orig = td.shingle_rows.__wrapped__ if hasattr(td.shingle_rows, "__wrapped__") else td.shingle_rows
+    if enable:
+        def wrapped(*a, **k):
+            return orig(*a, **k).localCheckpoint(eager=True)
+        wrapped.__wrapped__ = orig
+        td.shingle_rows = wrapped
+    else:
+        td.shingle_rows = orig
+
+
+def _cc_variant(nodes, edges, id_col="doc_id", src_col="a_id",
+                dst_col="b_id", max_iter=20, compress=False, stats=None):
+    """connected_components minus the sym distinct + sym checkpoint:
+    min-label propagation is duplicate-insensitive, and the union over
+    the materialized directed-edge blocks is narrow/constant-depth."""
+    from pyspark.sql import functions as F
+
+    from automatic_etl_spark.operators.graph import _release_checkpoint
+
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
+    prev_ckpt = labels
+    for round_no in range(1, max_iter + 1):
+        if stats is not None:
+            stats["rounds"] = round_no
+        nbr_min = (
+            labels.join(sym, labels["node"] == sym["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        relabeled = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (
+                    F.col("nbr_component").isNotNull()
+                    & (F.col("nbr_component") < F.col("component"))
+                )
+                .cast("int")
+                .alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = relabeled.agg(F.sum("changed")).first()[0] or 0
+        _release_checkpoint(prev_ckpt)
+        prev_ckpt = relabeled
+        labels = relabeled.drop("changed")
+        if changed == 0:
+            _release_checkpoint(edges)
+            return labels
+        if compress:
+            jumped = (
+                labels.alias("l")
+                .join(
+                    labels.select(
+                        F.col("node").alias("p_node"),
+                        F.col("component").alias("p_component"),
+                    ),
+                    F.col("l.component") == F.col("p_node"),
+                )
+                .select(
+                    F.col("l.node").alias("node"),
+                    F.col("p_component").alias("component"),
+                )
+            )
+            labels = jumped.localCheckpoint(eager=True)
+            _release_checkpoint(prev_ckpt)
+            prev_ckpt = labels
+    raise RuntimeError("no convergence")
+
+
+def _patch_cc(enable: bool):
+    from automatic_etl_spark.operators import graph
+    from automatic_etl_spark.plans import curation_plans
+
+    if not hasattr(_patch_cc, "orig"):
+        _patch_cc.orig = graph.connected_components
+    fn = _cc_variant if enable else _patch_cc.orig
+    curation_plans.connected_components = fn
+
+
+EXPERIMENTS = {
+    "shingle_ckpt": (
+        lambda: _patch_shingle_checkpoint(False),
+        lambda: _patch_shingle_checkpoint(True),
+    ),
+    "cc_sym": (
+        lambda: _patch_cc(False),
+        lambda: _patch_cc(True),
+    ),
+}
+
+
+def main() -> int:
+    exp_name, query = sys.argv[1], sys.argv[2]
+    pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    set_a, set_b = EXPERIMENTS[exp_name]
+
+    from automatic_etl_spark.plans.all_plans import REGISTRY
+    from automatic_etl_spark.session import get_spark
+
+    spark = get_spark(app_name=f"ab-{exp_name}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _reset():
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+    fn, _ = REGISTRY[query]
+    # warm both arms on the smallest fixture
+    warm = "/root/testdata/sf0.001"
+    for setv in (set_a, set_b):
+        setv()
+        fn(spark, warm).collect()
+
+    times: dict[str, list[float]] = {"A": [], "B": []}
+    for i in range(pairs):
+        for arm, setv in (("A", set_a), ("B", set_b)):
+            setv()
+            _reset()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            times[arm].append(round(time.perf_counter() - t0, 3))
+    set_a()  # leave stock code in place
+    out = {
+        arm: {
+            "runs": v,
+            "min": min(v),
+            "median": round(statistics.median(v), 3),
+        }
+        for arm, v in times.items()
+    }
+    out["loadavg"] = list(os.getloadavg())
+    import json
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
