@@ -95,8 +95,16 @@ def unwrap_envelope(parsed: DataFrame, env_col: str = "_env") -> DataFrame:
     # op is mandatory in every Debezium envelope, so requiring it
     # drops BOTH null structs (tombstones) and the all-null-field
     # structs PERMISSIVE-mode from_json returns for unparseable JSON.
+    # The op check ALONE is the filter (r14): a NULL envelope has a
+    # NULL op field, so `env IS NOT NULL AND env.op IS NOT NULL` ≡
+    # `env.op IS NOT NULL` — and the difference matters once predicate
+    # pushdown substitutes the parse into the condition: the op-only
+    # form is schema-pruned by OptimizeJsonExprs to a one-field parse,
+    # while the env-isNotNull conjunct forced a FULL envelope parse
+    # per row in the filter on top of the projection's own (three
+    # from_json evaluations per row down to ~1.3).
     return (
-        parsed.where(env.isNotNull() & env.getField("op").isNotNull())
+        parsed.where(env.getField("op").isNotNull())
         .withColumn("_rec", record)
         .withColumn("__deleted", is_delete)
         .withColumn("_op", env.getField("op"))
