@@ -121,6 +121,32 @@ def _patch_cc(enable: bool):
     curation_plans.connected_components = fn
 
 
+def _patch_no_fanout(enable: bool):
+    """Force fan_out=False on EVERY table() scan (B arm) — a probe for
+    queries whose fan-out repartition may be pure overhead. Winners
+    get per-callsite fan_out=False after code review, never a global
+    flip."""
+    from automatic_etl_spark.sources import parquet
+
+    if not hasattr(_patch_no_fanout, "orig"):
+        _patch_no_fanout.orig = parquet.table
+    orig = _patch_no_fanout.orig
+    if enable:
+        def wrapped(spark, sf_dir, name, fan_out=True):
+            return orig(spark, sf_dir, name, fan_out=False)
+        parquet.table = wrapped
+    else:
+        parquet.table = orig
+    # plan modules import `table` by name — repoint them all
+    import sys as _sys
+
+    for mod_name, mod in list(_sys.modules.items()):
+        if mod_name.startswith("automatic_etl_spark.plans") and hasattr(
+            mod, "table"
+        ):
+            mod.table = parquet.table
+
+
 EXPERIMENTS = {
     "shingle_ckpt": (
         lambda: _patch_shingle_checkpoint(False),
@@ -130,11 +156,15 @@ EXPERIMENTS = {
         lambda: _patch_cc(False),
         lambda: _patch_cc(True),
     ),
+    "no_fanout": (
+        lambda: _patch_no_fanout(False),
+        lambda: _patch_no_fanout(True),
+    ),
 }
 
 
 def main() -> int:
-    exp_name, query = sys.argv[1], sys.argv[2]
+    exp_name, queries = sys.argv[1], sys.argv[2].split(",")
     pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     set_a, set_b = EXPERIMENTS[exp_name]
@@ -152,34 +182,42 @@ def main() -> int:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
-    fn, _ = REGISTRY[query]
-    # warm both arms on the smallest fixture
-    warm = "/root/testdata/sf0.001"
-    for setv in (set_a, set_b):
-        setv()
-        fn(spark, warm).collect()
-
-    times: dict[str, list[float]] = {"A": [], "B": []}
-    for i in range(pairs):
-        for arm, setv in (("A", set_a), ("B", set_b)):
-            setv()
-            _reset()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            times[arm].append(round(time.perf_counter() - t0, 3))
-    set_a()  # leave stock code in place
-    out = {
-        arm: {
-            "runs": v,
-            "min": min(v),
-            "median": round(statistics.median(v), 3),
-        }
-        for arm, v in times.items()
-    }
-    out["loadavg"] = list(os.getloadavg())
     import json
 
-    print(json.dumps(out))
+    for query in queries:
+        fn, _ = REGISTRY[query]
+        # warm both arms on the smallest fixture
+        warm = "/root/testdata/sf0.001"
+        try:
+            for setv in (set_a, set_b):
+                setv()
+                fn(spark, warm).collect()
+
+            times: dict[str, list[float]] = {"A": [], "B": []}
+            for i in range(pairs):
+                for arm, setv in (("A", set_a), ("B", set_b)):
+                    setv()
+                    _reset()
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).collect()
+                    times[arm].append(round(time.perf_counter() - t0, 3))
+        except Exception as exc:  # noqa: BLE001 — keep the sweep going
+            print(json.dumps({"query": query, "error": str(exc)[:200]}),
+                  flush=True)
+            continue
+        finally:
+            set_a()  # leave stock code in place
+        out = {
+            arm: {
+                "runs": v,
+                "min": min(v),
+                "median": round(statistics.median(v), 3),
+            }
+            for arm, v in times.items()
+        }
+        out["query"] = query
+        out["loadavg"] = list(os.getloadavg())
+        print(json.dumps(out), flush=True)
     return 0
 
 
