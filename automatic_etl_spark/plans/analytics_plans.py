@@ -85,7 +85,7 @@ def cube_sales_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     separate scans for hand-written rollup levels. GROUPING() flags
     disambiguate a real NULL key from a subtotal row (the contract
     ANSI gives and ad-hoc NULL-labeling loses)."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
     return (
         li.cube("l_returnflag", "l_linestatus").agg(
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
@@ -235,7 +235,7 @@ def table_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     witnesses). One map-side pass + a {CHECKSUM_BUCKETS}-row aggregate;
     XOR is commutative so the result is partitioning- and
     order-invariant by construction."""
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders", fan_out=False)
     row_str = F.concat_ws("|", *[F.col(c).cast("string") for c in _CK_COLS])
     row_hash = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("long")
     hashed = orders.select(
@@ -360,7 +360,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-of-order arrivals can't fake a conversion. All three stage
     aggregates key on user_id — one partitioning reused end to end;
     the final 1-row rollup is three broadcast-joined scalars."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", fan_out=False)
     s1 = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
     )
@@ -666,7 +666,9 @@ def window_frame_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN(...) just collapses them; percent_rank/cume_dist derive from
     integer ranks → identical doubles, rounded once then decimal-
     summed."""
-    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = table(spark, sf_dir, "events", fan_out=False).filter(
+        F.col("value").isNotNull()
+    )
     order = [F.asc("ts"), F.asc("event_id")]
     full = (
         Window.partitionBy("event_type")
@@ -733,7 +735,7 @@ def sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the aggregate partitioning-invariant — the unsorted variant
     is the classic nondeterminism bug this query exists to pin
     against."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", fan_out=False)
     per_user = ev.groupBy("user_id").agg(
         F.concat_ws(
             ",", F.array_sort(F.collect_list("event_type"))
@@ -776,7 +778,7 @@ def temporal_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     end (last_day arithmetic), ISO day-of-week totals, and the ISO
     week number — every value pinned to engine-identical calendar
     semantics."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", fan_out=False)
     iso_dow = (F.dayofweek("ts") + 5) % 7 + 1
     return (
         ev.groupBy(
@@ -871,7 +873,7 @@ def checksum_repair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets. The reference reconciles by table-level row counts
     (tools/verificar_datos.py); this is the row-granular, scan-
     minimal version of the same audit."""
-    orders = table(spark, sf_dir, "orders").select(*_CK_COLS)
+    orders = table(spark, sf_dir, "orders", fan_out=False).select(*_CK_COLS)
     replica = orders.where(
         F.col("o_orderkey") % REPAIR_MISS_MOD != 0
     ).withColumn(
@@ -988,7 +990,7 @@ def map_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixture note: the local fan-out repartition (sources/parquet.py)
     sits mid-plan, so counts are pre-aggregated per cell before map
     assembly — the same two-level agg a cluster plan would use."""
-    ev = table(spark, sf_dir, "events").select(
+    ev = table(spark, sf_dir, "events", fan_out=False).select(
         "user_id",
         "event_type",
         (F.col("event_id") % 2).cast("int").alias("epoch"),
@@ -1128,7 +1130,7 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     enters as a broadcast scalar. Hazards round at one site then sum
     as DECIMAL (ln parity precedent); exp() is deliberately avoided
     (JVM Math.exp vs C libm differ in the last ulp)."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", fan_out=False)
     f = ev.groupBy("user_id").agg(F.min("ts").alias("first_ev"))
     p = (
         ev.where(F.col("event_type") == "purchase")
@@ -1256,7 +1258,7 @@ def peak_concurrency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the textbook single-window sweep — the decomposition must
     match it exactly."""
     iv = (
-        table(spark, sf_dir, "events")
+        table(spark, sf_dir, "events", fan_out=False)
         .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select(
             "event_type",

@@ -551,7 +551,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     validity range."""
     from pyspark.sql import Window
 
-    events = table(spark, sf_dir, "events")
+    events = table(spark, sf_dir, "events", fan_out=False)
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     hist = events.select(
         "user_id", "event_type", "ts", F.lead("ts").over(w).alias("valid_to")

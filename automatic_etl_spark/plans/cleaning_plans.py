@@ -968,7 +968,7 @@ def dq_metric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio rounded once."""
     from automatic_etl_spark.operators import quantiles as qt
 
-    ev = table(spark, sf_dir, "events").select(
+    ev = table(spark, sf_dir, "events", fan_out=False).select(
         F.unix_millis("ts").alias("ms"), "value", "user_id"
     )
     med = (

@@ -296,7 +296,10 @@ _SQL_PII_PLANT = """
 
 
 def _pii_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # fan_out=False: both consumers (pii_scan_stats, pii_redaction)
+    # run codegen regex projections + a tiny aggregate — no
+    # interpreted per-row work that would need the fixture fan-out.
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     extra = (
         F.when(
             F.col("doc_id") % 11 == 0,
@@ -1108,7 +1111,7 @@ def substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPAN_LEN-char span verbatim. Eval spans broadcast; the corpus is
     scanned once with a row-local contains probe. Returns per-lang
     (train_docs, flagged_docs, flagged_id_total)."""
-    corpus = _corpus(spark, sf_dir, near_dups=False)
+    corpus = _corpus(spark, sf_dir, near_dups=False, fan_out=False)
     norm = F.lower(F.trim(F.col("text")))
     evalset = (
         corpus.filter(
@@ -1195,7 +1198,7 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     token vocabulary — the Zipf-law corpus diagnostic. Returns
     (lang, n_vocab, zipf_slope). Ranks tie-break on token text; x/y
     floor-quantize once (qround), moments accumulate as decimals."""
-    return zipf_slope(table(spark, sf_dir, "documents"))
+    return zipf_slope(table(spark, sf_dir, "documents", fan_out=False))
 
 
 def zipf_slope(docs: DataFrame) -> DataFrame:
@@ -1308,7 +1311,7 @@ def quantile_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automatic_etl_spark.operators import quantiles as qt
 
     ev = (
-        table(spark, sf_dir, "events")
+        table(spark, sf_dir, "events", fan_out=False)
         .select("event_type", "event_id", "value")
         .filter(F.col("value").isNotNull())
     )

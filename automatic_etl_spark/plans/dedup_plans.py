@@ -36,11 +36,16 @@ JACCARD_THRESHOLD = 0.5
 PLANT_OFFSET = 1_000_000
 
 
-def _corpus(spark: SparkSession, sf_dir: str, near_dups: bool) -> DataFrame:
+def _corpus(
+    spark: SparkSession, sf_dir: str, near_dups: bool, fan_out: bool = True
+) -> DataFrame:
     """Every 5th doc, plus planted copies of every 10th doc (exact or
-    3-token-suffix near-dups) under doc_id+PLANT_OFFSET."""
+    3-token-suffix near-dups) under doc_id+PLANT_OFFSET.
+
+    ``fan_out=False`` for consumers whose downstream is codegen
+    projections + aggregate only (no interpreted-HOF shingling)."""
     docs = (
-        table(spark, sf_dir, "documents")
+        table(spark, sf_dir, "documents", fan_out=fan_out)
         .select("doc_id", "text", "lang")
         .filter(F.col("doc_id") < PLANT_OFFSET)
     )
@@ -523,7 +528,7 @@ _BIT_CONCAT = " || ".join(
     """,
 )
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus(spark, sf_dir, near_dups=True)
+    corpus = _corpus(spark, sf_dir, near_dups=True, fan_out=False)
     sig = td.simhash16(corpus)
     buckets = sig.groupBy("simhash").agg(F.count("*").alias("sz"))
     return buckets.agg(
@@ -771,7 +776,7 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine half-boundary trap can fire. Complements `minhash_lsh_dedup`
     (probabilistic lexical) and `embedding_cosine_dedup` (dense
     semantic): this one is exact AND lexical."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     toks = docs.select("doc_id", F.explode(tx.tokens("text")).alias("tok"))
     # tf feeds THREE consumers (df, N, weights) and u feeds both sides
     # of the pair join — materialize each once instead of re-running

@@ -59,7 +59,9 @@ def candidate_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns are profiled. Extends the reference's reflected
     ``primary_key`` flag (tools/discover_mysql_tables.py:181) to
     sources that never declared their keys."""
-    return dc.uniqueness_profile(table(spark, sf_dir, "customer"), _KEY_COLS)
+    return dc.uniqueness_profile(
+        table(spark, sf_dir, "customer", fan_out=False), _KEY_COLS
+    )
 
 
 # --- Functional-dependency audit ---------------------------------------------
@@ -110,9 +112,9 @@ def functional_dependency_audit(
     violations — the report quantifies HOW broken, which is what a
     layout chooser needs (a nearly-functional dependency is still a
     good sort-key prefix)."""
-    nation = table(spark, sf_dir, "nation")
-    customer = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation", fan_out=False)
+    customer = table(spark, sf_dir, "customer", fan_out=False)
+    orders = table(spark, sf_dir, "orders", fan_out=False)
     parts = [
         dc.fd_audit(
             nation, "nation.n_nationkey->n_regionkey",
@@ -291,8 +293,8 @@ def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-keyed aggregate per column (no per-row p=c/n broadcast);
     gini stays in exact integer arithmetic until a single pinned
     division."""
-    events = table(spark, sf_dir, "events")
-    docs = table(spark, sf_dir, "documents")
+    events = table(spark, sf_dir, "events", fan_out=False)
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     parts = [
         _entropy_profile(events, "events", "event_type"),
         _entropy_profile(docs, "documents", "lang"),
@@ -341,7 +343,7 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-key aggregate, then the ≤9-row digit frame is materialized so
     the grand total does NOT re-scan orders — constant-size shuffle
     at any scale, exactly one pass over the fact table."""
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders", fan_out=False)
     digits = orders.where(F.col("o_totalprice") > 0).select(
         F.substring(
             # round-ok: scale-0 cents recovery — 2-dp money ×100 is
@@ -400,7 +402,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions, no global sort — and the bigram space is |types|²,
     so the final aggregate is constant-size. Top-20 is a total order
     (cnt desc, then both labels) → TakeOrderedAndProject."""
-    events = table(spark, sf_dir, "events")
+    events = table(spark, sf_dir, "events", fan_out=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
         "user_id",
@@ -455,8 +457,8 @@ def cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds FOUR consumers (marginals, total, both self-join sides), so
     it is materialized once — the SemDeDup/PageRank precedent; at
     100 TB this is "write the basket projection, then mine it"."""
-    lineitem = table(spark, sf_dir, "lineitem")
-    part = table(spark, sf_dir, "part")
+    lineitem = table(spark, sf_dir, "lineitem", fan_out=False)
+    part = table(spark, sf_dir, "part", fan_out=False)
     ob = (
         lineitem.join(
             F.broadcast(part.select("p_partkey", "p_brand")),
@@ -537,7 +539,7 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries. Two aggregates over the same keys (the second is a
     rollup of the first's output, already partitioned compatibly —
     no extra wide shuffle)."""
-    customer = table(spark, sf_dir, "customer")
+    customer = table(spark, sf_dir, "customer", fan_out=False)
     qid = customer.groupBy("c_mktsegment", "c_nationkey").agg(
         F.count(F.lit(1)).alias("sz")
     )

@@ -294,7 +294,9 @@ def chunk_stride_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks capped at CHUNK tokens, final partial chunk kept. Returns
     (doc_id, n_tok, n_chunks, chunk_tokens, pad_frac) where pad_frac
     is the padding waste if each chunk were padded to CHUNK."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = table(spark, sf_dir, "documents", fan_out=False).select(
+        "doc_id", "text"
+    )
     n_tok = tx.token_count("text")
     d = docs.select("doc_id", n_tok.alias("n_tok")).filter(
         F.col("n_tok") >= 1
@@ -663,7 +665,9 @@ def outlier_iqr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, n_events, q1, q3, n_outliers) with q1/q3 the type-1
     quartiles computed by value-compressed cumulative counts
     (operators/quantiles.py)."""
-    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    ev = table(spark, sf_dir, "events", fan_out=False).select(
+        "event_type", "value"
+    )
     q = qt.grouped_type1_quantiles(
         ev, "event_type", "value", {"q1": (1, 4), "q3": (3, 4)}
     )
@@ -733,7 +737,7 @@ def bpe_merge_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 BPE merge candidates over ``documents``: adjacent
     character pairs weighted by word frequency — (pair, pair_count,
     rank), ties broken by pair text."""
-    docs = table(spark, sf_dir, "documents").select("text")
+    docs = table(spark, sf_dir, "documents", fan_out=False).select("text")
     words = (
         docs.select(F.explode(tx.tokens("text")).alias("w"))
         .groupBy("w")
@@ -871,7 +875,7 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily order counts per priority with missing days filled as 0
     over the full [min, max] date span. Returns (prio, d, cnt)."""
-    orders = table(spark, sf_dir, "orders").select(
+    orders = table(spark, sf_dir, "orders", fan_out=False).select(
         F.col("o_orderpriority").alias("prio"),
         F.to_date("o_orderdate").alias("d"),
     )
@@ -943,7 +947,7 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_events — the quantile module's NULL-excluding count — stays
     fixed."""
     ev = (
-        table(spark, sf_dir, "events")
+        table(spark, sf_dir, "events", fan_out=False)
         .select("event_type", "value")
         .where(F.col("value").isNotNull())
     )
@@ -1019,7 +1023,9 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp would shift every validity interval in that user's
     timeline differently per engine (same guard as
     ewma_anomaly_report / watermark_lateness_audit)."""
-    events = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    events = table(spark, sf_dir, "events", fan_out=False).where(
+        F.col("ts").isNotNull()
+    )
     dim = (
         events.filter(F.col("event_type") != "purchase")
         .select(
@@ -1117,7 +1123,7 @@ def value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     a NULL value would otherwise bucket as NULL here but 0 in a
     CASE-ELSE formulation, a silent cross-engine trap (ADVICE r5)."""
     ev = (
-        table(spark, sf_dir, "events")
+        table(spark, sf_dir, "events", fan_out=False)
         .select("event_type", "value")
         .filter(F.col("value").isNotNull())
     )
@@ -1369,7 +1375,7 @@ def null_safe_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     not shift the cumulative counts or inflate n. Returns
     (event_type, n_events, q1, med, q3) where n_events counts
     non-NULL values only."""
-    ev = table(spark, sf_dir, "events").select(
+    ev = table(spark, sf_dir, "events", fan_out=False).select(
         "event_type",
         F.when(F.col("event_id") % NULLQ_MOD == 0, F.lit(None))
         .otherwise(F.col("value"))
@@ -1447,7 +1453,9 @@ def mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, |x − med| row-local, second quantile pass over deviations,
     ×1.4826 for the normal-consistent scale. Returns (event_type,
     n_events, med, mad, mad_scaled)."""
-    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    ev = table(spark, sf_dir, "events", fan_out=False).select(
+        "event_type", "value"
+    )
     med = qt.grouped_type1_quantiles(
         ev, "event_type", "value", {"med": (1, 2)}
     )
@@ -1544,7 +1552,7 @@ def embedding_drift_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     median-vec_id epochs: (label, n_a, n_b, centroid_cosine). Means
     are decimal-exact then rounded once per dimension; the cosine's
     moment sums are decimal-pinned products of those rounded means."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", fan_out=False)
     # Median vec_id WITHOUT a global-order window (which would plan
     # the single-partition sort this module's scale notes reject):
     # the surrogate_key_assignment two-phase rank — range-partition,
@@ -1704,7 +1712,7 @@ def ewma_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rn in that user's timeline (same guard as watermark_lateness_
     # audit and peak_concurrency_report).
     ev = (
-        table(spark, sf_dir, "events")
+        table(spark, sf_dir, "events", fan_out=False)
         .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select(
             "event_id", "user_id", "event_type", "value",
@@ -1832,7 +1840,7 @@ def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     final division. One float division + one sqrt per TYPE, not per
     row; both rounded at the compare site on both engines."""
     ev = (
-        table(spark, sf_dir, "events")
+        table(spark, sf_dir, "events", fan_out=False)
         .where(F.col("value").isNotNull())
         .select(
             "event_type",

@@ -83,10 +83,10 @@ def orphan_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deliberate mismatch (nationkey vs regionkey) quantifies real
     orphan mass. Parent key-sets are distinct-projected and broadcast,
     so each audit is one streaming pass over the child table."""
-    lineitem = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer")
-    region = table(spark, sf_dir, "region")
+    lineitem = table(spark, sf_dir, "lineitem", fan_out=False)
+    orders = table(spark, sf_dir, "orders", fan_out=False)
+    customer = table(spark, sf_dir, "customer", fan_out=False)
+    region = table(spark, sf_dir, "region", fan_out=False)
     parts = [
         _orphan_row(
             lineitem, "l_orderkey", orders, "o_orderkey",
@@ -233,7 +233,7 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     window functions over the SAME custkey partitioning — one scan of
     orders, ONE wide shuffle, no self-join (a groupBy+join shape
     would scan the fact table twice and shuffle twice)."""
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders", fan_out=False)
     w_rank = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_orderdate"), F.desc("o_orderkey")
     )
@@ -314,7 +314,7 @@ def dynamic_partition_pruning_agg(
     import shutil
     import tempfile
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", fan_out=False)
     # ONE fixed per-process target, cleared at call start (the
     # storage_plans dpo_audit precedent): a fresh mkdtemp per call
     # leaked a full partitioned events copy per bench/test invocation.
@@ -409,7 +409,7 @@ def merge_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     and AQE's skew split covers hot keys. All money stays in integer
     cents (decimal_fidelity_agg policy); the 110/100 update is BIGINT
     division on both engines, truncation identical."""
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders", fan_out=False)
     # round-ok: scale-0 cents recovery — 2-dp money ×100 is within
     # 1 ulp of an integer, 0.5 margin from any half boundary.
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
@@ -584,10 +584,10 @@ def late_dimension_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one status-keyed aggregate. No fact-side shuffle before the
     final ≤|statuses|-row agg, so the backfill audit costs one scan at
     any fact-table scale."""
-    orders = table(spark, sf_dir, "orders").select(
+    orders = table(spark, sf_dir, "orders", fan_out=False).select(
         "o_custkey", "o_orderstatus"
     )
-    customer = table(spark, sf_dir, "customer")
+    customer = table(spark, sf_dir, "customer", fan_out=False)
     full_dim = (
         customer.where(F.col("c_custkey") % NEVER_DIM_MOD != 0)
         .select(F.col("c_custkey").alias("fd_key"))
@@ -698,7 +698,7 @@ def id_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-broadcastable), one 1-row rollup. No sort, no window, no
     join wider than a singleton."""
     ev = (
-        table(spark, sf_dir, "events")
+        table(spark, sf_dir, "events", fan_out=False)
         .where(F.col("event_id") % ID_LOSS_MOD != 17)
         .select(F.col("event_id").alias("id"))
     )

@@ -74,7 +74,7 @@ def temperature_mix_allocation(
     aggregate (map-side combine over ≤|sources| keys) plus a broadcast
     1-row total; pow() is rounded at one site and summed as DECIMAL so
     both engines see identical doubles."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     per_source = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tx.token_count("text")).cast("bigint").alias("tokens"),
@@ -135,7 +135,7 @@ def effective_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup on source over the already-partitioned frame. Token counts
     per copy are identical, so MIN(tok) == the per-text count on both
     engines."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     uniq = docs.groupBy(
         "source", tx.md5_hex("text").alias("h")
     ).agg(
@@ -189,7 +189,7 @@ def quality_dedup_correlation(
     corpus), the fraction of docs whose exact text occurs more than
     once. Two hash shuffles (text-hash dup counts; bucket rollup);
     the dup-count frame joins back on the hash key it was built on."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     scored = docs.select(
         "doc_id",
         tx.md5_hex("text").alias("h"),

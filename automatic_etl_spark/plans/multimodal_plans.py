@@ -48,7 +48,7 @@ def _sql_hexval(digit: str) -> str:
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     feats = extract_features(make_blob_table(docs))
     return feats.groupBy("fmt").agg(
         F.count("*").alias("cnt"),
@@ -89,7 +89,7 @@ def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features_arrow,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     feats = extract_features_arrow(make_blob_table(docs))
     return feats.groupBy("fmt").agg(
         F.count("*").alias("cnt"),

@@ -59,7 +59,7 @@ def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject over the token aggregate) and BROADCASTS to
     the coverage join, so the corpus-side token stream never
     shuffles twice."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     toks = docs.select(
         "source", F.explode(tx.tokens("text")).alias("tok")
     )
@@ -138,7 +138,7 @@ def pii_column_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts = []
     for t, c in _PII_COLUMNS:
-        df = table(spark, sf_dir, t)
+        df = table(spark, sf_dir, t, fan_out=False)
         hit = F.col(c).cast("string").rlike(_PII_VALUE_RE)
         parts.append(
             df.agg(
@@ -200,7 +200,7 @@ def join_size_estimate_report(
     breaks that assumption per bucket — the diagnostic for when an
     optimizer's join-order choice can't be trusted and hints/stats
     are needed. Two aggregates, the second over the first's keys."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem", fan_out=False)
     per_key = li.groupBy(F.col("l_partkey").alias("k")).agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -286,7 +286,7 @@ def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     conventions)."""
     from automatic_etl_spark.functions import vectors as vec
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", fan_out=False)
     ex = emb.select(
         "vec_id",
         "label",

@@ -132,7 +132,7 @@ def grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouped_count_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        table(spark, sf_dir, "events")
+        table(spark, sf_dir, "events", fan_out=False)
         .groupBy("user_id", "event_type")
         .agg(F.count("*").alias("cnt"))
     )
@@ -199,7 +199,7 @@ def recent_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst plans TakeOrderedAndProject: per-partition top-N, then a
     # single-partition merge of N·num_partitions rows — no full sort.
     return (
-        table(spark, sf_dir, "events")
+        table(spark, sf_dir, "events", fan_out=False)
         .select("event_id", "ts", "user_id", "event_type")
         .orderBy(F.desc("ts"), F.desc("event_id"))
         .limit(10)
@@ -380,7 +380,7 @@ def left_join_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automatic_etl_spark.operators.audit import reconcile_counts
 
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders", fan_out=False)
     sink = orders.filter(F.col("o_orderkey") % 97 != 0)
     return reconcile_counts(orders, sink, key="o_orderstatus", key_alias="status")
 
@@ -454,7 +454,7 @@ def flagship_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single shuffle on (user_id, event_type) for the window; the rollup
     re-shuffles on (event_date, event_type) with map-side partial agg.
     """
-    events = table(spark, sf_dir, "events")
+    events = table(spark, sf_dir, "events", fan_out=False)
     latest = latest_version(
         events,
         keys=("user_id", "event_type"),
@@ -508,7 +508,7 @@ def dedup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        table(spark, sf_dir, "lineitem")
+        table(spark, sf_dir, "lineitem", fan_out=False)
         .rollup("l_returnflag", "l_linestatus")
         .agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("cnt"))
     )
@@ -594,7 +594,7 @@ def daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     daily = (
-        table(spark, sf_dir, "events")
+        table(spark, sf_dir, "events", fan_out=False)
         .groupBy(F.to_date("ts").alias("d"))
         .agg(F.sum(micro_long("value", 1e2)).alias("rev"))
     )
@@ -689,7 +689,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT micro-unit sums would themselves need DECIMAL(38,0)
     accumulators past ~9e18 micros; the render-as-canonical-string
     path (decimal_fidelity_agg) is the convention there."""
-    li = table(spark, sf_dir, "lineitem").filter(
+    li = table(spark, sf_dir, "lineitem", fan_out=False).filter(
         F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -1130,7 +1130,7 @@ def asof_join_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     it; reports match coverage and total signup→purchase lag."""
     from automatic_etl_spark.operators.asof import as_of_join
 
-    events = table(spark, sf_dir, "events")
+    events = table(spark, sf_dir, "events", fan_out=False)
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -1175,7 +1175,7 @@ def asof_join_forward_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     against DuckDB's native ASOF JOIN with the <= inequality."""
     from automatic_etl_spark.operators.asof import as_of_join_forward
 
-    events = table(spark, sf_dir, "events")
+    events = table(spark, sf_dir, "events", fan_out=False)
     signups = events.filter(F.col("event_type") == "signup").select(
         "event_id", "user_id", "ts"
     )
@@ -1227,7 +1227,7 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automatic_etl_spark.operators.rangejoin import range_join
 
     hour_ms = 3_600_000
-    events = table(spark, sf_dir, "events")
+    events = table(spark, sf_dir, "events", fan_out=False)
     points = events.select(
         "event_id", "value", F.unix_millis("ts").alias("ts_ms")
     )
@@ -1270,7 +1270,7 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = table(spark, sf_dir, "events")
+    events = table(spark, sf_dir, "events", fan_out=False)
     return (
         events.rollup(
             F.date_trunc("month", "ts").alias("month_b"),
@@ -1763,11 +1763,11 @@ def priority_semi_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lineitem — column pruning drops the other 10 columns at the
     scan. (Q4's l_commitdate < l_receiptdate predicate is re-expressed
     on l_returnflag; the testdata schema has no commit/receipt dates.)"""
-    orders = table(spark, sf_dir, "orders").filter(
+    orders = table(spark, sf_dir, "orders", fan_out=False).filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
-    returned = table(spark, sf_dir, "lineitem").filter(
+    returned = table(spark, sf_dir, "lineitem", fan_out=False).filter(
         F.col("l_returnflag") == "R"
     )
     return (
@@ -1801,8 +1801,8 @@ def inactive_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (predicate pushdown to its scan), so the anti join probes a
     small build side; at cluster scale AQE keeps it broadcast as long
     as the filtered side fits, else falls back to shuffle anti join."""
-    customer = table(spark, sf_dir, "customer")
-    recent_finished = table(spark, sf_dir, "orders").filter(
+    customer = table(spark, sf_dir, "customer", fan_out=False)
+    recent_finished = table(spark, sf_dir, "orders", fan_out=False).filter(
         (F.col("o_orderstatus") == "F")
         & (
             F.col("o_orderdate")
@@ -1847,7 +1847,7 @@ def groupwise_max_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     form); doubles compare exactly so no rounding is needed."""
     from pyspark.sql import Window
 
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders", fan_out=False)
     w = Window.partitionBy("o_orderpriority")
     return (
         orders.withColumn("__mx", F.max("o_totalprice").over(w))
@@ -1889,7 +1889,7 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare. Top-N is TakeOrderedAndProject; tiebreak pinned on
     o_orderkey."""
     big = (
-        table(spark, sf_dir, "lineitem")
+        table(spark, sf_dir, "lineitem", fan_out=False)
         .groupBy("l_orderkey")
         .agg(F.sum(micro_long("l_quantity", 1e2)).alias("__qty"))
         .filter(F.col("__qty") > 30000)
@@ -1898,8 +1898,8 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__qty").cast("double") / F.lit(1e2)).alias("total_qty"),
         )
     )
-    orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders", fan_out=False)
+    customer = table(spark, sf_dir, "customer", fan_out=False)
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
@@ -2490,7 +2490,7 @@ def sql_pipe_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, verified against the classic-SQL oracle."""
     from automatic_etl_spark.sources.parquet import register_views
 
-    register_views(spark, sf_dir, names=("events",))
+    register_views(spark, sf_dir, names=("events",), fan_out=False)
     return spark.sql(
         """
         FROM events
@@ -2552,7 +2552,7 @@ def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-division spelling differs (div vs //)."""
     from automatic_etl_spark.sources.parquet import register_views
 
-    register_views(spark, sf_dir, names=("events",))
+    register_views(spark, sf_dir, names=("events",), fan_out=False)
     return spark.sql(
         """
         WITH RECURSIVE uc AS (
@@ -2604,7 +2604,7 @@ def collated_group_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case-insensitive grouping via UTF8_LCASE collation over a
     deterministically case-mangled event_type column: the collated
     group must reunite what the mangling split."""
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", fan_out=False)
     mangled = ev.select(
         "user_id",
         F.when(
@@ -2662,7 +2662,7 @@ def parameterized_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL text."""
     from automatic_etl_spark.sources.parquet import register_views
 
-    register_views(spark, sf_dir, names=("orders",))
+    register_views(spark, sf_dir, names=("orders",), fan_out=False)
     return spark.sql(
         """
         SELECT o_orderpriority,
@@ -2706,7 +2706,7 @@ def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pinned tie order."""
     from automatic_etl_spark.sources.parquet import register_views
 
-    register_views(spark, sf_dir, names=("events",))
+    register_views(spark, sf_dir, names=("events",), fan_out=False)
     return spark.sql(
         """
         SELECT l.event_type, l.event_id, l.value
@@ -2748,8 +2748,8 @@ def shuffle_hash_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders ⋈ customer under a SHUFFLE_HASH hint (broadcast
     disabled for the build side via the hint), aggregated per market
     segment — same values as any strategy, pinned plan shape."""
-    orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer").select(
+    orders = table(spark, sf_dir, "orders", fan_out=False)
+    customer = table(spark, sf_dir, "customer", fan_out=False).select(
         "c_custkey", "c_mktsegment"
     )
     joined = orders.join(
@@ -2790,7 +2790,7 @@ def string_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     that keeps ordered string aggregation safe at scale."""
     from automatic_etl_spark.sources.parquet import register_views
 
-    register_views(spark, sf_dir, names=("nation",))
+    register_views(spark, sf_dir, names=("nation",), fan_out=False)
     return spark.sql(
         """
         SELECT n_regionkey AS regionkey,
@@ -2824,7 +2824,7 @@ def group_by_all_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     can port their queries verbatim."""
     from automatic_etl_spark.sources.parquet import register_views
 
-    register_views(spark, sf_dir, names=("events",))
+    register_views(spark, sf_dir, names=("events",), fan_out=False)
     return spark.sql(
         """
         SELECT event_type,
@@ -2890,7 +2890,7 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant shuffle)."""
     from automatic_etl_spark.operators.asof import as_of_join_tolerance
 
-    events = table(spark, sf_dir, "events")
+    events = table(spark, sf_dir, "events", fan_out=False)
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )

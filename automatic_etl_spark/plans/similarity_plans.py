@@ -416,7 +416,7 @@ def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to DuckDB's list_dot_product."""
     from automatic_etl_spark.functions import vectors as vec
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", fan_out=False)
     v = vec.to_double_array("embedding")
     per = emb.select(
         "label",
@@ -637,7 +637,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines rank identical values."""
     from automatic_etl_spark.functions import vectors as vec
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", fan_out=False)
     prepared = emb.select(
         "vec_id", vec.to_double_array("embedding").alias("v")
     )

@@ -157,7 +157,9 @@ def text_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture docs are newline-free so the roundtrip is lossless."""
     from automatic_etl_spark.functions import text as tx
 
-    docs = table(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    docs = table(spark, sf_dir, "documents", fan_out=False).select(
+        F.col("text").alias("value")
+    )
     path = scratch_dir("text_src") + "/docs_txt"
     files.write_text(docs, path)
     back = files.read_text(spark, path)
@@ -348,7 +350,7 @@ def compaction_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket (n_files, rows) from ``input_file_name()``. n_files
     must be exactly 1 per bucket — the compaction contract the write
     pattern guarantees."""
-    ev = table(spark, sf_dir, "events").withColumn(
+    ev = table(spark, sf_dir, "events", fan_out=False).withColumn(
         "bucket", (F.col("event_id") % AUDIT_BUCKETS).cast("int")
     )
     target = scratch_dir("compact_audit")
@@ -401,7 +403,7 @@ def corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back with an explicit schema in PERMISSIVE mode +
     _corrupt_record, and report (status, cnt, id_total) where corrupt
     lines quarantine under '__corrupt__' with all fields null."""
-    ev = table(spark, sf_dir, "events").select(
+    ev = table(spark, sf_dir, "events", fan_out=False).select(
         "event_id", "event_type", "value"
     )
     line = F.to_json(F.struct("event_id", "event_type", "value"))
@@ -506,7 +508,7 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def xml_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → XML on disk → explicit-schema read-back → aggregate.
     Proves the native XML roundtrip is representation-exact."""
-    events = table(spark, sf_dir, "events").select(
+    events = table(spark, sf_dir, "events", fan_out=False).select(
         "event_id",
         "user_id",
         "event_type",
@@ -609,7 +611,7 @@ def minmax_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-ms arithmetic end-to-end; the only double is the final
     rounded ratio pair."""
     ev = (
-        table(spark, sf_dir, "events")
+        table(spark, sf_dir, "events", fan_out=False)
         .where(F.col("ts").isNotNull())
         .select("event_id", F.unix_millis("ts").alias("ms"))
     )
@@ -714,7 +716,7 @@ def dynamic_partition_overwrite_agg(
     ``overwritePartitions()`` API instead of the conf)."""
     from automatic_etl_spark.scratch import scratch_dir
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events", fan_out=False)
     # ONE fixed per-(process, site) target, cleared at call start: a
     # fresh mkdtemp per call leaked one tree per bench/test invocation,
     # and deleting it before returning forced a localCheckpoint that

@@ -94,7 +94,7 @@ _SQL_FINGERPRINT = (
     """,
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     return docs.groupBy("lang").agg(
         F.count("*").alias("doc_cnt"),
         F.sum(tx.token_count("text")).alias("ws_tokens"),
@@ -256,7 +256,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     final shuffle)."""
     from pyspark.sql import Window
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     toks = docs.select(
         "lang", "doc_id", F.explode(tx.tokens("text")).alias("term")
     )
@@ -328,7 +328,7 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     also works as a partition key for the export write."""
     from automatic_etl_spark.operators import sketch as sk
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     h = tx.md5_hex(F.concat(F.lit("split|"), F.col("doc_id").cast("string")))
     bucket = (
         sk._hex_val(F.substring(h, 1, 1)) * 16
@@ -396,7 +396,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = (
-        table(spark, sf_dir, "documents")
+        table(spark, sf_dir, "documents", fan_out=False)
         .select("doc_id", "lang", "text")
         .filter(F.col("doc_id") < PLANT_OFFSET)
     )
@@ -508,7 +508,7 @@ def gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed aggregate. Ratio comparisons divide as double with the
     identical guard (greatest(n,1)) on both engines; indicators are
     integers thereafter, so the aggregate is exact."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     words = tx.tokens("text")
     n = F.size(words).cast("bigint")
     sumlen = F.aggregate(

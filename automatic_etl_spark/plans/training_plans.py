@@ -82,7 +82,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     efficiency that overflow costs. Integer arithmetic end to end
     (cumsum DIV budget); the one double is a division of identical
     integer operands on both engines."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     sized = docs.select(
         "doc_id",
         F.pmod("doc_id", F.lit(PACK_BUCKETS)).alias("bucket"),
@@ -330,7 +330,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-bucketed fingerprint index — the join is fp-keyed with the
     batch (small side) driving; Spark injects a bloom filter on the
     corpus scan under AQE. One fp shuffle + one tiny lang rollup."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     corpus = docs.filter(F.col("doc_id") % 5 != 4)
     batch = (
         docs.filter(F.col("doc_id") % 5 == 4)
@@ -441,7 +441,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     both snapshots bucket by the key so the join is co-located
     (no shuffle when bucketing matches); output is a 4-row rollup."""
     a = (
-        table(spark, sf_dir, "orders")
+        table(spark, sf_dir, "orders", fan_out=False)
         .select("o_orderkey", "o_totalprice")
         .filter(F.col("o_orderkey") < _DIFF_SHIFT)
     )
@@ -693,8 +693,8 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB, not one per constraint (a naive per-check union re-scans
     the fact table once per constraint; Catalyst does NOT merge those
     scans)."""
-    orders = table(spark, sf_dir, "orders")
-    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders", fan_out=False)
+    lineitem = table(spark, sf_dir, "lineitem", fan_out=False)
 
     orders_agg = orders.agg(
         F.count("*").alias("total"),
@@ -888,7 +888,7 @@ def python_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("r6_chunker", Chunker)
     from automatic_etl_spark.sources.parquet import register_views
 
-    register_views(spark, sf_dir, names=("documents",))
+    register_views(spark, sf_dir, names=("documents",), fan_out=False)
     return spark.sql(
         """
         SELECT c.chunk_idx,
@@ -972,7 +972,7 @@ def length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2^29 boundary on Spark's side (caught by the exhaustive
     power-of-two sweep in tests/test_ops_pack6.py) and the engines'
     libm results need not agree with each other."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     toks = docs.select(
         "doc_id",
         F.greatest(

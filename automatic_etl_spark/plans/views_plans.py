@@ -55,7 +55,7 @@ def analytics_view_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 timestamp helper + P4/P5 best-effort string date (with the
     DD-MM-YYYY fallback branch exercised) through the real view
     generator."""
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders", fan_out=False)
     k = F.col("o_orderkey") % 4
     base = orders.select(
         "o_orderkey",

@@ -157,11 +157,19 @@ def load_tables(
 
 
 def register_views(
-    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TABLES,
+    fan_out: bool = True,
 ) -> None:
-    """Expose the fixture tables to Spark SQL as temp views."""
+    """Expose the fixture tables to Spark SQL as temp views.
+
+    ``fan_out=False`` for SQL-surface consumers whose plan is
+    filter/join/agg only — same per-callsite rule as ``table()``."""
     for name in names:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+        table(spark, sf_dir, name, fan_out=fan_out).createOrReplaceTempView(
+            name
+        )
 
 
 def read_merged(spark: SparkSession, path: str) -> DataFrame:

@@ -90,7 +90,7 @@ PINNED: dict[str, dict[str, int]] = {
     },
     "cube_sales_margins": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 1,
     },
     # per-row HOFs only: the single exchange is the label aggregate
     "higher_order_array_ops": {
@@ -154,7 +154,7 @@ PINNED: dict[str, dict[str, int]] = {
     # fixture fan-out repartitions (no-ops at cluster scale)
     "merge_three_way": {
         "bhj": 0, "smj": 1, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 5,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 3,
     },
     "incremental_dedup": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
@@ -232,7 +232,7 @@ PINNED: dict[str, dict[str, int]] = {
     },
     "late_dimension_backfill": {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 4,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 3,
     },
     # the bnlj pair is the broadcast 1-row bounds frame (a cross join
     # with a singleton — the cheap kind); keyed joins must stay absent
@@ -290,7 +290,7 @@ PINNED: dict[str, dict[str, int]] = {
     },
     "pricing_summary": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 1,
     },
     # top-N must plan as TakeOrderedAndProject, never global sort
     "recent_n": {
@@ -309,7 +309,7 @@ PINNED: dict[str, dict[str, int]] = {
     },
     "rollup_agg": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 1,
     },
     "semdedup_prune": {
         "bhj": 1, "smj": 1, "shj": 0, "bnlj": 0,
@@ -327,7 +327,7 @@ PINNED: dict[str, dict[str, int]] = {
     # exercising the shuffled-hash strategy
     "shuffle_hash_join_agg": {
         "bhj": 0, "smj": 0, "shj": 1, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 4,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 3,
     },
     # broadcast eval spans (bhj for the audit join, bnlj for the
     # contains probe) — the corpus itself never shuffles pre-agg
@@ -357,7 +357,7 @@ PINNED: dict[str, dict[str, int]] = {
     },
     "parameterized_sql_surface": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 1,
     },
     "python_datasource_scan": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
@@ -400,7 +400,7 @@ PINNED: dict[str, dict[str, int]] = {
     },
     "functional_dependency_audit": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 12, "exch": 10,
+        "wgl": 0, "topN": 0, "partialAgg": 12, "exch": 9,
     },
     # parent key-sets broadcast (bhj=4); smj/shj here would mean a
     # dimension stopped broadcasting
@@ -440,7 +440,7 @@ PINNED: dict[str, dict[str, int]] = {
     # fact-table shuffle crept into what must be a streaming pass
     "orphan_fk_audit": {
         "bhj": 3, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 9,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 6,
     },
     # smj=1 pinned by the merge hint — the shuffle-join path the
     # runtime bloom filter exists for (injection itself is asserted
@@ -454,7 +454,7 @@ PINNED: dict[str, dict[str, int]] = {
     # plus the local fan-out shim
     "golden_record_merge": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 0, "exch": 2,
+        "wgl": 0, "topN": 0, "partialAgg": 0, "exch": 1,
     },
     # --- mixing pack ---
     # source-keyed agg materialized; 1-row total enters as a broadcast
@@ -500,7 +500,7 @@ PINNED: dict[str, dict[str, int]] = {
     },
     "join_size_estimate_report": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 3,
+        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 2,
     },
     # centroid frame joins pre-checkpoint; the visible bhj is the
     # label-stats broadcast back onto the materialized distance frame
@@ -534,7 +534,7 @@ PINNED.update({
     },
     "dq_constraint_report": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 8,
+        "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 4,
     },
     "dq_metric_drift": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 2,
@@ -602,7 +602,7 @@ PINNED.update({
     # bounded by |distinct keys|, the price of NULL keys reconciling
     "reconciliation": {
         "bhj": 0, "smj": 1, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 6,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 4,
     },
     # r7: EXCEPT is subtract() (left-anti + distinct in one operator)
     # instead of exceptAll().distinct() — three fewer exchanges
@@ -616,11 +616,11 @@ PINNED.update({
     },
     "snapshot_diff": {
         "bhj": 0, "smj": 1, "shj": 0, "bnlj": 0,
-        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 6,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 3,
     },
     "time_gap_fill": {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 1,
-        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 6,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 3,
     },
     # r7: fan_out=False on the count-only scans dropped the two
     # fan-out repartition exchanges — COUNT(*) answers from footers
