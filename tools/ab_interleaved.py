@@ -147,10 +147,50 @@ def _patch_no_fanout(enable: bool):
             mod.table = parquet.table
 
 
+def _patch_gram_bind(enable: bool):
+    """A arm: legacy gram builders that re-evaluate ``tokens(text)``
+    inside the transform lambda per element; B arm: the committed
+    ``_bind_array`` form (tokens evaluated once per row)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    from automatic_etl_spark.functions import text as tx
+
+    if not hasattr(tx, "_orig_shingles"):
+        tx._orig_shingles = tx.shingles
+        tx._orig_word_ngrams = tx.word_ngrams
+
+    def _legacy_grams(c, n, distinct):
+        toks = tx.tokens(c)
+        count = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), count - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+        if distinct:
+            grams = F.array_distinct(grams)
+        return F.when(count >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    if enable:
+        tx.shingles = tx._orig_shingles
+        tx.word_ngrams = tx._orig_word_ngrams
+    else:
+        tx.shingles = lambda c, n=3: _legacy_grams(c, n, True)
+        tx.word_ngrams = lambda c, n=2: _legacy_grams(c, n, False)
+
+
 EXPERIMENTS = {
     "shingle_ckpt": (
         lambda: _patch_shingle_checkpoint(False),
         lambda: _patch_shingle_checkpoint(True),
+    ),
+    "gram_bind": (
+        lambda: _patch_gram_bind(False),
+        lambda: _patch_gram_bind(True),
     ),
     "cc_sym": (
         lambda: _patch_cc(False),
