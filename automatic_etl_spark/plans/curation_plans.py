@@ -50,7 +50,7 @@ def _chain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id < PLANT_OFFSET clamp: see dedup_plans.PLANT_OFFSET — the
     # planted id spaces must stay collision-free at any table size.
     docs = (
-        table(spark, sf_dir, "documents")
+        table(spark, sf_dir, "documents", fan_out=False)
         .select("doc_id", "text", "lang")
         .filter(F.col("doc_id") < PLANT_OFFSET)
     )
@@ -491,7 +491,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyboard mash, model loops score high). Entirely array expressions
     inside codegen: no explode, no extra shuffle beyond the final tiny
     groupBy."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     g = tx.word_ngrams("text", 2)
     scored = docs.select(
         "lang",
@@ -628,7 +628,7 @@ def ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     side never shuffles; here Spark's planner picks broadcast because
     the bench side is under the 64 MB threshold. The planted sentence
     guarantees non-trivial flagged rows."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     planted = docs.select(
         "doc_id",
         "lang",
@@ -1411,7 +1411,7 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_surprisal_micros`), so both engines aggregate identical
     BIGINTs. Docs under 2 tokens have no bigrams and drop from
     scoring (fixture min is 10 tokens)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", fan_out=False)
     bg = docs.select(
         "doc_id", "lang", F.explode(tx.word_ngrams("text", 2)).alias("bigram")
     )

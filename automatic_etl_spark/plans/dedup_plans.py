@@ -343,7 +343,7 @@ def minhash_lsh_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the harness reality and the pinned assumption here
     (tests/test_matview_sig_dir.py).
     """
-    corpus = _corpus(spark, sf_dir, near_dups=True)
+    corpus = _corpus(spark, sf_dir, near_dups=True, fan_out=False)
     sig_dir = _matview_sig_dir(sf_dir)
     # One shingle build for BOTH the signature writer and the Jaccard
     # verify (r14): previously each derived its own shingle frame, and
@@ -645,7 +645,7 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (err_bucket, cnt, est_total, exact_total), bucket = floor(|est −
     exact|·10) capped at 9. est and exact both reduce to integer
     counts over the same hashes, so buckets are engine-exact."""
-    corpus = _corpus(spark, sf_dir, near_dups=True)
+    corpus = _corpus(spark, sf_dir, near_dups=True, fan_out=False)
     # Materialized once (r14): the signature build and jaccard_pairs'
     # three consumers re-derive the shingle subtree otherwise
     # (interleaved A/B at sf0.1: median 3.01→2.79 s).
