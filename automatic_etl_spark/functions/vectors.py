@@ -30,7 +30,15 @@ def _col(c: Column | str) -> Column:
 
 
 def to_double_array(c: Column | str) -> Column:
-    return F.transform(_col(c), lambda x: x.cast("double"))
+    """``array<float>`` → ``array<double>`` as a plain Cast, not a
+    ``transform`` lambda (r14): Cast on an array type casts each
+    element with the SAME float→double conversion the old per-element
+    lambda applied (value-identical), but evaluates as one native
+    array loop instead of an interpreted lambda dispatch per element —
+    and on an already-double input SimplifyCasts removes it entirely,
+    which makes :func:`dot`'s defensive re-cast free in every pair
+    scorer (it used to copy both 64-element arrays per PAIR)."""
+    return _col(c).cast("array<double>")
 
 
 def dot(a: Column | str, b: Column | str) -> Column:

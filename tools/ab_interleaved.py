@@ -183,7 +183,31 @@ def _patch_gram_bind(enable: bool):
         tx.word_ngrams = lambda c, n=2: _legacy_grams(c, n, False)
 
 
+def _patch_vec_cast(enable: bool):
+    """A arm: legacy ``to_double_array`` = transform(x -> cast(x)) —
+    an interpreted lambda per element, re-run per PAIR inside dot();
+    B arm: the committed plain array Cast (codegen'd, and simplified
+    away entirely on already-double input)."""
+    from pyspark.sql import functions as F
+
+    from automatic_etl_spark.functions import vectors
+
+    if not hasattr(vectors, "_orig_to_double_array"):
+        vectors._orig_to_double_array = vectors.to_double_array
+
+    def _legacy(c):
+        return F.transform(vectors._col(c), lambda x: x.cast("double"))
+
+    vectors.to_double_array = (
+        vectors._orig_to_double_array if enable else _legacy
+    )
+
+
 EXPERIMENTS = {
+    "vec_cast": (
+        lambda: _patch_vec_cast(False),
+        lambda: _patch_vec_cast(True),
+    ),
     "shingle_ckpt": (
         lambda: _patch_shingle_checkpoint(False),
         lambda: _patch_shingle_checkpoint(True),
