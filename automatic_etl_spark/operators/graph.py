@@ -133,7 +133,18 @@ def connected_components(
                 .cast("int")
                 .alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (r14): the convergence probe right below
+            # is the materializing action — its partial-agg map stage
+            # computes every partition exactly once and persists the
+            # blocks as it goes, so eager=True's separate count job per
+            # round bought nothing. (Lazy is only safe when the FIRST
+            # consumer reads the frame exactly once: the probe does;
+            # `edges`/`labels` above stay eager because their first
+            # consumer reads them from two concurrent stages, which
+            # would compute the subtree twice.) One scheduler barrier
+            # per round removed — on the spiky sandbox VM each job is
+            # also one more draw from the multi-second-stall tail.
+            .localCheckpoint(eager=False)
         )
         changed = relabeled.agg(F.sum("changed")).first()[0] or 0
         # the new checkpoint is materialized — the previous round's

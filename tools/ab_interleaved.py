@@ -183,6 +183,30 @@ def _patch_gram_bind(enable: bool):
         tx.word_ngrams = lambda c, n=2: _legacy_grams(c, n, False)
 
 
+def _patch_cc_lazy(enable: bool):
+    """A arm: per-round relabeled checkpoint EAGER (legacy — a
+    dedicated count job per round); B arm: committed lazy checkpoint
+    (the convergence probe materializes it)."""
+    from automatic_etl_spark.operators import graph
+
+    if not hasattr(graph, "_orig_cc_lazy"):
+        import inspect
+        import textwrap
+
+        src = inspect.getsource(graph.connected_components)
+        graph._orig_cc_lazy = graph.connected_components
+        legacy_src = src.replace(".localCheckpoint(eager=False)",
+                                 ".localCheckpoint(eager=True)")
+        ns = dict(graph.__dict__)
+        exec(textwrap.dedent(legacy_src), ns)  # noqa: S102 — A/B harness only
+        graph._legacy_cc = ns["connected_components"]
+
+    from automatic_etl_spark.plans import curation_plans
+
+    fn = graph._orig_cc_lazy if enable else graph._legacy_cc
+    curation_plans.connected_components = fn
+
+
 def _patch_vec_cast(enable: bool):
     """A arm: legacy ``to_double_array`` = transform(x -> cast(x)) —
     an interpreted lambda per element, re-run per PAIR inside dot();
@@ -207,6 +231,10 @@ EXPERIMENTS = {
     "vec_cast": (
         lambda: _patch_vec_cast(False),
         lambda: _patch_vec_cast(True),
+    ),
+    "cc_lazy": (
+        lambda: _patch_cc_lazy(False),
+        lambda: _patch_cc_lazy(True),
     ),
     "shingle_ckpt": (
         lambda: _patch_shingle_checkpoint(False),
