@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from automatic_etl_spark.functions import text as tx
 from automatic_etl_spark.functions import vectors as vec
 from automatic_etl_spark.operators import quantiles as qt
+from automatic_etl_spark.operators.graph import _release_checkpoint
 from automatic_etl_spark.operators import similarity as sim
 from automatic_etl_spark.plans.registry import register
 from automatic_etl_spark.plans.relational import qround
@@ -441,10 +442,49 @@ def fuzzy_match_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_DAMP = 0.85
 
 
-def _pr_iterate(ranks: DataFrame, sym: DataFrame, deg: DataFrame) -> DataFrame:
+def _pr_edges_iterate_ready(edges: DataFrame) -> DataFrame:
+    """(src, dst, d): the symmetrized, DEGREE-ANNOTATED edge list,
+    materialized once.
+
+    Two steps, both r14-motivated. (1) Materialize the symmetrized
+    edge list: the lazy subtree is otherwise re-evaluated by deg +
+    both rank rounds (~6 edge builds — A/B measured 2.4x slower at
+    sf0.1); same lineage-truncation policy as connected_components
+    (operators/graph.py). (2) Attach each src's out-degree to the edge
+    row at materialization time, so a rank iteration is ONE join
+    (ranks onto edges) instead of the 3-way sym ⋈ ranks ⋈ deg — the
+    deg groupBy+join used to re-run inside BOTH rank rounds. The
+    iterate-ready (src, dst, d) table is the standard shape a
+    production loop writes once and re-reads per iteration; the
+    superseded bare-edge checkpoint is released immediately."""
+    sym_bare = (
+        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(
+            edges.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = sym_bare.groupBy("src").agg(F.count("*").alias("d"))
+    sym = sym_bare.join(deg, "src").localCheckpoint(eager=True)
+    _release_checkpoint(sym_bare)
+    return sym
+
+
+def _pr_iterate(ranks: DataFrame, sym: DataFrame) -> DataFrame:
     """One PageRank round without the teleport term:
     (node, r) -> (node, r') where r' = 0.85 * sum of in-contributions;
     the caller adds 0.15/N (it owns the broadcast N singleton).
+
+    ``sym`` is the DEGREE-ANNOTATED symmetrized edge list
+    (src, dst, d) — the caller attaches each source's out-degree to
+    the edge row once, at materialization time (r14), so an iteration
+    is ONE join (ranks onto edges) + one (dst)-keyed groupBy instead
+    of a 3-way join: the per-iteration deg groupBy + join that used to
+    run twice per action now runs once total. The contribution
+    expression is unchanged — same r, same d, same division per
+    (edge, rank) — so the result is bit-identical.
 
     Per-edge contributions are quantized to integer NANO-units with
     the pinned IEEE expression floor(x*1e9 + 0.5) — NOT round(x, 9):
@@ -456,7 +496,6 @@ def _pr_iterate(ranks: DataFrame, sym: DataFrame, deg: DataFrame) -> DataFrame:
     nano sums are exact under any merge order or partitioning."""
     contribs = (
         sym.join(ranks, sym.src == ranks.node)
-        .join(deg, "src")
         .select(
             F.col("dst").alias("node"),
             F.floor(
@@ -567,21 +606,7 @@ def pagerank_two_iter(
         threshold=DEDUP_THRESHOLD,
         planes=planes,
     ).select("a_id", "b_id")
-    # Materialize the symmetrized edge list ONCE: the lazy subtree is
-    # otherwise re-evaluated by deg + both rank rounds (~6 edge builds
-    # — A/B measured 2.4x slower at sf0.1). Same lineage-truncation
-    # policy as connected_components (operators/graph.py); at cluster
-    # scale this is the "write the edge list, iterate over it" shape.
-    sym = (
-        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionAll(
-            edges.select(
-                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
-            )
-        )
-        .localCheckpoint(eager=True)
-    )
-    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    sym = _pr_edges_iterate_ready(edges)
     n_df = nodes.agg(F.count("*").cast("double").alias("n"))
 
     r0 = nodes.crossJoin(F.broadcast(n_df)).select(
@@ -589,13 +614,13 @@ def pagerank_two_iter(
     )
     base = F.lit(0.15) / F.col("n")
     r1 = (
-        _pr_iterate(r0, sym, deg)
+        _pr_iterate(r0, sym)
         .withColumnRenamed("r", "raw")
         .crossJoin(F.broadcast(n_df))
         .select("node", (base + F.col("raw")).alias("r"))
     )
     r2 = (
-        _pr_iterate(r1, sym, deg)
+        _pr_iterate(r1, sym)
         .withColumnRenamed("r", "raw")
         .crossJoin(F.broadcast(n_df))
         .select(

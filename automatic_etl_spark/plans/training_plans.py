@@ -167,6 +167,12 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (zipfian skew; AQE skew join applies) and the doc-keyed
     rollup; the corpus size is a broadcast scalar."""
     docs = table(spark, sf_dir, "documents")
+    # NOT checkpointed (r14 A/B, tools/ab_interleaved.py boiler_ckpt):
+    # grams has only TWO consumers and the token-bind fix made the
+    # explode front cheap, so materializing it measured +6% median at
+    # sf0.1 (block write + extra barrier job outweigh one saved
+    # explode) — unlike the 3-5-consumer minhash fronts where the
+    # same checkpoint won 12-24%.
     grams = docs.select(
         "doc_id", "lang",
         F.explode(tx.shingles("text", BOILER_N)).alias("g"),

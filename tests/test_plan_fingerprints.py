@@ -284,9 +284,12 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 3,
     },
+    # r14: degree-annotated edge list — the per-round deg groupBy+join
+    # collapsed into the one-time edge prep (bhj 6→4, partialAgg 4→3,
+    # exch 8→7)
     "pagerank_two_iter": {
-        "bhj": 6, "smj": 0, "shj": 0, "bnlj": 6,
-        "wgl": 0, "topN": 0, "partialAgg": 4, "exch": 8,
+        "bhj": 4, "smj": 0, "shj": 0, "bnlj": 6,
+        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 7,
     },
     "pricing_summary": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,

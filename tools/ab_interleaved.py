@@ -207,6 +207,102 @@ def _patch_cc_lazy(enable: bool):
     curation_plans.connected_components = fn
 
 
+def _swap_registry_source(mod, qname: str, transform_src):
+    """Build a source-rewritten variant of REGISTRY[qname]'s function
+    (decorator stripped, ``transform_src`` applied) and return
+    (original_fn, legacy_fn). The harness re-reads REGISTRY per run,
+    so experiments may swap the entry directly."""
+    import inspect
+    import textwrap
+
+    from automatic_etl_spark.plans.registry import REGISTRY
+
+    fn, _oracle = REGISTRY[qname]
+    orig_key, legacy_key = f"_orig_{qname}", f"_legacy_{qname}"
+    if not hasattr(mod, legacy_key):
+        src = textwrap.dedent(inspect.getsource(fn))
+        lines = src.splitlines()
+        start = next(i for i, l in enumerate(lines) if l.startswith("def "))
+        body = transform_src("\n".join(lines[start:]))
+        ns = dict(mod.__dict__)
+        exec(body, ns)  # noqa: S102 — A/B harness only
+        setattr(mod, orig_key, fn)
+        setattr(mod, legacy_key, ns[fn.__name__])
+    return getattr(mod, orig_key), getattr(mod, legacy_key)
+
+
+def _patch_boiler_ckpt(enable: bool):
+    """A arm: legacy boilerplate_ngrams (no gram checkpoint — the
+    explode front runs once per consumer); B arm: committed
+    checkpointed gram frame."""
+    from automatic_etl_spark.plans import training_plans as tp
+    from automatic_etl_spark.plans.registry import REGISTRY
+
+    orig, legacy = _swap_registry_source(
+        tp, "boilerplate_ngrams",
+        lambda s: s.replace(".localCheckpoint(eager=True)", ""),
+    )
+    REGISTRY["boilerplate_ngrams"] = (
+        orig if enable else legacy, REGISTRY["boilerplate_ngrams"][1]
+    )
+
+
+def _patch_pr_deg(enable: bool):
+    """A arm: legacy pagerank edge prep (bare sym checkpoint, deg
+    recomputed + 3-way join inside each rank round); B arm: the
+    committed degree-annotated edge list (one join per round)."""
+    from pyspark.sql import functions as F
+
+    from automatic_etl_spark.plans import enrichment_plans as ep
+
+    if not hasattr(ep, "_orig_pr_ready"):
+        ep._orig_pr_ready = ep._pr_edges_iterate_ready
+        ep._orig_pr_iterate = ep._pr_iterate
+
+    def _legacy_ready(edges):
+        return (
+            edges.select(
+                F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+            )
+            .unionAll(
+                edges.select(
+                    F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def _legacy_iterate(ranks, sym):
+        deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+        contribs = (
+            sym.join(ranks, sym.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(
+                    F.col("r") / F.col("d") * F.lit(1e9) + F.lit(0.5)
+                ).cast("long").alias("contrib_nanos"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib_nanos").alias("s_nanos"))
+        )
+        return ranks.select("node").join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(ep._PR_DAMP)
+                * (
+                    F.coalesce(F.col("s_nanos"), F.lit(0)).cast("double")
+                    / F.lit(1e9)
+                )
+            ).alias("r"),
+        )
+
+    ep._pr_edges_iterate_ready = (
+        ep._orig_pr_ready if enable else _legacy_ready
+    )
+    ep._pr_iterate = ep._orig_pr_iterate if enable else _legacy_iterate
+
+
 def _patch_vec_cast(enable: bool):
     """A arm: legacy ``to_double_array`` = transform(x -> cast(x)) —
     an interpreted lambda per element, re-run per PAIR inside dot();
@@ -235,6 +331,14 @@ EXPERIMENTS = {
     "cc_lazy": (
         lambda: _patch_cc_lazy(False),
         lambda: _patch_cc_lazy(True),
+    ),
+    "pr_deg": (
+        lambda: _patch_pr_deg(False),
+        lambda: _patch_pr_deg(True),
+    ),
+    "boiler_ckpt": (
+        lambda: _patch_boiler_ckpt(False),
+        lambda: _patch_boiler_ckpt(True),
     ),
     "shingle_ckpt": (
         lambda: _patch_shingle_checkpoint(False),
@@ -277,19 +381,21 @@ def main() -> int:
     import json
 
     for query in queries:
-        fn, _ = REGISTRY[query]
-        # warm both arms on the smallest fixture
+        # warm both arms on the smallest fixture. REGISTRY is re-read
+        # after every arm switch so experiments may swap the entry
+        # itself (source-rewritten variants), not just helpers.
         warm = "/root/testdata/sf0.001"
         try:
             for setv in (set_a, set_b):
                 setv()
-                fn(spark, warm).collect()
+                REGISTRY[query][0](spark, warm).collect()
 
             times: dict[str, list[float]] = {"A": [], "B": []}
             for i in range(pairs):
                 for arm, setv in (("A", set_a), ("B", set_b)):
                     setv()
                     _reset()
+                    fn = REGISTRY[query][0]
                     t0 = time.perf_counter()
                     fn(spark, sf_dir).collect()
                     times[arm].append(round(time.perf_counter() - t0, 3))
