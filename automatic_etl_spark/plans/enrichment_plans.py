@@ -618,6 +618,17 @@ def pagerank_two_iter(
         .withColumnRenamed("r", "raw")
         .crossJoin(F.broadcast(n_df))
         .select("node", (base + F.col("raw")).alias("r"))
+        # Materialize round 1 (r14): round 2 consumes r1 TWICE (the
+        # contribution join and the all-nodes spine), and nothing in
+        # the lazy chain guarantees exchange reuse across the two
+        # differently-projected branches — the captured plan carried
+        # the round-1 join+aggregate subtree twice (32 HashAggregate /
+        # 14 BroadcastExchange nodes pre-checkpoint, 18→8 parquet
+        # scans after). This is the docstring's own production-loop
+        # policy ("localCheckpoint each rank frame") applied to the
+        # unrolled form; eager because the two consumers would race a
+        # lazy materialization from concurrent stages.
+        .localCheckpoint(eager=True)
     )
     r2 = (
         _pr_iterate(r1, sym)

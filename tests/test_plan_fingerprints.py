@@ -284,12 +284,14 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 1, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 5, "exch": 3,
     },
-    # r14: degree-annotated edge list — the per-round deg groupBy+join
-    # collapsed into the one-time edge prep (bhj 6→4, partialAgg 4→3,
-    # exch 8→7)
+    # r14: degree-annotated edge list (the per-round deg groupBy+join
+    # collapsed into the one-time edge prep) + round-1 rank frame
+    # checkpointed (round 2's two consumers read blocks instead of
+    # re-deriving the round-1 subtree): bhj 6→2, bnlj 6→1,
+    # partialAgg 4→2, exch 8→5 in the returned (round-2) plan
     "pagerank_two_iter": {
-        "bhj": 4, "smj": 0, "shj": 0, "bnlj": 6,
-        "wgl": 0, "topN": 0, "partialAgg": 3, "exch": 7,
+        "bhj": 2, "smj": 0, "shj": 0, "bnlj": 1,
+        "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 5,
     },
     "pricing_summary": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,

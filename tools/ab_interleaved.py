@@ -247,6 +247,21 @@ def _patch_boiler_ckpt(enable: bool):
     )
 
 
+def _patch_pr_r1_ckpt(enable: bool):
+    """A arm: lazy r1 (round-2 re-derives round 1 in both consuming
+    branches); B arm: committed eager r1 checkpoint."""
+    from automatic_etl_spark.plans import enrichment_plans as ep
+    from automatic_etl_spark.plans.registry import REGISTRY
+
+    orig, legacy = _swap_registry_source(
+        ep, "pagerank_two_iter",
+        lambda src: src.replace(".localCheckpoint(eager=True)\n    )", "\n    )", 1),
+    )
+    REGISTRY["pagerank_two_iter"] = (
+        orig if enable else legacy, REGISTRY["pagerank_two_iter"][1]
+    )
+
+
 def _patch_pr_deg(enable: bool):
     """A arm: legacy pagerank edge prep (bare sym checkpoint, deg
     recomputed + 3-way join inside each rank round); B arm: the
@@ -335,6 +350,10 @@ EXPERIMENTS = {
     "pr_deg": (
         lambda: _patch_pr_deg(False),
         lambda: _patch_pr_deg(True),
+    ),
+    "pr_r1_ckpt": (
+        lambda: _patch_pr_r1_ckpt(False),
+        lambda: _patch_pr_r1_ckpt(True),
     ),
     "boiler_ckpt": (
         lambda: _patch_boiler_ckpt(False),
