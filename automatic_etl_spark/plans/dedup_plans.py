@@ -249,6 +249,12 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps a doc's shingles in one partition, so map-side partial mins
     # finish each doc before the shuffle.
     signatures = td.minhash_signatures(sh, NUM_HASHES)
+    # candidates deliberately NOT checkpointed (r14 A/B, cand_ckpt):
+    # the count and verify branches re-derive the distinct pair set,
+    # but AQE stage reuse already serves the expensive signature/band
+    # shuffles from cache (4 ReusedExchange in the executed plan), so
+    # materializing the tiny pair set measured +2% median at sf0.1 —
+    # the extra barrier job outweighs the saved post-shuffle agg.
     candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)
     verified = td.jaccard_pairs(sh, candidates=candidates).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD

@@ -231,6 +231,28 @@ def _swap_registry_source(mod, qname: str, transform_src):
     return getattr(mod, orig_key), getattr(mod, legacy_key)
 
 
+def _patch_cand_ckpt(enable: bool):
+    """A arm: lazy candidates (count + verify branches re-derive the
+    distinct pair set, leaning on AQE stage reuse); B arm: committed
+    eager candidates checkpoint."""
+    from automatic_etl_spark.plans import dedup_plans as dp
+    from automatic_etl_spark.plans.registry import REGISTRY
+
+    for q in ("minhash_lsh_dedup",):
+        orig, legacy = _swap_registry_source(
+            dp, q,
+            lambda src: src.replace(
+                "candidates = td.lsh_candidate_pairs(signatures, BANDS, ROWS_PER_BAND)",
+                "candidates = td.lsh_candidate_pairs(signatures, BANDS,"
+                " ROWS_PER_BAND).localCheckpoint(eager=True)",
+            ),
+        )
+        # NOTE inverted arms for this experiment: the committed code is
+        # the UNcheckpointed form (the A/B rejected the checkpoint), so
+        # enable=True keeps stock and the "legacy" arm is the variant.
+        REGISTRY[q] = (orig if enable else legacy, REGISTRY[q][1])
+
+
 def _patch_boiler_ckpt(enable: bool):
     """A arm: legacy boilerplate_ngrams (no gram checkpoint — the
     explode front runs once per consumer); B arm: committed
@@ -354,6 +376,10 @@ EXPERIMENTS = {
     "pr_r1_ckpt": (
         lambda: _patch_pr_r1_ckpt(False),
         lambda: _patch_pr_r1_ckpt(True),
+    ),
+    "cand_ckpt": (
+        lambda: _patch_cand_ckpt(False),
+        lambda: _patch_cand_ckpt(True),
     ),
     "boiler_ckpt": (
         lambda: _patch_boiler_ckpt(False),
