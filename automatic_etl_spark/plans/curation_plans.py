@@ -998,8 +998,16 @@ def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= RECALL_K)
         .select("q_id", "n_id", F.lit(1).alias("m"))
     )
+    # Broadcast the quantized top-K side deliberately (r14, guide
+    # §3.1): qt is ≤ |queries|·K rows BY CONSTRUCTION at any scale
+    # (the query set is a modulus sample, K is a constant), so the
+    # overlap join never needs a shuffle — and leaving the choice to
+    # AQE made the executed plan FLAP across runs (SMJ vs BHJ, exch
+    # 2↔4↔5) because the tiny window outputs sit right at the runtime
+    # conversion threshold; the flap is what kept this row unpinnable
+    # in tests/test_plan_fingerprints.py.
     return (
-        et.join(qt, ["q_id", "n_id"], "left")
+        et.join(F.broadcast(qt), ["q_id", "n_id"], "left")
         .groupBy("q_id")
         .agg(
             F.count("m").alias("overlap_cnt"),

@@ -293,6 +293,14 @@ PINNED: dict[str, dict[str, int]] = {
         "bhj": 2, "smj": 0, "shj": 0, "bnlj": 1,
         "wgl": 0, "topN": 0, "partialAgg": 2, "exch": 5,
     },
+    # r14: the quantized-topK overlap join is explicitly broadcast
+    # (qt ≤ |queries|·K rows by construction) — pre-hint the executed
+    # plan FLAPPED between SMJ and BHJ across runs (exch 2↔4↔5),
+    # which is why this row was never pinnable before
+    "embedding_quantize_recall": {
+        "bhj": 1, "smj": 0, "shj": 0, "bnlj": 2,
+        "wgl": 4, "topN": 0, "partialAgg": 1, "exch": 2,
+    },
     "pricing_summary": {
         "bhj": 0, "smj": 0, "shj": 0, "bnlj": 0,
         "wgl": 0, "topN": 0, "partialAgg": 6, "exch": 1,
