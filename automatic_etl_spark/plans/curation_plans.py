@@ -999,13 +999,19 @@ def embedding_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "n_id", F.lit(1).alias("m"))
     )
     # Broadcast the quantized top-K side deliberately (r14, guide
-    # §3.1): qt is ≤ |queries|·K rows BY CONSTRUCTION at any scale
-    # (the query set is a modulus sample, K is a constant), so the
-    # overlap join never needs a shuffle — and leaving the choice to
-    # AQE made the executed plan FLAP across runs (SMJ vs BHJ, exch
-    # 2↔4↔5) because the tiny window outputs sit right at the runtime
-    # conversion threshold; the flap is what kept this row unpinnable
-    # in tests/test_plan_fingerprints.py.
+    # §3.1) — with an explicit SCALE CAP, not an "any scale" claim
+    # (r14 ADVICE): qt is ≤ |queries|·K rows, and the query set is the
+    # modulus sample vec_id % QUERY_MOD == 0, so qt grows ~N/QUERY_MOD·K
+    # with the corpus. The broadcast is valid only while that product
+    # stays broadcast-sized (tens of MB; ~10⁸ rows at K=5,
+    # QUERY_MOD=100 would already breach the 8 GB/512M-row broadcast
+    # cap) — at that corpus scale, cap or re-modulus the query sample
+    # (a recall ESTIMATE doesn't need every 100th vector) or drop the
+    # hint and let the overlap join shuffle. Locally the hint is what
+    # stops the executed plan FLAPPING across runs (SMJ vs BHJ, exch
+    # 2↔4↔5): the tiny window outputs sit right at AQE's runtime
+    # conversion threshold, and the flap kept this row unpinnable in
+    # tests/test_plan_fingerprints.py.
     return (
         et.join(F.broadcast(qt), ["q_id", "n_id"], "left")
         .groupBy("q_id")

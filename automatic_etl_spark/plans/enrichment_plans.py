@@ -55,7 +55,9 @@ from pyspark.sql import functions as F
 from automatic_etl_spark.functions import text as tx
 from automatic_etl_spark.functions import vectors as vec
 from automatic_etl_spark.operators import quantiles as qt
-from automatic_etl_spark.operators.graph import _release_checkpoint
+from automatic_etl_spark.operators.checkpoints import (
+    release as _release_checkpoint,
+)
 from automatic_etl_spark.operators import similarity as sim
 from automatic_etl_spark.plans.registry import register
 from automatic_etl_spark.plans.relational import qround

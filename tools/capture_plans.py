@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Capture explain("formatted") for bench headliners into plans/r14/.
+"""Capture explain("formatted") for bench headliners into
+plans/$SPARK_GRAFT_PLANS_ROUND/ (default r15).
 
 Usage:
     python tools/capture_plans.py before [name ...]   # default: all headliners
     python tools/capture_plans.py after  name ...
 
-Writes plans/r14/<name>_<tag>.txt. Streaming queries (whose registry
+Writes plans/<round>/<name>_<tag>.txt. Streaming queries (whose registry
 fn runs the stream eagerly and returns a memory-sink scan) still get
 their sink-side plan captured, with a header noting the caveat.
 """
@@ -41,7 +42,9 @@ def main() -> int:
         names = list(bench.HEADLINE)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name="plan-capture")
