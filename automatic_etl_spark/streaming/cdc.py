@@ -86,29 +86,29 @@ def unwrap_envelope(parsed: DataFrame, env_col: str = "_env") -> DataFrame:
     unparseable payloads — without the filter each becomes a ghost row
     with ``__deleted = NULL`` and all-null keys that survives the LWW
     dedup (nulls group together) and accumulates in silver, invisible
-    to ``__deleted == false`` readers."""
-    env = F.col(env_col)
-    is_delete = env.getField("op") == "d"
-    record = F.when(is_delete, env.getField("before")).otherwise(
-        env.getField("after")
-    )
-    # op is mandatory in every Debezium envelope, so requiring it
-    # drops BOTH null structs (tombstones) and the all-null-field
-    # structs PERMISSIVE-mode from_json returns for unparseable JSON.
-    # The op check ALONE is the filter (r14): a NULL envelope has a
-    # NULL op field, so `env IS NOT NULL AND env.op IS NOT NULL` ≡
-    # `env.op IS NOT NULL` — and the difference matters once predicate
-    # pushdown substitutes the parse into the condition: the op-only
-    # form is schema-pruned by OptimizeJsonExprs to a one-field parse,
-    # while the env-isNotNull conjunct forced a FULL envelope parse
-    # per row in the filter on top of the projection's own (three
-    # from_json evaluations per row down to ~1.3).
+    to ``__deleted == false`` readers.
+
+    ONE ``from_json`` per row (r15, guide §4): the envelope struct is
+    flattened through ``inline(array(env))`` — a Generate evaluates
+    its child exactly once per row, and CollapseProject cannot
+    substitute the parse into downstream consumers through a
+    generator. The previous extract-per-field form collapsed into the
+    final projection, where each ``env.<field>`` reference became its
+    own (OptimizeJsonExprs-pruned) from_json — every copy still
+    re-tokenizes the full JSON document, so N partial parses cost
+    ~N× one parse. ``inline`` of a 1-element array is row-preserving:
+    a NULL envelope yields one all-NULL-field row (verified), which
+    the mandatory-``op`` filter drops exactly as before — tombstone
+    and unparseable-payload semantics are unchanged."""
+    exploded = parsed.select(F.expr(f"inline(array(`{env_col}`))"))
+    is_delete = F.col("op") == "d"
+    record = F.when(is_delete, F.col("before")).otherwise(F.col("after"))
     return (
-        parsed.where(env.getField("op").isNotNull())
+        exploded.where(F.col("op").isNotNull())
         .withColumn("_rec", record)
         .withColumn("__deleted", is_delete)
-        .withColumn("_op", env.getField("op"))
-        .withColumn("_ts_ms", env.getField("ts_ms"))
+        .withColumn("_op", F.col("op"))
+        .withColumn("_ts_ms", F.col("ts_ms"))
         .select("_rec.*", "__deleted", "_op", "_ts_ms")
     )
 
