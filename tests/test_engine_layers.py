@@ -986,6 +986,54 @@ def test_connected_components_bounded_iterations(spark):
         connected_components(nodes, edges, max_iter=2)
 
 
+def test_connected_components_delta_frontier_round_counts(spark):
+    """The r15 ``delta_frontier`` mode (measured-rejected as default,
+    kept as the long-chain/at-scale knob) must not change convergence
+    round counts — the frontier only drops provably-useless min
+    contributions — and must stay exact on a graph that exercises
+    every frontier path: a diameter-5 chain, a clique, and singletons,
+    in all four (delta_frontier × compress) combinations. With
+    compress=True the frontier must also carry JUMP-changed nodes
+    (j_changed) — compress converges strictly faster on the chain,
+    which only happens if jump-lowered labels keep propagating from
+    the frontier."""
+    from automatic_etl_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 13)], "doc_id long"
+    )
+    # chain 1-2-3-4-5-6, clique {7,8,9}, singletons 10..12
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (7, 8), (8, 9), (7, 9)],
+        "a_id long, b_id long",
+    )
+    expected = {**{i: 1 for i in range(1, 7)},
+                **{i: 7 for i in (7, 8, 9)},
+                **{i: i for i in (10, 11, 12)}}
+
+    rounds: dict[tuple[bool, bool], int] = {}
+    for delta in (False, True):
+        for compress in (False, True):
+            stats: dict = {}
+            got = {
+                r.node: r.component
+                for r in connected_components(
+                    nodes, edges, compress=compress,
+                    delta_frontier=delta, stats=stats,
+                ).collect()
+            }
+            assert got == expected, (delta, compress)
+            rounds[(delta, compress)] = stats["rounds"]
+    # delta mode must replay the exact round structure of the default
+    assert rounds[(True, False)] == rounds[(False, False)]
+    assert rounds[(True, True)] == rounds[(False, True)]
+    # diameter-5 chain: 5 hook rounds + 1 no-change probe round
+    assert rounds[(False, False)] == 6
+    # pointer jumping reaches ~2^t: strictly fewer rounds than plain
+    assert rounds[(False, True)] < rounds[(False, False)]
+
+
 def test_cleanup_catalog_ignores_temp_views(spark, tmp_path):
     """Session temp views list under every database but cannot be
     db-qualified; cleanup must skip them (regression: a leftover temp
