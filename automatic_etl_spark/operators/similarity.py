@@ -249,7 +249,19 @@ def _dim_sums(inverted: DataFrame) -> DataFrame:
     """(list_id, pos, s, c): per-list per-dimension exact decimal sums
     — the ONE numeric contract of the k-means update, shared by
     mean_centroid_stats and mean_centroids so a precision change
-    cannot make kmeans_two_iter internally inconsistent."""
+    cannot make kmeans_two_iter internally inconsistent.
+
+    The posexplode + (list_id, pos)-keyed hash aggregate is the
+    MEASURED winner (r15 A/B, tools/ab_interleaved.py dim_wide,
+    bench_baselines/ab_dim_wide_r15.jsonl): a value-identical wide
+    form — one groupBy(list_id) carrying 64 decimal-sum + 64 count
+    buffers, unpivoted with stack, saving one exchange — ran **2×
+    SLOWER** at sf0.1 (kmeans_two_iter 2.34→4.68 s median,
+    ivf_mean_centroids 1.20→2.21 s) and only ~neutral at the 10×
+    stress corpus (14.3→12.2 s median, min ≈equal): 128 per-row
+    update expressions in one aggregate lose to the 64-row explode
+    feeding a 2-expression hash aggregate, and the saved exchange
+    carries only K×64 partial rows — noise at any scale."""
     ex = inverted.select(
         "list_id", F.posexplode("n_vec").alias("pos", "val")
     )

@@ -361,6 +361,15 @@ def minhash_lsh_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(sig_dir)
     sig = spark.read.parquet(sig_dir)
 
+    # Candidates stay LAZY — measured and REJECTED twice (r14
+    # cand_ckpt: eager checkpoint +2%; r15 cand_mat, VERDICT r14 #6:
+    # writing the candidate table beside the signature table and
+    # scanning it from both consumers measured ~neutral at sf0.1 and
+    # 10-28% SLOWER at the 10× stress corpus —
+    # bench_baselines/ab_cand_mat_r15.jsonl — because AQE stage reuse
+    # already serves the band self-join's shuffle to both the census
+    # count and the verify join, so the extra write job + read-back
+    # is pure cost at both measured scales).
     candidates = td.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND)
     verified = td.jaccard_pairs(sh, candidates=candidates).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD

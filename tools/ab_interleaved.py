@@ -40,10 +40,13 @@ def _patch_shingle_checkpoint(enable: bool):
 
 
 def _cc_variant(nodes, edges, id_col="doc_id", src_col="a_id",
-                dst_col="b_id", max_iter=20, compress=False, stats=None):
+                dst_col="b_id", max_iter=20, compress=False, stats=None,
+                lazy_round_ckpt=False):
     """connected_components minus the sym distinct + sym checkpoint:
     min-label propagation is duplicate-insensitive, and the union over
-    the materialized directed-edge blocks is narrow/constant-depth."""
+    the materialized directed-edge blocks is narrow/constant-depth.
+    ``lazy_round_ckpt=True`` makes the per-round checkpoint lazy — the
+    r14 FINAL committed form, used as the legacy arm of cc_delta."""
     from pyspark.sql import functions as F
 
     from automatic_etl_spark.operators.graph import _release_checkpoint
@@ -81,7 +84,7 @@ def _cc_variant(nodes, edges, id_col="doc_id", src_col="a_id",
                 .cast("int")
                 .alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=not lazy_round_ckpt)
         )
         changed = relabeled.agg(F.sum("changed")).first()[0] or 0
         _release_checkpoint(prev_ckpt)
@@ -118,6 +121,27 @@ def _patch_cc(enable: bool):
     if not hasattr(_patch_cc, "orig"):
         _patch_cc.orig = graph.connected_components
     fn = _cc_variant if enable else _patch_cc.orig
+    curation_plans.connected_components = fn
+
+
+def _patch_cc_delta(enable: bool):
+    """INVERTED arms (the variant was measured and REJECTED as the
+    default — see connected_components' delta_frontier docstring):
+    A arm (enable=False) runs connected_components with
+    ``delta_frontier=True`` (only changed labels join the edge blocks
+    after round 1); B arm (enable=True) keeps the committed default
+    (full label table each round). Recorded: A +3…+9% slower at both
+    sf0.1 and the 10× corpus on the fast-converging near-dup graphs."""
+    from automatic_etl_spark.operators import graph
+    from automatic_etl_spark.plans import curation_plans
+
+    if not hasattr(_patch_cc_delta, "orig"):
+        _patch_cc_delta.orig = graph.connected_components
+
+    def _delta(*a, **k):
+        return _patch_cc_delta.orig(*a, delta_frontier=True, **k)
+
+    fn = _patch_cc_delta.orig if enable else _delta
     curation_plans.connected_components = fn
 
 
@@ -223,7 +247,15 @@ def _swap_registry_source(mod, qname: str, transform_src):
         src = textwrap.dedent(inspect.getsource(fn))
         lines = src.splitlines()
         start = next(i for i, l in enumerate(lines) if l.startswith("def "))
-        body = transform_src("\n".join(lines[start:]))
+        stripped = "\n".join(lines[start:])
+        body = transform_src(stripped)
+        # A transform that matches nothing builds a byte-identical
+        # "variant" and the A/B silently measures noise (the r14
+        # boiler_ckpt bug, r14 ADVICE) — fail loudly instead.
+        assert body != stripped, (
+            f"{qname}: transform_src changed nothing — the experiment "
+            "would compare identical code"
+        )
         ns = dict(mod.__dict__)
         exec(body, ns)  # noqa: S102 — A/B harness only
         setattr(mod, orig_key, fn)
@@ -232,9 +264,13 @@ def _swap_registry_source(mod, qname: str, transform_src):
 
 
 def _patch_cand_ckpt(enable: bool):
-    """A arm: lazy candidates (count + verify branches re-derive the
-    distinct pair set, leaning on AQE stage reuse); B arm: committed
-    eager candidates checkpoint."""
+    """INVERTED arms (r14 ADVICE — the docstring used to state them
+    backwards): A arm (enable=False) installs the VARIANT — an eager
+    candidates checkpoint; B arm (enable=True) keeps the COMMITTED
+    code — lazy candidates whose count + verify branches re-derive the
+    distinct pair set, leaning on AQE stage reuse. The recorded +2%
+    median for A is the cost of the checkpoint, which is why the
+    committed form stays lazy."""
     from automatic_etl_spark.plans import dedup_plans as dp
     from automatic_etl_spark.plans.registry import REGISTRY
 
@@ -254,15 +290,23 @@ def _patch_cand_ckpt(enable: bool):
 
 
 def _patch_boiler_ckpt(enable: bool):
-    """A arm: legacy boilerplate_ngrams (no gram checkpoint — the
-    explode front runs once per consumer); B arm: committed
-    checkpointed gram frame."""
+    """INVERTED arms, like cand_ckpt (r14 ADVICE — the original
+    strip-the-checkpoint transform was a NO-OP because the committed
+    function has no checkpoint, so both arms ran identical code and
+    the +6% record measured noise): A arm (enable=False) installs the
+    VARIANT — the grams frame eagerly localCheckpoint'ed; B arm
+    (enable=True) keeps the COMMITTED no-checkpoint form (the explode
+    front runs once per consumer)."""
     from automatic_etl_spark.plans import training_plans as tp
     from automatic_etl_spark.plans.registry import REGISTRY
 
     orig, legacy = _swap_registry_source(
         tp, "boilerplate_ngrams",
-        lambda s: s.replace(".localCheckpoint(eager=True)", ""),
+        lambda s: s.replace(
+            'F.explode(tx.shingles("text", BOILER_N)).alias("g"),\n    )',
+            'F.explode(tx.shingles("text", BOILER_N)).alias("g"),\n'
+            "    ).localCheckpoint(eager=True)",
+        ),
     )
     REGISTRY["boilerplate_ngrams"] = (
         orig if enable else legacy, REGISTRY["boilerplate_ngrams"][1]
@@ -360,7 +404,122 @@ def _patch_vec_cast(enable: bool):
     )
 
 
+def _patch_cdc_inline(enable: bool):
+    """A arm: legacy r14 unwrap_envelope (per-field env extraction —
+    CollapseProject substitutes the parse into each consumer, leaving
+    2 pruned from_json per row in the executed plan); B arm: committed
+    r15 inline(array(env)) form (one Generate-evaluated parse)."""
+    from pyspark.sql import functions as F
+
+    from automatic_etl_spark.streaming import cdc
+
+    if not hasattr(cdc, "_orig_unwrap"):
+        cdc._orig_unwrap = cdc.unwrap_envelope
+
+    def _legacy(parsed, env_col="_env"):
+        env = F.col(env_col)
+        is_delete = env.getField("op") == "d"
+        record = F.when(is_delete, env.getField("before")).otherwise(
+            env.getField("after")
+        )
+        return (
+            parsed.where(env.getField("op").isNotNull())
+            .withColumn("_rec", record)
+            .withColumn("__deleted", is_delete)
+            .withColumn("_op", env.getField("op"))
+            .withColumn("_ts_ms", env.getField("ts_ms"))
+            .select("_rec.*", "__deleted", "_op", "_ts_ms")
+        )
+
+    cdc.unwrap_envelope = cdc._orig_unwrap if enable else _legacy
+
+
+def _patch_dim_wide(enable: bool):
+    """INVERTED arms (the variant was measured and REJECTED — see the
+    committed `_dim_sums` docstring): A arm (enable=False) installs
+    the wide-aggregate VARIANT — one groupBy(list_id) with 64
+    decimal-sum + 64 count buffers, stack-unpivoted to the
+    (list_id, pos, s, c) contract, value-identical incl. null/short
+    arrays; B arm (enable=True) keeps the COMMITTED posexplode form.
+    Recorded: A 2× slower at sf0.1, ~neutral at the 10× corpus."""
+    from pyspark.sql import functions as F
+
+    from automatic_etl_spark.operators import similarity as sim
+
+    if not hasattr(sim, "_orig_dim_sums"):
+        sim._orig_dim_sums = sim._dim_sums
+
+    def _wide(inverted, dim=64):
+        aggs = []
+        for i in range(1, dim + 1):
+            aggs.append(
+                F.sum(
+                    F.try_element_at(
+                        "n_vec", F.lit(i)
+                    ).cast("decimal(28,12)")
+                ).alias(f"s{i}")
+            )
+            aggs.append(
+                F.count(
+                    F.when(F.size("n_vec") >= i, F.lit(1))
+                ).alias(f"c{i}")
+            )
+        wide = inverted.groupBy("list_id").agg(*aggs)
+        stack_args = ", ".join(
+            f"{i - 1}, s{i}, c{i}" for i in range(1, dim + 1)
+        )
+        return (
+            wide.select(
+                "list_id",
+                F.expr(f"stack({dim}, {stack_args}) AS (pos, s, c)"),
+            )
+            .filter(F.col("c") > 0)
+        )
+
+    sim._dim_sums = sim._orig_dim_sums if enable else _wide
+
+
+def _patch_cand_mat(enable: bool):
+    """INVERTED arms (the variant was measured and REJECTED — see the
+    committed minhash_lsh_matview comment): A arm (enable=False)
+    installs the VARIANT — the candidate table written once beside
+    the signature table and scanned by both consumers; B arm
+    (enable=True) keeps the COMMITTED lazy candidates. Recorded:
+    A ~neutral at sf0.1, 10-28% slower at the 10× corpus (AQE stage
+    reuse already serves both consumers)."""
+    from automatic_etl_spark.plans import dedup_plans as dp
+    from automatic_etl_spark.plans.registry import REGISTRY
+
+    orig, legacy = _swap_registry_source(
+        dp, "minhash_lsh_matview",
+        lambda src: src.replace(
+            "candidates = td.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND)",
+            'cand_dir = sig_dir + "_cand"\n'
+            "    td.lsh_candidate_pairs(sig, BANDS, ROWS_PER_BAND).write.mode(\n"
+            '        "overwrite"\n'
+            "    ).parquet(cand_dir)\n"
+            "    candidates = spark.read.parquet(cand_dir)",
+        ),
+    )
+    REGISTRY["minhash_lsh_matview"] = (
+        orig if enable else legacy, REGISTRY["minhash_lsh_matview"][1]
+    )
+
+
+# Which arm runs the COMMITTED (stock) code, per experiment — the arm
+# main()'s finally-block restores after each query (r14 ADVICE: the old
+# unconditional set_a() left the LEGACY/variant arm patched into the
+# registry after an exception). Convention: B is the committed arm for
+# every experiment (including the inverted-arm cand_ckpt/boiler_ckpt,
+# whose enable=True IS stock) EXCEPT no_fanout, where A restores the
+# stock table() and B forces the fan_out=False probe.
+STOCK_ARM = {"no_fanout": "A"}
+
 EXPERIMENTS = {
+    "cdc_inline": (
+        lambda: _patch_cdc_inline(False),
+        lambda: _patch_cdc_inline(True),
+    ),
     "vec_cast": (
         lambda: _patch_vec_cast(False),
         lambda: _patch_vec_cast(True),
@@ -396,6 +555,18 @@ EXPERIMENTS = {
     "cc_sym": (
         lambda: _patch_cc(False),
         lambda: _patch_cc(True),
+    ),
+    "cc_delta": (
+        lambda: _patch_cc_delta(False),
+        lambda: _patch_cc_delta(True),
+    ),
+    "dim_wide": (
+        lambda: _patch_dim_wide(False),
+        lambda: _patch_dim_wide(True),
+    ),
+    "cand_mat": (
+        lambda: _patch_cand_mat(False),
+        lambda: _patch_cand_mat(True),
     ),
     "no_fanout": (
         lambda: _patch_no_fanout(False),
@@ -449,7 +620,8 @@ def main() -> int:
                   flush=True)
             continue
         finally:
-            set_a()  # leave stock code in place
+            # leave the COMMITTED arm in place (see STOCK_ARM)
+            (set_a if STOCK_ARM.get(exp_name, "B") == "A" else set_b)()
         out = {
             arm: {
                 "runs": v,
