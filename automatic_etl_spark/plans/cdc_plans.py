@@ -444,14 +444,26 @@ def stream_stream_join_with_progress(
         "event_id", "user_id", "event_type", "ts"
     )
     stage = scratch_dir("ss_join_stage")
-    sign_dir = os.path.join(stage, "signups")
-    purch_dir = os.path.join(stage, "purchases")
-    events.filter(F.col("event_type") == "signup").select(
-        "user_id", "ts"
-    ).coalesce(2).write.mode("overwrite").parquet(sign_dir)
-    events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
-    ).coalesce(2).write.mode("overwrite").parquet(purch_dir)
+    # ONE staging pass for both sides (r15, guide §1.2): the two
+    # per-side filter+write jobs each scanned the full events table;
+    # a single partitionBy(event_type) write stages both sides in one
+    # scan + one job. coalesce(2) still caps each partition directory
+    # at 2 files (every task writes one file per partition value it
+    # holds), preserving the pinned 2-data-batch structure. The
+    # signups stream's 2-column readStream schema simply never reads
+    # the extra event_id column from its partition's parquet files
+    # (columnar projection), so the staged superset is free.
+    both_dir = os.path.join(stage, "by_type")
+    (
+        events.filter(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(both_dir)
+    )
+    sign_dir = os.path.join(both_dir, "event_type=signup")
+    purch_dir = os.path.join(both_dir, "event_type=purchase")
 
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     # 4 join state stores × partitions × batches commits: size the
