@@ -63,14 +63,21 @@ def retention_headliners() -> tuple[list[int], list[str]]:
     """Minima set under the retention policy (r13 verdict): union of
     the top-10s of the last RETENTION_ROUNDS BENCH files. Returns
     (bench rounds used, sorted names)."""
-    paths = sorted(
-        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
-    if not paths:
+    by_round: dict[int, str] = {}
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        # one file per ROUND: prefer the round's main record over
+        # auxiliary captures like BENCH_r14_c8.json (r15 fix — the
+        # plain last-3-files glob counted the c8 aux file as a round
+        # and silently dropped the oldest real round from retention)
+        if rnd not in by_round or len(os.path.basename(p)) < len(
+            os.path.basename(by_round[rnd])
+        ):
+            by_round[rnd] = p
+    if not by_round:
         sys.exit("no BENCH_r*.json in the repo — pass query names "
                  "explicitly")
-    used = paths[-RETENTION_ROUNDS:]
+    used = [by_round[r] for r in sorted(by_round)][-RETENTION_ROUNDS:]
     names: set[str] = set()
     for p in used:
         names.update(_bench_top10(p))
