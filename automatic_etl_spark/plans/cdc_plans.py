@@ -1015,13 +1015,27 @@ def python_stream_source_totals(
             .trigger(processingTime="0 seconds")
             .start()
         )
-        # Drain: the source is exhausted once the sink holds the full
-        # row universe; the poll reads a bounded scalar count.
+        # Drain: the source is exhausted once the committed batches
+        # have read the full row universe. The poll sums numInputRows
+        # over recentProgress — a DRIVER-LOCAL list (guide §5), where
+        # the previous `spark.table(name).count()` probe scheduled a
+        # full Spark job per 0.3 s wakeup, contending with the
+        # micro-batches it was waiting on. Progress entries are posted
+        # after a batch COMMITS, so rows counted here are already in
+        # the memory sink; the free check also lets the poll tighten
+        # 0.3 s → 0.05 s, shaving the quantization tail. Eviction
+        # safety: recentProgress keeps the last 100 updates — 4 data
+        # batches plus no-data events throttled to one per 10 s
+        # (noDataProgressEventInterval) never approach it within the
+        # 120 s deadline.
         deadline = time.time() + 120
         while time.time() < deadline:
-            if spark.table(name).count() >= rows:
+            done = sum(
+                p["numInputRows"] for p in query.recentProgress
+            )
+            if done >= rows:
                 break
-            time.sleep(0.3)
+            time.sleep(0.05)
         query.stop()
         query.awaitTermination(30)
     finally:
