@@ -506,6 +506,36 @@ def _patch_cand_mat(enable: bool):
     )
 
 
+def _patch_pyds_drain(enable: bool):
+    """A arm: legacy python_stream_source_totals drain (a
+    spark.table(name).count() JOB per 0.3 s wakeup); B arm: committed
+    r15 driver-local recentProgress poll at 0.05 s."""
+    import re
+
+    from automatic_etl_spark.plans import cdc_plans as cp
+    from automatic_etl_spark.plans.registry import REGISTRY
+
+    def _to_legacy(src: str) -> str:
+        return re.sub(
+            r"deadline = time\.time\(\) \+ 120\n"
+            r"(?:.*\n)*?\s+time\.sleep\(0\.05\)",
+            "deadline = time.time() + 120\n"
+            "        while time.time() < deadline:\n"
+            "            if spark.table(name).count() >= rows:\n"
+            "                break\n"
+            "            time.sleep(0.3)",
+            src,
+        )
+
+    orig, legacy = _swap_registry_source(
+        cp, "python_stream_source_totals", _to_legacy
+    )
+    REGISTRY["python_stream_source_totals"] = (
+        orig if enable else legacy,
+        REGISTRY["python_stream_source_totals"][1],
+    )
+
+
 # Which arm runs the COMMITTED (stock) code, per experiment — the arm
 # main()'s finally-block restores after each query (r14 ADVICE: the old
 # unconditional set_a() left the LEGACY/variant arm patched into the
@@ -519,6 +549,10 @@ EXPERIMENTS = {
     "cdc_inline": (
         lambda: _patch_cdc_inline(False),
         lambda: _patch_cdc_inline(True),
+    ),
+    "pyds_drain": (
+        lambda: _patch_pyds_drain(False),
+        lambda: _patch_pyds_drain(True),
     ),
     "vec_cast": (
         lambda: _patch_vec_cast(False),
